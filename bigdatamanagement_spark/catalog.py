@@ -1,0 +1,62 @@
+"""Catalog: load the driver testdata tables and register temp views.
+
+Mirrors the reference's DDL lifecycle (S-07: SQLonRDS.java:100-140,
+AmazonRedshift.java:79-220 — DROP IF EXISTS / CREATE / USE) as a
+view-registration layer: the engine is immutable-view based, so
+"CREATE TABLE + bulk INSERT" collapses to reading parquet and
+``createOrReplaceTempView``.
+
+Scale notes: parquet scans get predicate pushdown + column pruning from
+Catalyst for free; views are registered over the RAW parquet schema
+(timestamp o_orderdate etc.) and each query does its own normalization
+(date casts), mirrored exactly in its oracle SQL, so Spark and DuckDB
+always see the same inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_testdata(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load parquet tables from ``sf_dir`` and (optionally) register views.
+
+    Missing files are skipped so the same call works on testdata dirs
+    that lack the extension tables.
+    """
+    dfs: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        dfs[name] = df
+        if register:
+            df.createOrReplaceTempView(name)
+    return dfs
+
+
+def drop_views(spark: SparkSession, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+    """DROP VIEW IF EXISTS analog of the reference's dependency-ordered drops."""
+    for name in names:
+        spark.catalog.dropTempView(name)

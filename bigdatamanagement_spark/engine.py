@@ -1,0 +1,60 @@
+"""Engine facade: the single entry surface described in SURVEY.md §3.4.
+
+Two equivalent APIs (collapsing the reference's three entry-point
+styles — SQL-string/JDBC, BSON pipeline builder, and client-side
+procedural loops — into one declarative surface):
+
+    eng.sql("SELECT ...")          # assignment 3/6 style (SQL string)
+    eng.table("orders").filter(...)  # assignment 7 style (pipeline builder)
+
+The reference's client-side procedural style (assignment 4/5 SCAN loops,
+redis_client.py:233-269) is deliberately eliminated: those loops become
+engine-side operators so they run distributed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatamanagement_spark.catalog import load_testdata
+from bigdatamanagement_spark.session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, DataFrame] = {}
+
+    @classmethod
+    def local(cls, **kwargs) -> "Engine":
+        return cls(get_spark(**kwargs))
+
+    def register_testdata(self, sf_dir: str) -> "Engine":
+        self.tables.update(load_testdata(self.spark, sf_dir))
+        return self
+
+    def register(self, name: str, df: DataFrame) -> "Engine":
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        return self
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.tables.get(name) or self.spark.table(name)
+
+    def run_sql(self, query: str) -> pd.DataFrame:
+        """In-process SQL runner returning a pandas frame.
+
+        Parity with the reference notebook's ``runSql`` helper
+        (Assignment 1 ipynb cell-3: sqlite3 → pd.read_sql_query).
+        """
+        return self.sql(query).toPandas()
+
+    def show_sql(self, query: str, n: int = 20) -> None:
+        """printSqlResults / displayResultSet analog (SQLonRDS.java:280-361)."""
+        df = self.sql(query)
+        df.show(n, truncate=False)
+        print(f"({df.count()} rows)")
