@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdatamanagement_spark.queries import tpch
+from bigdatamanagement_spark.queries import events, mongo, tpch
 
-_PACKS = [tpch]
+_PACKS = [tpch, mongo, events]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,129 @@
+"""Events time-series pack (T17): the reference's Bigtable/Redis
+time-series idioms re-expressed over the driver's ``events`` table.
+
+- first event per (user, hour): the hourly-downsample idiom
+  (Bigtable.java:94-97 "first reading in a hour", Q-A16/Q-W02)
+- max value per event_type per month: range-filtered MAX (Q-A17,
+  Bigtable.java:129-145)
+- top-10 users by summed value: leaderboard top-k (Q-W03/Q-S07,
+  redis_client.py:443 ZREVRANGE)
+- avg JSON prop per event_type: JSON string field access (F-17)
+
+Scale notes: the window dedup partitions by (user_id, hour) — a single
+shuffle keyed exactly like the downstream consumers; at 100 TB this is
+the canonical "hypertable rollup" shape, and date_trunc keys keep
+partition counts bounded. Top-k is TakeOrderedAndProject (no global
+sort). JSON extraction uses get_json_object (JVM-side, codegen'd), not
+a Python UDF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bigdatamanagement_spark.catalog import load_testdata
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, tables=("events",), register=False)["events"]
+
+
+def first_event_per_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17a — first event per user per hour (tiebreak event_id)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id", F.date_trunc("hour", F.col("ts")))
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour_ts"),
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+def max_value_by_type_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17b — max event value per event_type per month (Q-A17 shape)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.year("ts").cast("long").alias("yr"),
+            F.month("ts").cast("long").alias("mon"),
+        )
+        .agg(F.round(F.max("value"), 2).alias("max_value"))
+        .orderBy("event_type", "yr", "mon")
+    )
+
+
+def top10_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17c — top-10 users by total event value (ZREVRANGE analog),
+    tiebreak user_id ASC."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def avg_json_prop_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17d — JSON field access (F-17): avg of props.k per event_type."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "t17_first_event_per_user_hour": first_event_per_user_hour,
+    "t17_max_value_by_type_month": max_value_by_type_month,
+    "t17_top10_users_by_value": top10_users_by_value,
+    "t17_avg_json_prop_by_type": avg_json_prop_by_type,
+}
+
+ORACLE = {
+    "t17_first_event_per_user_hour": """
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts, event_id,
+               event_type, ROUND(value, 2) AS value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, date_trunc('hour', ts)
+                ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "t17_max_value_by_type_month": """
+        SELECT event_type, CAST(year(ts) AS BIGINT) AS yr,
+               CAST(month(ts) AS BIGINT) AS mon,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    "t17_top10_users_by_value": """
+        SELECT user_id, ROUND(SUM(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY total_value DESC, user_id ASC
+        LIMIT 10
+    """,
+    "t17_avg_json_prop_by_type": """
+        SELECT event_type,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+}

@@ -1,0 +1,142 @@
+"""Document pack: the reference's MongoDB queries (T04-T08).
+
+Reference: Assignment 7/MongoDB.java — flat collections customer/orders
+plus the denormalized nested ``custorders`` (customer + ORDERS array).
+Each nested variant is computed through the nest()/unnest() operators
+and must agree with its flat twin (dual-plan equivalence, SURVEY §5.2.3),
+so both share one oracle SQL.
+
+Scale notes: point lookups (T04/T05) push the key predicate into the
+parquet scan (row-group pruning on min/max). The nested variants cost
+one extra shuffle to build the array column — they exist for API parity
+with the reference's custorders, and the flat plan is the fast path.
+Top-5 (T08) is TakeOrderedAndProject after a partial-aggregated sum.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatamanagement_spark.catalog import load_testdata
+from bigdatamanagement_spark.operators.nest import nest, unnest
+
+CUSTKEY = 42  # exists at every SF (keys are 0-based dense)
+ORDERKEY = 32
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_testdata(spark, sf_dir, tables=("customer", "orders"), register=False)
+
+
+def custorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested custorders view (N-01; MongoDB.java:242-301)."""
+    t = _t(spark, sf_dir)
+    return nest(t["customer"], t["orders"], "c_custkey", "o_custkey", "orders")
+
+
+def customer_name_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T04 — customer name by key (MongoDB.java:306-321 query1)."""
+    t = _t(spark, sf_dir)
+    return t["customer"].filter(F.col("c_custkey") == CUSTKEY).select("c_name")
+
+
+def orderdate_by_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T05 — order date by order key (MongoDB.java:327-342 query2)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") == ORDERKEY)
+        .select(F.col("o_orderdate").cast("date").alias("o_orderdate"))
+    )
+
+
+def orderdate_by_orderkey_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T06 — same via nested custorders (MongoDB.java:349-377 query2Nest):
+    match-on-array-element, unwind, re-match, project (N-02..N-04)."""
+    nested = custorders(spark, sf_dir)
+    matched = nested.filter(
+        F.exists("orders", lambda o: o["o_orderkey"] == ORDERKEY)
+    )
+    return (
+        unnest(matched, "orders")
+        .filter(F.col("orders.o_orderkey") == ORDERKEY)
+        .select(F.col("orders.o_orderdate").cast("date").alias("o_orderdate"))
+    )
+
+
+def order_count_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T07a — total order count, flat (MongoDB.java:384-390 query3)."""
+    t = _t(spark, sf_dir)
+    return t["orders"].agg(F.count("*").alias("total_orders"))
+
+
+def order_count_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T07b — total order count via nested arrays (MongoDB.java:396-420
+    query3Nest: unwind + group sum(1); here Σ size(orders), N-07)."""
+    nested = custorders(spark, sf_dir)
+    return nested.agg(F.sum(F.size("orders")).cast("long").alias("total_orders"))
+
+
+def top5_customers_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T08a — top-5 customers by total order amount (MongoDB.java:432-464
+    query4: $lookup + $unwind (inner semantics) + group sum + sort + limit).
+    Tiebreak c_custkey ASC appended for determinism."""
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_order_amount"))
+        .orderBy(F.desc("total_order_amount"), F.asc("c_custkey"))
+        .limit(5)
+        .select("c_name", "total_order_amount")
+    )
+
+
+def top5_customers_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T08b — same via custorders (MongoDB.java:474-503 query4Nest).
+    $unwind drops customers with no orders, matching the flat inner join."""
+    nested = custorders(spark, sf_dir)
+    return (
+        unnest(nested, "orders")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(F.col("orders.o_totalprice")), 2).alias("total_order_amount"))
+        .orderBy(F.desc("total_order_amount"), F.asc("c_custkey"))
+        .limit(5)
+        .select("c_name", "total_order_amount")
+    )
+
+
+QUERIES = {
+    "t04_customer_name_by_key": customer_name_by_key,
+    "t05_orderdate_by_orderkey": orderdate_by_orderkey,
+    "t06_orderdate_by_orderkey_nested": orderdate_by_orderkey_nested,
+    "t07_order_count_flat": order_count_flat,
+    "t07_order_count_nested": order_count_nested,
+    "t08_top5_customers_flat": top5_customers_flat,
+    "t08_top5_customers_nested": top5_customers_nested,
+}
+
+_T05_SQL = f"""
+    SELECT CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders WHERE o_orderkey = {ORDERKEY}
+"""
+_T07_SQL = "SELECT COUNT(*) AS total_orders FROM orders"
+_T08_SQL = """
+    SELECT c_name, ROUND(SUM(o_totalprice), 2) AS total_order_amount
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_order_amount DESC, c_custkey ASC
+    LIMIT 5
+"""
+
+ORACLE = {
+    "t04_customer_name_by_key": f"SELECT c_name FROM customer WHERE c_custkey = {CUSTKEY}",
+    "t05_orderdate_by_orderkey": _T05_SQL,
+    "t06_orderdate_by_orderkey_nested": _T05_SQL,  # dual-plan: flat SQL is the oracle
+    "t07_order_count_flat": _T07_SQL,
+    "t07_order_count_nested": _T07_SQL,
+    "t08_top5_customers_flat": _T08_SQL,
+    "t08_top5_customers_nested": _T08_SQL,
+}

@@ -49,6 +49,10 @@ def _norm(v):
             return "<NULL>"
         return f"{v:.6g}"
     if hasattr(v, "isoformat"):
+        if getattr(v, "tzinfo", None) is not None:
+            import datetime as _dt
+
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
