@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdatamanagement_spark.queries import events, mongo, tpch
+from bigdatamanagement_spark.queries import events, mongo, music, stock, tpch
 
-_PACKS = [tpch, mongo, events]
+_PACKS = [tpch, mongo, events, music, stock]
 
 
 def entry(spark: SparkSession) -> DataFrame:

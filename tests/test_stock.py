@@ -1,0 +1,38 @@
+"""Golden oracle + reference-derived value tests for the stock pack."""
+
+import pytest
+
+from bigdatamanagement_spark.queries import stock
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(stock.QUERIES))
+def test_stock_oracle(spark, duck, sf_dir, name):
+    df = stock.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, stock.ORACLE[name])
+
+
+def test_post_delete_rowcount(spark):
+    """FIXTURES §E: DELETE leaves 14 stockprice rows."""
+    assert stock.tables(spark)["stockprice"].count() == 14
+
+
+def test_q1_golden(spark, sf_dir):
+    rows = stock.big_or_small_companies(spark, sf_dir).collect()
+    assert [r.name for r in rows] == ["Apple", "GameStop", "Microsoft", "StartUp"]
+
+
+def test_q2_golden(spark, sf_dir):
+    rows = {r.name: r for r in stock.weekly_stats(spark, sf_dir).collect()}
+    assert set(rows) == {"Apple", "Microsoft"}  # GameStop deleted
+    assert rows["Apple"].lowest_price == 163.56
+    assert rows["Apple"].highest_price == 171.05
+    assert rows["Apple"].avg_volume == 61411420.0
+    assert rows["Microsoft"].lowest_price == 267.98
+    assert abs(rows["Microsoft"].avg_close_price - 275.384) < 1e-9
+
+
+def test_q3_golden(spark, sf_dir):
+    rows = stock.resilient_companies(spark, sf_dir).collect()
+    assert sorted(r.name for r in rows) == ["Handy Repair", "StartUp"]
+    assert all(r.closing_price_aug30 is None for r in rows)
