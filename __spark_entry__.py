@@ -13,9 +13,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdatamanagement_spark.queries import events, mongo, music, stock, tpch
+from bigdatamanagement_spark.queries import events, kv, mongo, music, stock, tpch, weather
 
-_PACKS = [tpch, mongo, events, music, stock]
+_PACKS = [tpch, mongo, events, music, stock, weather, kv]
 
 
 def entry(spark: SparkSession) -> DataFrame:

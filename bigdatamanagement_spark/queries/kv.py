@@ -1,0 +1,145 @@
+"""KV/leaderboard pack: Assignment 5's Redis queries (T15).
+
+Reference: Assignment 5/redis_client.py:148-465. The reference's
+client-side SCAN loops (query3/query4 fallback) become engine-side
+filters — the capability upgrade of SURVEY §3.4: scan+filter runs
+distributed instead of in the client process. The RediSearch secondary
+index is a no-op here (parquet column stats + pushdown play that role).
+
+Runs on the synthesized kv_users/kv_scores fixtures.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatamanagement_spark.fixtures import ensure_fixtures, fixture_path
+
+POINT_USER = "user:301"
+
+_USER_FIELDS = (
+    "user_key", "first_name", "last_name", "email", "gender", "ip_address",
+    "country", "country_code", "city", "longitude", "latitude", "last_login",
+)
+
+
+def tables(spark: SparkSession) -> dict[str, DataFrame]:
+    ensure_fixtures()
+    return {
+        "users": spark.read.parquet(fixture_path("kv_users")),
+        "scores": spark.read.parquet(fixture_path("kv_scores")),
+    }
+
+
+_V = f"""
+WITH users AS (SELECT * FROM read_parquet('{fixture_path("kv_users")}')),
+     scores AS (SELECT * FROM read_parquet('{fixture_path("kv_scores")}'))
+"""
+
+
+def user_attributes(spark, sf_dir) -> DataFrame:
+    """T15-q1 (redis_client.py:148-169 HGETALL): full hash read (N-06)."""
+    return tables(spark)["users"].filter(F.col("user_key") == POINT_USER).select(*_USER_FIELDS)
+
+
+def user_coordinates(spark, sf_dir) -> DataFrame:
+    """T15-q2 (redis_client.py:171-208 HMGET): field-subset read, float
+    coercion + epoch-string access (F-18 exercised via last_login_ts)."""
+    return (
+        tables(spark)["users"]
+        .filter(F.col("user_key") == POINT_USER)
+        .select(
+            "user_key",
+            "longitude",
+            "latitude",
+            F.timestamp_seconds(F.col("last_login").cast("long")).cast("timestamp_ntz").alias("last_login_ts"),
+        )
+    )
+
+
+def even_prefix_users(spark, sf_dir) -> DataFrame:
+    """T15-q3 (redis_client.py:210-275): keys + last names of users whose
+    numeric id does NOT start with an odd digit (Q-P12). The reference's
+    SCAN-loop + per-key HGET becomes one distributed filter + project."""
+    u = tables(spark)["users"]
+    first_digit = F.substring(F.split(F.col("user_key"), ":").getItem(1), 1, 1)
+    return (
+        u.filter(first_digit.isin("0", "2", "4", "6", "8"))
+        .select("user_key", "last_name")
+        .orderBy("user_key")
+    )
+
+
+def female_china_russia(spark, sf_dir) -> DataFrame:
+    """T15-q4 (redis_client.py:320-446): composite predicate — females in
+    China or Russia with latitude in [40, 46] (Q-P13)."""
+    u = tables(spark)["users"]
+    return (
+        u.filter(
+            (F.col("gender") == "female")
+            & F.col("country").isin("China", "Russia")
+            & F.col("latitude").between(40, 46)
+        )
+        .select("user_key", "first_name", "last_name", "country", "latitude", "email")
+        .orderBy("user_key")
+    )
+
+
+def top10_leaderboard_emails(spark, sf_dir) -> DataFrame:
+    """T15-q5 (redis_client.py:448-465): ZREVRANGE top-10 of leaderboard:2
+    + email enrichment (Q-S07/Q-W03). Tiebreak user_id ASC (FIXTURES §C2)."""
+    t = tables(spark)
+    top = (
+        t["scores"]
+        .filter(F.col("leaderboard") == "leaderboard:2")
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(10)
+    )
+    return (
+        top.join(t["users"], top.user_id == t["users"].user_key, "left")
+        .select("user_id", "score", "email")
+        .orderBy(F.desc("score"), F.asc("user_id"))
+    )
+
+
+QUERIES = {
+    "t15_q1_user_attributes": user_attributes,
+    "t15_q2_user_coordinates": user_coordinates,
+    "t15_q3_even_prefix_users": even_prefix_users,
+    "t15_q4_female_china_russia": female_china_russia,
+    "t15_q5_top10_leaderboard_emails": top10_leaderboard_emails,
+}
+
+ORACLE = {
+    "t15_q1_user_attributes": _V
+    + f"SELECT {', '.join(_USER_FIELDS)} FROM users WHERE user_key = '{POINT_USER}'",
+    "t15_q2_user_coordinates": _V
+    + f"""
+    SELECT user_key, longitude, latitude,
+           epoch_ms(CAST(last_login AS BIGINT) * 1000) AS last_login_ts
+    FROM users WHERE user_key = '{POINT_USER}'
+    """,
+    "t15_q3_even_prefix_users": _V
+    + """
+    SELECT user_key, last_name FROM users
+    WHERE substr(split_part(user_key, ':', 2), 1, 1) IN ('0','2','4','6','8')
+    ORDER BY user_key
+    """,
+    "t15_q4_female_china_russia": _V
+    + """
+    SELECT user_key, first_name, last_name, country, latitude, email
+    FROM users
+    WHERE gender = 'female' AND country IN ('China', 'Russia')
+      AND latitude BETWEEN 40 AND 46
+    ORDER BY user_key
+    """,
+    "t15_q5_top10_leaderboard_emails": _V
+    + """
+    SELECT s.user_id, s.score, u.email
+    FROM (SELECT * FROM scores WHERE leaderboard = 'leaderboard:2'
+          ORDER BY score DESC, user_id ASC LIMIT 10) s
+    LEFT JOIN users u ON s.user_id = u.user_key
+    ORDER BY s.score DESC, s.user_id ASC
+    """,
+}
