@@ -13,9 +13,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdatamanagement_spark.queries import events, kv, mongo, music, stock, tpch, weather
+from bigdatamanagement_spark.queries import (
+    events,
+    kv,
+    mongo,
+    music,
+    ncaa,
+    stock,
+    tpch,
+    weather,
+)
 
-_PACKS = [tpch, mongo, events, music, stock, weather, kv]
+_PACKS = [tpch, mongo, events, music, stock, weather, kv, ncaa]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -274,10 +274,149 @@ def build_users_scores() -> dict[str, pa.Table]:
     return {"kv_users": users, "kv_scores": scores}
 
 
+_STATES = ["CA", "TX", "NY", "WA", "IL"]
+_COLORS = ["#FF0000", "#FFCC00", "#0033AA", "#008844"]  # two #FF-prefixed
+
+
+def build_ncaa() -> dict[str, pa.Table]:
+    """Synthesized NCAA fixture (FIXTURES.md §C3) for the Assignment 2
+    BigQuery pack (T16). Constraints baked in: Stanford @ Maples Pavilion
+    (Q1/Q2/Q4/Q9), #FFxxxx colors (Q3), same-state same-color pairs (Q8),
+    seed upsets (Q7), players born in venue city (Q5), >5 high-scoring
+    players for some teams (Q10), 1900-2000 win history (Q11)."""
+    rng = random.Random(7)
+    n_teams = 40
+    teams = {k: [] for k in (
+        "id", "code_ncaa", "market", "name", "school_ncaa",
+        "venue_name", "venue_capacity", "venue_city", "venue_state",
+    )}
+    for i in range(n_teams):
+        market = "Stanford" if i == 0 else f"Market{i:02d}"
+        teams["id"].append(f"team-{i:03d}")
+        teams["code_ncaa"].append(100 + i)
+        teams["market"].append(market)
+        teams["name"].append("Cardinal" if i == 0 else f"Name{i:02d}")
+        teams["school_ncaa"].append(market)
+        teams["venue_name"].append("Maples Pavilion" if i == 0 else f"Arena {i:02d}")
+        teams["venue_capacity"].append(5000 + 100 * i)
+        teams["venue_city"].append("Stanford" if i == 0 else f"City{i % 12:02d}")
+        teams["venue_state"].append("CA" if i == 0 else _STATES[i % len(_STATES)])
+    colors = {
+        "code_ncaa": teams["code_ncaa"],
+        "color": [_COLORS[i % len(_COLORS)] for i in range(n_teams)],
+    }
+
+    games = {k: [] for k in ("game_id", "season", "venue_name", "h_id", "a_id", "h_points", "a_points")}
+    gid = 0
+    for season in range(2012, 2018):
+        for _ in range(40):
+            h = rng.randrange(n_teams)
+            a = rng.randrange(n_teams)
+            if h == a:
+                a = (a + 1) % n_teams
+            games["game_id"].append(f"g-{gid:05d}")
+            gid += 1
+            games["season"].append(season)
+            games["venue_name"].append(teams["venue_name"][h])
+            games["h_id"].append(teams["id"][h])
+            games["a_id"].append(teams["id"][a])
+            games["h_points"].append(rng.randint(50, 100))
+            games["a_points"].append(rng.randint(50, 100))
+
+    # guaranteed Stanford home games (Q2/Q4): wins and losses each season
+    for season in range(2013, 2018):
+        for k in range(4):
+            a = rng.randrange(1, n_teams)
+            won = k < 3  # 3 wins, 1 loss per season
+            hp = rng.randint(70, 95)
+            games["game_id"].append(f"g-{gid:05d}")
+            gid += 1
+            games["season"].append(season)
+            games["venue_name"].append("Maples Pavilion")
+            games["h_id"].append(teams["id"][0])
+            games["a_id"].append(teams["id"][a])
+            games["h_points"].append(hp)
+            games["a_points"].append(hp - rng.randint(2, 20) if won else hp + rng.randint(1, 10))
+
+    players = {k: [] for k in ("player_id", "team_id", "birthplace_city", "birthplace_state", "birthplace_country")}
+    per_team = 8
+    for i in range(n_teams):
+        for j in range(per_team):
+            pid = f"p-{i:03d}-{j}"
+            players["player_id"].append(pid)
+            players["team_id"].append(teams["id"][i])
+            if rng.random() < 0.12:  # born where the team plays (Q5)
+                players["birthplace_city"].append(teams["venue_city"][i])
+                players["birthplace_state"].append(teams["venue_state"][i])
+                players["birthplace_country"].append("USA")
+            elif rng.random() < 0.08:  # NULL birthplace rows (Q-P10 guard)
+                players["birthplace_city"].append(None)
+                players["birthplace_state"].append(None)
+                players["birthplace_country"].append(None)
+            else:
+                players["birthplace_city"].append(f"Born{rng.randint(0, 20):02d}")
+                players["birthplace_state"].append(_STATES[rng.randrange(len(_STATES))])
+                players["birthplace_country"].append("USA" if rng.random() < 0.8 else "Canada")
+
+    tourney = {k: [] for k in ("win_name", "lose_name", "win_pts", "lose_pts", "win_seed", "lose_seed")}
+    for _ in range(60):
+        w, l = rng.sample(range(n_teams), 2)
+        wp = rng.randint(60, 105)
+        tourney["win_name"].append(teams["name"][w])
+        tourney["lose_name"].append(teams["name"][l])
+        tourney["win_pts"].append(wp)
+        tourney["lose_pts"].append(wp - rng.randint(1, 30))
+        ws, ls = rng.randint(1, 16), rng.randint(1, 16)
+        tourney["win_seed"].append(str(ws))
+        tourney["lose_seed"].append(str(ls))
+
+    pbp = {k: [] for k in ("game_id", "season", "period", "team_id", "team_market", "player_id", "points_scored")}
+    hot_teams = {0, 3, 7}  # these get >5 players with 15+ first-half games (Q10)
+    for g in range(gid):
+        season = games["season"][g]
+        for tid in (games["h_id"][g], games["a_id"][g]):
+            ti = int(tid.split("-")[1])
+            for j in range(per_team):
+                pid = f"p-{ti:03d}-{j}"
+                market = teams["market"][ti]
+                hot = ti in hot_teams and season >= 2013 and rng.random() < 0.35
+                for period in (1, 2):
+                    n_ev = rng.randint(0, 3) if not (hot and period == 1) else rng.randint(6, 9)
+                    for _ in range(n_ev):
+                        pbp["game_id"].append(games["game_id"][g])
+                        pbp["season"].append(season)
+                        pbp["period"].append(period)
+                        pbp["team_id"].append(tid)
+                        pbp["team_market"].append(market)
+                        pbp["player_id"].append(pid)
+                        pbp["points_scored"].append(None if rng.random() < 0.05 else rng.choice([2, 2, 3]))
+
+    hist = {"market": [], "season": [], "wins": []}
+    markets = [m for m in teams["market"]] + [None]
+    for season in range(1900, 2001):
+        for m in rng.sample(markets, 12):
+            hist["market"].append(m)
+            hist["season"].append(season)
+            hist["wins"].append(None if rng.random() < 0.04 else rng.randint(0, 30))
+
+    def _tbl(d: dict, ints: tuple[str, ...] = ()) -> pa.Table:
+        return pa.table({k: (pa.array(v, pa.int32()) if k in ints else v) for k, v in d.items()})
+
+    return {
+        "ncaa_teams": _tbl(teams, ("code_ncaa", "venue_capacity")),
+        "ncaa_team_colors": _tbl(colors, ("code_ncaa",)),
+        "ncaa_games": _tbl(games, ("season", "h_points", "a_points")),
+        "ncaa_players_games": _tbl(players),
+        "ncaa_tournament_games": _tbl(tourney, ("win_pts", "lose_pts")),
+        "ncaa_pbp": _tbl(pbp, ("season", "period", "points_scored")),
+        "ncaa_historical_teams_seasons": _tbl(hist, ("season", "wins")),
+    }
+
+
 def write_all(out_dir: str = FIXTURES_DIR) -> list[str]:
     os.makedirs(out_dir, exist_ok=True)
     written = []
-    for builder in (build_music, build_stock, build_weather, build_users_scores):
+    for builder in (build_music, build_stock, build_weather, build_users_scores, build_ncaa):
         for name, table in builder().items():
             path = os.path.join(out_dir, f"{name}.parquet")
             pq.write_table(table, path)
