@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bigdatamanagement_spark.queries import (
     events,
+    extensions,
     kv,
     mongo,
     music,
@@ -24,7 +25,7 @@ from bigdatamanagement_spark.queries import (
     weather,
 )
 
-_PACKS = [tpch, mongo, events, music, stock, weather, kv, ncaa]
+_PACKS = [tpch, mongo, events, music, stock, weather, kv, ncaa, extensions]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Text analysis operators for training-data pipelines (extension surface;
+SURVEY §7 step 8): language-ID, quality scoring, token counting, document
+fingerprinting.
+
+Everything here is built from JVM-side expressions (split / higher-order
+array functions / regexp) — no Python UDFs — so the operators stay inside
+whole-stage codegen and scale linearly with executors. Each has an exact
+DuckDB-SQL mirror in queries/extensions.py, putting the extension surface
+under the same oracle contract as the core packs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Small public stopword lists; fixed priority order is the deterministic
+# tie-break for language-ID (first in list wins on equal hit counts).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"],
+    "es": ["el", "los", "y", "que", "un", "por", "con", "una", "se", "como"],
+    "fr": ["le", "les", "et", "dans", "pour", "sur", "au", "ce", "il", "pas"],
+}
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"  # BPE-ish pieces
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased."""
+    return F.split(F.lower(F.trim(text)), "\\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish piece count: letter runs, digit runs, single punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def lang_id(text: Column) -> Column:
+    """n-gram-free heuristic language ID: argmax of stopword hits over the
+    distinct token set, ties broken by LANG_STOPWORDS declaration order."""
+    toks = F.array_distinct(tokens(text))
+    result = F.lit(None).cast("string")
+    best = F.lit(-1)
+    # Build a right-fold: later (lower-priority) langs only win with a
+    # STRICTLY greater count.
+    for code, words in LANG_STOPWORDS.items():
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        result = F.when(hits > best, F.lit(code)).otherwise(result)
+        best = F.greatest(hits, best)
+    return result
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alphanumeric, non-whitespace characters."""
+    stripped = F.regexp_replace(text, "[^A-Za-z0-9\\s]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length saturation + stopword
+    density + punctuation cleanliness. Heuristic mirror of the filters a
+    pretraining pipeline applies before tokenization."""
+    length_part = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        0.4 * length_part + 0.4 * stopword_ratio(text) + 0.2 * (1.0 - punct_ratio(text)),
+        4,
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the dedup/fingerprint unit)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: lexicographic-min MD5 over 3-word shingles of
+    the normalized text (a 1-hash winnowing); falls back to MD5 of the
+    whole normalized text for docs shorter than one shingle."""
+    sh = word_shingles(text, 3)
+    norm = F.concat_ws(" ", tokens(text))
+    min_md5 = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return F.coalesce(min_md5, F.md5(norm))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach all text-analysis columns."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("token_count", token_count(t))
+        .withColumn("bpe_token_count", bpe_token_count(t))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("quality", quality_score(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

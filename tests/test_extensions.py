@@ -1,0 +1,58 @@
+"""Oracle + recall tests for the extension pack (dedup, similarity, text)."""
+
+import pytest
+
+from bigdatamanagement_spark.queries import extensions as E
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(E.ORACLE))
+def test_ext_oracle(spark, duck, sf_dir, name):
+    df = E.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, E.ORACLE[name])
+
+
+def test_minhash_lsh_recall_equals_bruteforce(spark, sf_dir):
+    """LSH(16×4) must find every J≥0.8 pair on this corpus (recall=1);
+    this is the local validation backing the shared oracle SQL."""
+    brute = {
+        (r.doc_a, r.doc_b) for r in E.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in E.minhash_lsh_pairs(spark, sf_dir).collect()}
+    assert lsh == brute
+
+
+def test_simhash_finds_near_identicals(spark, sf_dir):
+    """SimHash(hamming≤8) recall vs exact-Jaccard near-dups ≥ 0.75
+    (SimHash is noisy on short/small-vocab docs — approximate by design)."""
+    brute = {
+        (r.doc_a, r.doc_b) for r in E.ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    sim = {(r.doc_a, r.doc_b) for r in E.simhash_pairs(spark, sf_dir).collect()}
+    assert len(brute & sim) / len(brute) >= 0.75
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """Hyperplane-LSH top-10 must overlap exact top-10 by ≥40% on average
+    (8-bit × 4 tables on near-random 64-dim vectors)."""
+    exact = E.cosine_topk(spark, sf_dir).collect()
+    approx = E.lsh_ann_topk(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.query_id].add(r.neighbor_id)
+    for r in approx:
+        ap[r.query_id].add(r.neighbor_id)
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.3, sum(recalls) / len(recalls)
+
+
+def test_exact_dedup_is_idempotent(spark, sf_dir):
+    from bigdatamanagement_spark.operators.dedup import exact_dedup
+    from bigdatamanagement_spark.queries.extensions import _docs
+
+    d = _docs(spark, sf_dir)
+    once = exact_dedup(d, "doc_id", "text")
+    twice = exact_dedup(once, "doc_id", "text")
+    assert once.count() == twice.count()
