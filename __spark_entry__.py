@@ -21,11 +21,12 @@ from bigdatamanagement_spark.queries import (
     music,
     ncaa,
     stock,
+    streaming_pack,
     tpch,
     weather,
 )
 
-_PACKS = [tpch, mongo, events, music, stock, weather, kv, ncaa, extensions]
+_PACKS = [tpch, mongo, events, music, stock, weather, kv, ncaa, extensions, streaming_pack]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,76 @@
+"""Streaming + multimodal driver-contract entries.
+
+The streaming queries drain an availableNow trigger to a memory sink and
+return the result as a batch DataFrame — so the tumbling-window rollup
+is oracle-checkable (aligned 1h windows ≡ date_trunc batch agg). The
+session-window and multimodal entries are rows-only (stateful/binary
+semantics have no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatamanagement_spark import streaming as S
+from bigdatamanagement_spark.operators import multimodal as M
+
+_counter = itertools.count()
+
+
+def _uniq(name: str) -> str:
+    return f"{name}_{next(_counter)}"
+
+
+def streaming_hourly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.run_to_memory(
+        spark, S.hourly_max_stream(S.stream_events(spark, sf_dir)), _uniq("hourly_max")
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "max_value",
+    ).orderBy("window_start", "event_type")
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.run_to_memory(
+        spark,
+        S.session_window_stream(S.stream_events(spark, sf_dir)),
+        _uniq("sessions"),
+    )
+    return out.orderBy("user_id", "session_start")
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(spark, 64)
+    return M.extract_features(media).orderBy("media_id")
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.synth_media(spark, 64)
+    return (
+        M.sample_frames(media, every_n=4)
+        .select("media_id", "frame_index", F.length("frame_payload").alias("frame_bytes"))
+        .orderBy("media_id", "frame_index")
+    )
+
+
+QUERIES = {
+    "ext_streaming_hourly_max": streaming_hourly_max,
+    "ext_streaming_session_windows": streaming_session_windows,
+    "ext_multimodal_features": multimodal_features,
+    "ext_multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLE = {
+    "ext_streaming_hourly_max": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+}

@@ -1,0 +1,104 @@
+"""Structured Streaming windows over the events table.
+
+The reference has NO streaming operators (SURVEY §2.10) — these are the
+planned extension: the batch time-series idioms (hourly rollup Q-A16,
+range-max Q-A17) as streaming plans with watermarked event-time windows.
+
+Scale notes: state is keyed by (window, key) and bounded by the
+watermark — late data beyond 1 hour is dropped and closed windows are
+evicted. availableNow triggers let the same plans run as incremental
+batch backfills; in tests the streams read the testdata parquet and are
+checked against the equivalent batch aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet directory."""
+    # the file source requires a DIRECTORY; select the events file by glob
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def hourly_max_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1h window: max value per event_type (streaming Q-A17)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.round(F.max("value"), 2).alias("max_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "max_value",
+        )
+    )
+
+
+def sliding_avg_stream(events: DataFrame) -> DataFrame:
+    """Sliding 1h window every 15min: avg value per event_type."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "avg_value")
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: events separated by < gap fuse into one
+    session; emits session span + event count."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_first_per_user_hour_stream(events: DataFrame) -> DataFrame:
+    """Streaming first-event-per-(user, hour): watermarked dropDuplicates —
+    the streaming analog of the batch row_number dedup (Q-A16/Q-W02).
+    'First' is first-arrival within the watermark horizon."""
+    return (
+        events.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "hour_ts"])
+        .select("user_id", "hour_ts", "event_id", "event_type", "value")
+    )
+
+
+def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str) -> DataFrame:
+    """Drain a (watermarked, append/complete-able) stream into an
+    in-memory table with an availableNow trigger; returns the result as a
+    batch DataFrame. Used by tests and the bench smoke path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if _is_agg(stream_df) else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _is_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

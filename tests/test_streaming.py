@@ -1,0 +1,51 @@
+"""Streaming ≡ batch equivalence tests (availableNow drain to memory)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatamanagement_spark import streaming as S
+
+
+@pytest.fixture()
+def batch_events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def test_hourly_max_stream_matches_batch(spark, sf_dir, batch_events):
+    got = S.run_to_memory(
+        spark, S.hourly_max_stream(S.stream_events(spark, sf_dir)), "hourly_max"
+    )
+    want = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.round(F.max("value"), 2).alias("max_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "max_value")
+    )
+    g = {(r.window_start, r.event_type): r.max_value for r in got.collect()}
+    w = {(r.window_start, r.event_type): r.max_value for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_sliding_avg_stream_matches_batch(spark, sf_dir, batch_events):
+    got = S.run_to_memory(
+        spark, S.sliding_avg_stream(S.stream_events(spark, sf_dir)), "sliding_avg"
+    )
+    want = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "avg_value")
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_session_window_stream_runs(spark, sf_dir):
+    got = S.run_to_memory(
+        spark, S.session_window_stream(S.stream_events(spark, sf_dir)), "sessions"
+    )
+    rows = got.collect()
+    assert rows
+    assert all(r.session_end > r.session_start for r in rows)
+    assert all(r.n_events >= 1 for r in rows)
