@@ -1,0 +1,48 @@
+"""Plan inspection utilities (the engine's `explain/format` surface,
+S-11 analog — SQLonRDS.java:280-361 rendered result tables; here we
+render plan *health*).
+
+Used by plan-regression tests to pin the physical strategies that make
+queries scale: broadcast vs shuffle joins, parquet pushdown, top-k
+short-circuits, window-group-limit pushdown, codegen coverage.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def plan_report(df: DataFrame) -> dict:
+    """Summarize scale-relevant operators in the physical plan."""
+    plan = executed_plan(df)
+    return {
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "shuffled_hash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
+        "exchanges": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan)),
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "window_group_limit": "WindowGroupLimit" in plan,
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "codegen_stages": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
+    }
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every parquet scan — verifies column pruning."""
+    return re.findall(r"ReadSchema: (struct<[^>]*>)", executed_plan(df))
+
+
+def scans_are_pruned(df: DataFrame, max_cols: int) -> bool:
+    """True if no scan reads more than ``max_cols`` columns."""
+    for schema in read_schemas(df):
+        n = schema.count(":")
+        if n > max_cols:
+            return False
+    return True

@@ -1,0 +1,65 @@
+"""Engine facade, SQL ≡ DataFrame duality, sinks, and scalar-function
+coverage (S-07/S-09/S-11/S-12, F-16, N-05)."""
+
+import pyspark.sql.functions as F
+
+from bigdatamanagement_spark.engine import Engine
+from bigdatamanagement_spark.queries import tpch
+from bigdatamanagement_spark.sources.sinks import read_back, write_documents
+from tests.conftest import canonicalize
+
+
+def test_sql_equals_dataframe_t03(spark, sf_dir):
+    """The reference's SQL-string style (3.1) and pipeline style (3.2)
+    must produce identical results through the one engine surface."""
+    eng = Engine(spark).register_testdata(sf_dir)
+    via_sql = eng.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(l.l_linenumber) AS lineitem_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-04-01'
+          AND o.o_orderdate < TIMESTAMP '2003-04-01'
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """
+    )
+    via_df = tpch.lineitem_count_by_priority(spark, sf_dir)
+    assert canonicalize(via_sql.toArrow().to_pylist()) == canonicalize(
+        via_df.toArrow().to_pylist()
+    )
+
+
+def test_run_sql_returns_pandas(spark, sf_dir):
+    eng = Engine(spark).register_testdata(sf_dir)
+    pdf = eng.run_sql("SELECT COUNT(*) AS n FROM orders")
+    assert list(pdf.columns) == ["n"] and pdf["n"][0] > 0
+
+
+def test_document_sink_roundtrip(spark, sf_dir, tmp_path):
+    eng = Engine(spark).register_testdata(sf_dir)
+    out = str(tmp_path / "orders_by_status")
+    df = eng.table("orders").limit(200)
+    write_documents(df, out, partition_by=["o_orderstatus"])
+    back = read_back(spark, out)
+    assert back.count() == 200
+    assert set(back.columns) == set(df.columns)
+    # partition layout enables pruning: filtering one status reads one dir
+    one = back.filter(F.col("o_orderstatus") == "F")
+    from bigdatamanagement_spark.plans import executed_plan
+
+    assert "o_orderstatus" in executed_plan(one)
+
+
+def test_to_json_and_array_literal(spark, sf_dir):
+    """F-16 (toJson render) and N-05 (array literal column)."""
+    eng = Engine(spark).register_testdata(sf_dir)
+    df = (
+        eng.table("customer")
+        .limit(3)
+        .select(
+            F.to_json(F.struct("c_custkey", "c_name")).alias("doc"),
+            F.array(F.lit(1), F.lit(10), F.lit(20)).alias("vals"),
+        )
+    )
+    rows = df.collect()
+    assert all(r.doc.startswith('{"c_custkey":') for r in rows)
+    assert all(r.vals == [1, 10, 20] for r in rows)

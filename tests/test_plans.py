@@ -1,0 +1,53 @@
+"""Plan-regression tests: pin the physical strategies that make the
+headline queries scale (SURVEY §4). A green suite with a degraded plan
+is a perf bug — these fail loudly instead."""
+
+from bigdatamanagement_spark.plans import plan_report, scans_are_pruned
+from bigdatamanagement_spark.queries import events, extensions, mongo, tpch
+
+
+def test_t01_broadcasts_dims_and_topk(spark, sf_dir):
+    df = tpch.top10_recent_orders_america(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_joins"] >= 3, r  # customer/nation/region never shuffle orders
+    assert r["sortmerge_joins"] == 0, r
+    assert r["take_ordered"], r  # LIMIT 10 => per-partition heap, no global sort
+    assert not r["python_udf"], r
+
+
+def test_t01_region_filter_pushed(spark, sf_dir):
+    df = tpch.top10_recent_orders_america(spark, sf_dir)
+    pushed = ";".join(plan_report(df)["pushed_filters"])
+    assert "EqualTo(r_name,AMERICA)" in pushed, pushed
+
+
+def test_t03_lineitem_never_shuffles(spark, sf_dir):
+    df = tpch.lineitem_count_by_priority(spark, sf_dir)
+    r = plan_report(df)
+    assert r["broadcast_joins"] >= 1, r  # AQE broadcasts the date-filtered orders
+    assert r["sortmerge_joins"] == 0, r
+
+
+def test_t17_first_event_uses_window_group_limit(spark, sf_dir):
+    df = events.first_event_per_user_hour(spark, sf_dir)
+    r = plan_report(df)
+    assert r["window_group_limit"], r  # rn=1 filter pushed into partial top-1
+
+
+def test_t08_topk_and_column_pruning(spark, sf_dir):
+    df = mongo.top5_customers_flat(spark, sf_dir)
+    r = plan_report(df)
+    assert r["take_ordered"], r
+    # customer scan: c_custkey+c_name; orders scan: o_custkey+o_totalprice
+    assert scans_are_pruned(df, 3), plan_report(df)["pushed_filters"]
+
+
+def test_core_packs_have_no_python_udfs(spark, sf_dir):
+    for fn in (
+        tpch.urgent_spend_largest_segment,
+        mongo.top5_customers_nested,
+        events.top10_users_by_value,
+        extensions.minhash_lsh_pairs,
+        extensions.text_features,
+    ):
+        assert not plan_report(fn(spark, sf_dir))["python_udf"], fn.__name__
