@@ -20,13 +20,26 @@ from bigdatamanagement_spark.queries import (
     mongo,
     music,
     ncaa,
+    setops,
     stock,
     streaming_pack,
     tpch,
     weather,
 )
 
-_PACKS = [tpch, mongo, events, music, stock, weather, kv, ncaa, extensions, streaming_pack]
+_PACKS = [
+    tpch,
+    mongo,
+    events,
+    music,
+    stock,
+    weather,
+    kv,
+    ncaa,
+    extensions,
+    streaming_pack,
+    setops,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
