@@ -60,10 +60,21 @@ def ngram_jaccard_pairs(
 
     O(n²) comparisons — the correctness baseline the sub-quadratic
     methods are measured against (recall tests), and the oracle query at
-    small SF."""
+    small SF.
+
+    Shingles are hashed to int64 behind a materialization barrier, so the
+    O(n²) set intersections compare longs instead of ~20-char strings
+    (same Jaccard modulo 64-bit collisions, ~1e-12 for this corpus;
+    xxhash64 is applied to DISTINCT shingles so set sizes are preserved).
+    """
     s = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("sh")
-    )
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(word_shingles(F.col(text_col), k), lambda x: F.xxhash64(x))
+            )
+        ).alias("sh"),
+    ).repartition("doc_id")
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -86,9 +97,14 @@ def minhash_signatures(
     # trees instead would copy the whole shingle subtree per seed and blow
     # up codegen (measured: >100x slower). The inner lambda takes exactly
     # one arg — a binary lambda would be given (element, index) by Spark.
+    # The repartition() is a materialization BARRIER, not (only) a layout
+    # choice: without it CollapseProject inlines the shingle expression
+    # into the per-seed lambda and recomputes it num_hashes times per row
+    # (measured: >60x slower). The small shuffle of (id, shingles) is the
+    # price of computing shingles exactly once.
     with_sh = df.select(
         F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("sh")
-    )
+    ).repartition("doc_id")
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))),
@@ -119,11 +135,10 @@ def minhash_lsh_pairs(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)),
     )
-    banded = sigs.select(
-        "doc_id",
-        "sh",
-        F.posexplode(band_hashes).alias("band", "band_hash"),
-    )
+    # Explode ONLY (doc_id, band, band_hash): shuffling the shingle arrays
+    # x bands would multiply the shuffle volume ~bands-fold. Shingles are
+    # re-attached to the (few) surviving candidate pairs afterwards.
+    banded = sigs.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
     a, b_ = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -132,16 +147,20 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    shingle_lookup = sigs.select("doc_id", "sh")
+    sh_a = shingle_lookup.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = shingle_lookup.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
     return (
-        candidates.select(
+        candidates.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
             "doc_a",
             "doc_b",
             F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
@@ -162,7 +181,13 @@ def simhash(text: Column, bits: int = 64) -> Column:
     per row. (A per-bit construction re-evaluates the shingling per bit:
     measured minutes instead of seconds on 5k docs.)
     """
-    hashes = F.transform(word_shingles(text, 3), lambda t: F.xxhash64(t))
+    return simhash_from_hashes(
+        F.transform(word_shingles(text, 3), lambda t: F.xxhash64(t)), bits
+    )
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 64) -> Column:
+    """SimHash fold over an already-computed array<long> of feature hashes."""
     bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
     votes = F.aggregate(
         hashes,
@@ -194,8 +219,16 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on any equal 16-bit chunk, confirm
-    by Hamming distance ≤ max_hamming (bit_count of xor)."""
-    s = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sim"))
+    by Hamming distance ≤ max_hamming (bit_count of xor).
+
+    Feature hashes are materialized behind a repartition barrier (same
+    CollapseProject recompute hazard as MinHash), then folded to the
+    64-bit signature."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(word_shingles(F.col(text_col), 3), lambda t: F.xxhash64(t)).alias("hs"),
+    ).repartition("doc_id")
+    s = hashed.select("doc_id", simhash_from_hashes(F.col("hs")).alias("sim"))
     chunks = s.select(
         "doc_id",
         "sim",
