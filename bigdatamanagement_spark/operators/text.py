@@ -44,7 +44,11 @@ def bpe_token_count(text: Column) -> Column:
 def lang_id(text: Column) -> Column:
     """n-gram-free heuristic language ID: argmax of stopword hits over the
     distinct token set, ties broken by LANG_STOPWORDS declaration order."""
-    toks = F.array_distinct(tokens(text))
+    return lang_id_from_tokens(tokens(text))
+
+
+def lang_id_from_tokens(toks_col: Column) -> Column:
+    toks = F.array_distinct(toks_col)
     result = F.lit(None).cast("string")
     best = F.lit(-1)
     # Build a right-fold: later (lower-priority) langs only win with a
@@ -58,8 +62,11 @@ def lang_id(text: Column) -> Column:
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang``."""
+    return stopword_ratio_from_tokens(tokens(text), lang)
+
+
+def stopword_ratio_from_tokens(toks: Column, lang: str = "en") -> Column:
     stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    toks = tokens(text)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
     return hits / F.greatest(F.size(toks), F.lit(1))
 
@@ -83,7 +90,10 @@ def quality_score(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (the dedup/fingerprint unit)."""
-    toks = tokens(text)
+    return shingles_from_tokens(tokens(text), k)
+
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     n = F.size(toks)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
@@ -98,19 +108,39 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: lexicographic-min MD5 over 3-word shingles of
     the normalized text (a 1-hash winnowing); falls back to MD5 of the
     whole normalized text for docs shorter than one shingle."""
-    sh = word_shingles(text, 3)
-    norm = F.concat_ws(" ", tokens(text))
+    return fingerprint_from_tokens(tokens(text))
+
+
+def fingerprint_from_tokens(toks: Column) -> Column:
+    sh = shingles_from_tokens(toks, 3)
+    norm = F.concat_ws(" ", toks)
     min_md5 = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     return F.coalesce(min_md5, F.md5(norm))
 
 
 def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience: attach all text-analysis columns."""
+    """Attach all text-analysis columns.
+
+    Tokenizes ONCE behind a repartition barrier and derives every feature
+    from the materialized token array — without the barrier each feature
+    column would re-split the text (CollapseProject inlining)."""
     t = F.col(text_col)
+    toks = F.col("__toks")
+    staged = df.withColumn("__toks", tokens(t)).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
+    length_part = F.least(F.size(toks) / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        0.4 * length_part
+        + 0.4 * stopword_ratio_from_tokens(toks)
+        + 0.2 * (1.0 - punct_ratio(t)),
+        4,
+    )
     return (
-        df.withColumn("token_count", token_count(t))
+        staged.withColumn("token_count", F.size(toks))
         .withColumn("bpe_token_count", bpe_token_count(t))
-        .withColumn("lang_pred", lang_id(t))
-        .withColumn("quality", quality_score(t))
-        .withColumn("fingerprint", fingerprint(t))
+        .withColumn("lang_pred", lang_id_from_tokens(toks))
+        .withColumn("quality", quality)
+        .withColumn("fingerprint", fingerprint_from_tokens(toks))
+        .drop("__toks")
     )

@@ -44,6 +44,33 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start")
 
 
+def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): the single-batch
+    availableNow drain makes the running state equal the batch aggregate,
+    so this is oracle-checkable."""
+    from bigdatamanagement_spark.streaming.stateful import running_user_totals
+
+    name = _uniq("user_totals")
+    q = (
+        running_user_totals(S.stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.round("total_value", 2).alias("total_value"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(spark, 64)
     return M.extract_features(media).orderBy("media_id")
@@ -61,11 +88,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ext_streaming_hourly_max": streaming_hourly_max,
     "ext_streaming_session_windows": streaming_session_windows,
+    "ext_streaming_running_user_totals": streaming_running_user_totals,
     "ext_multimodal_features": multimodal_features,
     "ext_multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
+    "ext_streaming_running_user_totals": """
+        SELECT user_id, ROUND(SUM(value), 2) AS total_value,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "ext_streaming_hourly_max": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                ROUND(MAX(value), 2) AS max_value
