@@ -9,9 +9,13 @@ Two paths:
   exact re-rank within buckets. Sub-quadratic candidate generation is the
   100 TB path; brute force is O(|queries| × |corpus|).
 
-An IVF variant would replace the hyperplane buckets with k-means cell
-assignments; the plumbing (bucket column + co-partitioned join + re-rank)
-is identical, so LSH stands in for both here.
+- ``ivf_topk``: inverted-file (IVF) index: a k-means coarse quantizer
+  (distributed pyspark.ml KMeans, seeded) assigns every corpus vector to
+  its nearest centroid cell; queries probe their ``nprobe`` nearest cells
+  and re-rank exactly inside them. At 100 TB the corpus is written
+  partitioned by ``cell`` so a probe is a partition-pruned scan, and the
+  centroid table (n_cells × dim floats) rides along as literals —
+  no shuffle of the corpus per query batch.
 """
 
 from __future__ import annotations
@@ -127,6 +131,100 @@ def lsh_topk(
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = (
         cand.dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids with distributed k-means.
+
+    Uses pyspark.ml (k-means|| init, seeded) so training itself scales out;
+    only the tiny centroid matrix (n_cells × dim) comes back to the driver.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """array<int> of the ``nprobe`` nearest centroid ids for ``vec``.
+
+    Pure JVM expression: per-centroid squared L2 via zip_with/aggregate,
+    array_sort on (distance, cell) structs, slice. Ties break on cell id."""
+    cells = []
+    for i, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(x) for x in cvec])
+        d2 = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        cells.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
+    nearest = F.slice(F.array_sort(F.array(*cells)), 1, nprobe)
+    return F.transform(nearest, lambda s: s["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF index: k-means cells + nprobe probing.
+
+    Pass precomputed ``centroids`` to reuse a trained quantizer (at scale
+    the corpus-side cell assignment is computed once at write time and the
+    corpus stored partitioned by cell; probing is then partition pruning)."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, vec_col, n_cells, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.select(
+        "neighbor_id", "cv",
+        F.element_at(nearest_cells(F.col("cv"), centroids, 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "query_id", "qv",
+        F.explode(nearest_cells(F.col("qv"), centroids, nprobe)).alias("cell"),
+    )
+    # Each corpus vector lives in exactly one cell and a query's probed
+    # cells are distinct, so (query_id, neighbor_id) pairs are unique —
+    # no dropDuplicates needed (unlike multi-table LSH).
+    cand = (
+        q.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

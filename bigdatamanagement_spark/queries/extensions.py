@@ -144,6 +144,18 @@ def lsh_ann_topk(spark, sf_dir) -> DataFrame:
     return S.lsh_topk(e, queries, k=10, n_planes=4, n_tables=8).orderBy("query_id", "rank")
 
 
+def ivf_ann_topk(spark, sf_dir) -> DataFrame:
+    """Approximate top-10 via an IVF (k-means cell) index; rows-only check
+    (recall asserted against cosine_topk in tests — k-means training is
+    not SQL-expressible for the DuckDB oracle)."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    # near-random 64-dim corpus: few coarse cells, probe half of them
+    return S.ivf_topk(e, queries, k=10, n_cells=8, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 QUERIES = {
     "ext_text_features": text_features,
     "ext_lang_distribution": lang_distribution,
@@ -155,6 +167,7 @@ QUERIES = {
     "ext_embedding_neardup_pairs": embedding_neardup_pairs,
     "ext_cosine_topk": cosine_topk,
     "ext_lsh_ann_topk": lsh_ann_topk,
+    "ext_ivf_ann_topk": ivf_ann_topk,
 }
 
 # --- DuckDB oracle mirrors ------------------------------------------------

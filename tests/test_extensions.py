@@ -48,6 +48,25 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.3, sum(recalls) / len(recalls)
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF (8 k-means cells, nprobe=4) top-10 must overlap exact top-10 by
+    ≥50% on average (measured 0.82 on this corpus); every query must get
+    a full k=10 result (probing half the cells always has ≥k candidates)."""
+    exact = E.cosine_topk(spark, sf_dir).collect()
+    approx = E.ivf_ann_topk(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.query_id].add(r.neighbor_id)
+    for r in approx:
+        ap[r.query_id].add(r.neighbor_id)
+    assert set(ap) == set(ex)
+    assert all(len(v) == 10 for v in ap.values())
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.5, sum(recalls) / len(recalls)
+
+
 def test_exact_dedup_is_idempotent(spark, sf_dir):
     from bigdatamanagement_spark.operators.dedup import exact_dedup
     from bigdatamanagement_spark.queries.extensions import _docs
