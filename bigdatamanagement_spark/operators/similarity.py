@@ -146,6 +146,77 @@ def lsh_topk(
     )
 
 
+def blocked_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via triangle block partitioning and
+    per-block-pair numpy matmul inside applyInPandas.
+
+    Rows are hashed into ``n_blocks`` blocks; each unordered block pair
+    (i ≤ j) becomes one task, and a row is shipped to every task its block
+    belongs to (replication factor = n_blocks, the standard triangle join).
+    Inside a task the cosine matrix is one Arrow-batched BLAS matmul —
+    vectorized Python is the right tool here because the per-pair dot
+    product is exactly the interpreted-per-element worst case for JVM
+    higher-order functions. Each output pair (min_id, max_id) falls in
+    exactly one task, so no dedup pass is needed. At 100 TB pick
+    n_blocks ≈ sqrt(cluster cores) so each task's matrices fit in executor
+    memory while replication stays O(sqrt(P))."""
+    import pandas as pd
+
+    tasks = []
+    t = 0
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            tasks.append((t, i, 0))
+            if j != i:
+                tasks.append((t, j, 1))
+            t += 1
+    spark = df.sparkSession
+    tasks_df = spark.createDataFrame(tasks, "task_id int, blk int, side int")
+    rows = df.select(
+        F.col(id_col).alias("vid"),
+        _as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    member = rows.join(F.broadcast(tasks_df), "blk").select("task_id", "side", "vid", "v")
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        sides = pdf["side"].to_numpy()
+        ids = pdf["vid"].to_numpy()
+        vecs = np.stack(pdf["v"].to_numpy())
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        diagonal = not (sides == 1).any()
+        if diagonal:
+            ia = ib = np.arange(len(ids))
+        else:
+            ia, ib = np.where(sides == 0)[0], np.where(sides == 1)[0]
+        cos = vecs[ia] @ vecs[ib].T
+        np.round(cos, 6, out=cos)
+        if diagonal:
+            np.fill_diagonal(cos, -1.0)  # no self-pairs
+        r, c = np.where(cos >= threshold)
+        a_ids, b_ids = ids[ia[r]], ids[ib[c]]
+        lo, hi = np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids)
+        keep = lo < hi  # drops diagonal dupes (r<c and r>c both present)
+        # diagonal tasks emit each pair twice (i,j) and (j,i) — keep one
+        if diagonal:
+            keep &= a_ids < b_ids
+        return pd.DataFrame(
+            {"vec_a": lo[keep], "vec_b": hi[keep], "cos_sim": cos[r, c][keep]}
+        )
+
+    return member.groupBy("task_id").applyInPandas(
+        compute, "vec_a long, vec_b long, cos_sim double"
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -196,6 +267,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Approximate top-k via an IVF index: k-means cells + nprobe probing.
 
@@ -205,7 +277,7 @@ def ivf_topk(
     from pyspark.sql import Window
 
     if centroids is None:
-        centroids = kmeans_centroids(corpus, vec_col, n_cells, seed)
+        centroids = kmeans_centroids(corpus, vec_col, n_cells, seed, max_iter)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )

@@ -78,8 +78,11 @@ def dedup_exact_survivors(spark, sf_dir) -> DataFrame:
 
 
 def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
-    """Brute-force 3-gram-shingle Jaccard near-dup pairs (J ≥ 0.8)."""
-    return D.ngram_jaccard_pairs(
+    """3-gram-shingle Jaccard near-dup pairs (J ≥ 0.8) via the
+    prefix-filtered inverted-index join — provably the same result set as
+    the brute-force quadratic scan (equality asserted in tests), produced
+    without materializing the O(n²) pair space."""
+    return D.jaccard_index_pairs(
         _docs(spark, sf_dir).filter(F.col("doc_id") < BRUTE_MAX_DOC),
         "doc_id",
         "text",
@@ -102,10 +105,19 @@ def simhash_pairs(spark, sf_dir) -> DataFrame:
 # --- similarity search ----------------------------------------------------
 
 def embedding_neardup_pairs(spark, sf_dir) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4 on this corpus).
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4 on this corpus) via the
+    triangle-blocked numpy matmul operator (Arrow-batched applyInPandas);
+    equality with the JVM zip_with brute force is asserted in tests."""
+    e = _embs(spark, sf_dir).filter(F.col("vec_id") < BRUTE_MAX_DOC)
+    return S.blocked_neardup_pairs(e, "vec_id", "embedding", NEARDUP_COS).orderBy(
+        "vec_a", "vec_b"
+    )
 
-    Brute-force baseline, bounded like the text one (vec_id < 1000);
-    norms are precomputed per row so the per-pair work is one dot."""
+
+def embedding_neardup_pairs_brute(spark, sf_dir) -> DataFrame:
+    """JVM-side brute-force baseline for the blocked operator (tests only).
+
+    Norms are precomputed per row so the per-pair work is one dot."""
     e = _embs(spark, sf_dir).filter(F.col("vec_id") < BRUTE_MAX_DOC)
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x))
@@ -150,8 +162,10 @@ def ivf_ann_topk(spark, sf_dir) -> DataFrame:
     not SQL-expressible for the DuckDB oracle)."""
     e = _embs(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < TOPK_QUERY_IDS)
-    # near-random 64-dim corpus: few coarse cells, probe half of them
-    return S.ivf_topk(e, queries, k=10, n_cells=8, nprobe=4).orderBy(
+    # near-random 64-dim corpus: few coarse cells, probe half of them.
+    # max_iter=8: coarse-quantizer quality plateaus fast and each Lloyd
+    # iteration is a full Spark job — recall is pinned by the test either way.
+    return S.ivf_topk(e, queries, k=10, n_cells=8, nprobe=4, max_iter=8).orderBy(
         "query_id", "rank"
     )
 

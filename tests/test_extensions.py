@@ -12,6 +12,25 @@ def test_ext_oracle(spark, duck, sf_dir, name):
     assert_matches_oracle(df, duck, E.ORACLE[name])
 
 
+def test_jaccard_index_join_equals_bruteforce(spark, sf_dir):
+    """The prefix-filtered inverted-index join must return exactly the
+    brute-force O(n²) pair set (same pairs, same rounded Jaccard) — the
+    Vernica prefix-filter guarantee, checked end-to-end."""
+    from bigdatamanagement_spark.operators import dedup as D
+    from bigdatamanagement_spark.queries.extensions import BRUTE_MAX_DOC, JACCARD_T, _docs
+
+    docs = _docs(spark, sf_dir).filter("doc_id < %d" % BRUTE_MAX_DOC)
+    brute = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", JACCARD_T).collect()
+    }
+    idx = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.jaccard_index_pairs(docs, "doc_id", "text", JACCARD_T).collect()
+    }
+    assert idx == brute and brute
+
+
 def test_minhash_lsh_recall_equals_bruteforce(spark, sf_dir):
     """LSH(16×4) must find every J≥0.8 pair on this corpus (recall=1);
     this is the local validation backing the shared oracle SQL."""
@@ -46,6 +65,20 @@ def test_lsh_ann_recall(spark, sf_dir):
         ap[r.query_id].add(r.neighbor_id)
     recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.3, sum(recalls) / len(recalls)
+
+
+def test_blocked_neardup_equals_bruteforce(spark, sf_dir):
+    """Triangle-blocked numpy all-pairs cosine must return exactly the
+    JVM zip_with brute-force pair set (same pairs, same rounded cosine)."""
+    blocked = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in E.embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    brute = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in E.embedding_neardup_pairs_brute(spark, sf_dir).collect()
+    }
+    assert blocked == brute and brute
 
 
 def test_ivf_ann_recall(spark, sf_dir):
