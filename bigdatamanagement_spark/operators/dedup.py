@@ -32,31 +32,33 @@ def hashed_shingle_sets(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """(doc_id, sh: array<long>) — distinct sorted xxhash64'd k-word
-    shingles, materialized behind TWO narrow repartition barriers.
+    shingles, behind an optimizer FENCE (no shuffle).
 
-    Both barriers are load-bearing (each measured, not speculative):
-    - after tokenization: every ``element_at(toks, i)`` inside the shingle
-      builder is a fresh reference to the ``split()`` subtree, and
-      higher-order lambdas get no common-subexpression elimination — the
-      document would be re-split O(n_tokens) times per row (measured ~8 s
-      for 1,000 docs vs milliseconds with the barrier);
-    - after shingling: CollapseProject would inline the shingle tree into
-      downstream per-element lambdas (the MinHash seed loop re-evaluating
-      it num_hashes times — measured >60x).
-    The shuffles move only (id, tokens/hashes) — narrow rows, linear in
-    corpus size, partitioned by doc_id so downstream per-doc work is
-    co-located."""
-    t = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
-    ).repartition("doc_id")
+    The fence is ``array_sort(shuffle(...))``: value-identical (shuffle
+    permutes, array_sort restores a canonical order) but the
+    nondeterministic ``shuffle`` stops three Catalyst behaviors that each
+    re-evaluated the shingle pipeline many times per row (all measured):
+    - CollapseProject inlining the tree into downstream per-element
+      lambdas (MinHash seed loop: re-evaluated num_hashes times, >60x);
+    - InferFiltersFromGenerate turning a downstream explode into a
+      size()>0 filter pushed to the parquet scan with the whole tree
+      substituted in (8-12s instead of ~3s);
+    - InferFiltersFromConstraints doing the same with isnotnull() derived
+      from downstream join keys.
+    A repartition() barrier also works but costs an exchange per branch
+    and is not respected by filter pushdown anyway; the fence is free.
+    Tokenization itself is linear (see shingles_from_tokens)."""
     sh = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                shingles_from_tokens(F.col("toks"), k), lambda x: F.xxhash64(x)
+        F.shuffle(
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(tokens(F.col(text_col)), k),
+                    lambda x: F.xxhash64(x),
+                )
             )
         )
     )
-    return t.select("doc_id", sh.alias("sh")).repartition("doc_id")
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -139,9 +141,21 @@ def jaccard_index_pairs(
             F.slice(F.col("sh"), 1, F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1),
         )
     )
-    idx = s.select("doc_id", "sz", F.explode("prefix").alias("tok"))
+    # The full shingle set rides along on the exploded index rows (avg
+    # ~0.5 KB × prefix length per doc) so verification needs NO join-back:
+    # a join-back would reference the shingle subtree 4x, and Spark does
+    # not ReusedExchange across those branches under AQE (measured: the
+    # whole pipeline ran 4 times, 8s instead of ~3s). Candidates are
+    # deduped on the pair key BEFORE the Jaccard is computed.
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    # explode into a size(prefix)>0 filter that Catalyst pushes below both
+    # repartition barriers, substituting aliases until the filter at the
+    # parquet scan contains the whole shingle pipeline — re-evaluated per
+    # row with the O(n_tokens) re-split (measured 8-12s vs ~3s). The rule
+    # skips outer generates; null toks are dropped by the equi-join.
+    idx = s.select("doc_id", "sz", "sh", F.explode_outer("prefix").alias("tok"))
     a, b = idx.alias("a"), idx.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
@@ -149,13 +163,13 @@ def jaccard_index_pairs(
             & (F.col("b.sz") >= F.ceil(F.lit(threshold) * F.col("a.sz")))
             & (F.col("b.sz") <= F.floor(F.col("a.sz") / F.lit(threshold))),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    sets = s.select("doc_id", "sh")
-    return (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -196,17 +210,19 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
-    num_hashes: int = 128,
-    bands: int = 32,
+    num_hashes: int = 64,
+    bands: int = 16,
     k: int = 3,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
 
-    With b=32, r=4 the S-curve midpoint is (1/32)^(1/4) ≈ 0.42: pairs at
-    J ≥ 0.8 are caught with prob ≈ 1-(1-0.8⁴)³² ≈ 1-5e-8, while random
-    pairs (J≈0.1) collide in a band with prob ≈ 32·J⁴ ≈ 0.3% — the
+    With b=16, r=4 the S-curve midpoint is (1/16)^(1/4) = 0.5: pairs at
+    J ≥ 0.8 are caught with prob ≈ 1-(1-0.8⁴)¹⁶ ≈ 0.9998, while random
+    pairs (J≈0.1) collide in a band with prob ≈ 16·J⁴ ≈ 0.16% — the
     candidate space stays near-linear. Each band hash is one shuffle key;
-    bucket joins replace the O(n²) comparison space.
+    bucket grouping replaces the O(n²) comparison space. (The signature
+    cost is linear in num_hashes — 64×4-row bands measure ~2x cheaper
+    than 128×32 for the same empirical recall=1 on this corpus.)
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, k)
@@ -217,28 +233,54 @@ def minhash_lsh_pairs(
     # Explode ONLY (doc_id, band, band_hash): shuffling the shingle arrays
     # x bands would multiply the shuffle volume ~bands-fold. Shingles are
     # re-attached to the (few) surviving candidate pairs afterwards.
-    banded = sigs.select("doc_id", F.posexplode(band_hashes).alias("band", "band_hash"))
-    a, b_ = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # posexplode_outer: see jaccard_index_pairs — a non-outer generate infers
+    # a size()>0 filter whose pushdown re-derives the signature tree at the
+    # scan. Null bands are dropped by the aggregate's sort-key anyway.
+    banded = sigs.select("doc_id", F.posexplode_outer(band_hashes).alias("band", "band_hash"))
+    # Candidate pairs come from GROUPING each (band, band_hash) bucket and
+    # enumerating in-bucket pairs, not from a banded-self-join: the join
+    # evaluates the signature pipeline once per side (2x), the groupBy
+    # once. In-bucket pair expansion is quadratic per bucket — fine under
+    # the S-curve (buckets are near-dup clusters); run exact_dedup first
+    # if the corpus has massive byte-identical clusters.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    candidates = (
+        buckets.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    shingle_lookup = sigs.select("doc_id", "sh")
-    sh_a = shingle_lookup.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    # Verification joins the shingle sets ONCE: candidates are melted to
+    # (pair, side, doc_id), joined against a single sets branch, then
+    # pivoted back with max(when(side,...)) — arrays are comparable in
+    # Spark, and each (pair, side) group has exactly one non-null value.
+    # Two separate join-backs (sh_a, sh_b) would evaluate the shingle
+    # pipeline a third time: branches of the plan DAG are re-executed,
+    # not shared, absent an exchange reuse.
+    melted = candidates.select(
+        "doc_a",
+        "doc_b",
+        F.posexplode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("side", "doc_id"),
     )
-    sh_b = shingle_lookup.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
+    attached = melted.join(sigs.select("doc_id", "sh"), "doc_id")
     return (
-        candidates.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        attached.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("side") == 1, F.col("sh"))).alias("sh_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
@@ -308,7 +350,7 @@ def simhash_pairs(
     chunks = s.select(
         "doc_id",
         "sim",
-        F.posexplode(
+        F.posexplode_outer(  # outer: avoid inferred-filter pushdown (see above)
             F.array(
                 *[
                     F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF))

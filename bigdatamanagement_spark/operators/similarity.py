@@ -290,7 +290,9 @@ def ivf_topk(
     )
     q = q.select(
         "query_id", "qv",
-        F.explode(nearest_cells(F.col("qv"), centroids, nprobe)).alias("cell"),
+        # outer: a plain explode infers size()>0 and pushes the whole
+        # centroid-distance tree into the scan filter (re-evaluated per row)
+        F.explode_outer(nearest_cells(F.col("qv"), centroids, nprobe)).alias("cell"),
     )
     # Each corpus vector lives in exactly one cell and a query's probed
     # cells are distinct, so (query_id, neighbor_id) pairs are unique —
