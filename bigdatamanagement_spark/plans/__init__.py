@@ -34,6 +34,17 @@ def plan_report(df: DataFrame) -> dict:
     }
 
 
+def filter_exprs(df: DataFrame) -> list[str]:
+    """Conditions of Filter nodes in the optimized logical plan.
+
+    Used to guard against Catalyst inferring filters (from generates or
+    join-key constraints) that substitute an expensive expression pipeline
+    into a per-row scan filter — see the optimizer fence in
+    operators/dedup.hashed_shingle_sets."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return [ln.strip() for ln in plan.split("\n") if re.search(r"\bFilter ", ln)]
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of every parquet scan — verifies column pruning."""
     return re.findall(r"ReadSchema: (struct<[^>]*>)", executed_plan(df))

@@ -71,6 +71,29 @@ def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + running aggregate: the events stream enriched
+    with the customer dimension (broadcast static side), rolled up by
+    market segment and event type. The availableNow drain makes the final
+    state equal the batch join+aggregate, so it is oracle-checkable."""
+    from bigdatamanagement_spark.catalog import load_testdata
+
+    cust = load_testdata(spark, sf_dir, tables=("customer",), register=False)[
+        "customer"
+    ].select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    enriched = S.stream_static_enrich(S.stream_events(spark, sf_dir), cust, "user_id")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    out = S.run_to_memory(spark, agg, _uniq("segment_rollup"))
+    return out.select(
+        "c_mktsegment",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 2).alias("total_value"),
+    ).orderBy("c_mktsegment", "event_type")
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(spark, 64)
     return M.extract_features(media).orderBy("media_id")
@@ -89,6 +112,7 @@ QUERIES = {
     "ext_streaming_hourly_max": streaming_hourly_max,
     "ext_streaming_session_windows": streaming_session_windows,
     "ext_streaming_running_user_totals": streaming_running_user_totals,
+    "ext_streaming_segment_rollup": streaming_segment_rollup,
     "ext_multimodal_features": multimodal_features,
     "ext_multimodal_frame_sample": multimodal_frame_sample,
 }
@@ -100,6 +124,13 @@ ORACLE = {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+    """,
+    "ext_streaming_segment_rollup": """
+        SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
+               ROUND(SUM(e.value), 2) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     "ext_streaming_hourly_max": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -6,6 +6,7 @@ from bigdatamanagement_spark.streaming.windows import (
     hourly_max_stream,
     run_to_memory,
     session_window_stream,
+    stream_static_enrich,
     sliding_avg_stream,
     stream_events,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "hourly_max_stream",
     "sliding_avg_stream",
     "session_window_stream",
+    "stream_static_enrich",
     "dedup_first_per_user_hour_stream",
     "run_to_memory",
 ]

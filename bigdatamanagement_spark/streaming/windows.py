@@ -85,6 +85,15 @@ def dedup_first_per_user_hour_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    the (broadcast) static dimension — the standard pattern for attaching
+    slowly-changing reference data to an event stream. Broadcasting the
+    dim keeps the stream side shuffle-free; Spark re-reads the static side
+    per micro-batch, so at scale the dim should be a small/cached table."""
+    return events.join(F.broadcast(dim), on)
+
+
 def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str) -> DataFrame:
     """Drain a (watermarked, append/complete-able) stream into an
     in-memory table with an availableNow trigger; returns the result as a

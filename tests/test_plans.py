@@ -2,7 +2,7 @@
 headline queries scale (SURVEY §4). A green suite with a degraded plan
 is a perf bug — these fail loudly instead."""
 
-from bigdatamanagement_spark.plans import plan_report, scans_are_pruned
+from bigdatamanagement_spark.plans import filter_exprs, plan_report, scans_are_pruned
 from bigdatamanagement_spark.queries import events, extensions, mongo, tpch
 
 
@@ -40,6 +40,22 @@ def test_t08_topk_and_column_pruning(spark, sf_dir):
     assert r["take_ordered"], r
     # customer scan: c_custkey+c_name; orders scan: o_custkey+o_totalprice
     assert scans_are_pruned(df, 3), plan_report(df)["pushed_filters"]
+
+
+def test_dedup_scan_filters_stay_cheap(spark, sf_dir):
+    """Regression guard for the optimizer fence (dedup.hashed_shingle_sets):
+    InferFiltersFromGenerate / InferFiltersFromConstraints must not push
+    the shingle/signature hash pipeline into per-row Filter nodes. When
+    they do, every scanned row re-evaluates the whole tree (measured 3-4x
+    slowdowns before the fence). Legit filters (jaccard threshold over
+    materialized attributes) contain no xxhash64 call."""
+    for fn in (
+        extensions.ngram_jaccard_pairs,
+        extensions.minhash_lsh_pairs,
+        extensions.simhash_pairs,
+    ):
+        for cond in filter_exprs(fn(spark, sf_dir)):
+            assert "xxhash64" not in cond, (fn.__name__, cond[:200])
 
 
 def test_core_packs_have_no_python_udfs(spark, sf_dir):

@@ -49,3 +49,28 @@ def test_session_window_stream_runs(spark, sf_dir):
     assert rows
     assert all(r.session_end > r.session_start for r in rows)
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, batch_events):
+    """Stream-static join + rollup must equal the batch join + aggregate
+    (availableNow drain ≡ one batch)."""
+    from bigdatamanagement_spark.queries.streaming_pack import streaming_segment_rollup
+    from bigdatamanagement_spark.catalog import load_testdata
+
+    got = [tuple(r) for r in streaming_segment_rollup(spark, sf_dir).collect()]
+    cust = load_testdata(spark, sf_dir, tables=("customer",), register=False)[
+        "customer"
+    ].select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    want = [
+        tuple(r)
+        for r in (
+            batch_events.join(cust, "user_id")
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("c_mktsegment", "event_type")
+        ).collect()
+    ]
+    assert got == want and got
