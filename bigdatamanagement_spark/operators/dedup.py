@@ -342,14 +342,16 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on any equal 16-bit chunk, confirm
     by Hamming distance ≤ max_hamming (bit_count of xor).
 
-    Feature hashes are materialized behind a repartition barrier (same
-    CollapseProject recompute hazard as MinHash), then folded to the
-    64-bit signature."""
+    Feature hashes are computed behind the optimizer fence (same
+    recompute hazards as MinHash), folded to the 64-bit signature, and
+    candidates come from GROUPING each 16-bit-chunk bucket (one
+    evaluation of the signature pipeline) rather than a chunk self-join
+    (two). The signature rides in the bucket members, so the Hamming
+    distance is computed inline — no join-back at all."""
     hashed = hashed_shingle_sets(df, id_col, text_col, 3)
     s = hashed.select("doc_id", simhash_from_hashes(F.col("sh")).alias("sim"))
     chunks = s.select(
-        "doc_id",
-        "sim",
+        F.struct("doc_id", "sim").alias("m"),
         F.posexplode_outer(  # outer: avoid inferred-filter pushdown (see above)
             F.array(
                 *[
@@ -359,19 +361,29 @@ def simhash_pairs(
             )
         ).alias("chunk_pos", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # struct sort orders by the first field (doc_id), so in-bucket pair
+    # expansion yields doc_a < doc_b directly.
+    buckets = (
+        chunks.groupBy("chunk_pos", "chunk_val")
+        .agg(F.array_sort(F.collect_set("m")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.greatest(F.size(F.col("ms")) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_pos") == F.col("b.chunk_pos"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
-        )
+        buckets.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
