@@ -86,11 +86,51 @@ def avg_json_prop_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17e — exact interpolated quantiles (p50/p90/p99) of value per
+    event_type. Spark's `percentile` and DuckDB's `quantile_cont` share
+    the linear-interpolation definition, so this is oracle-checkable.
+    At 100 TB swap in approx_percentile (t-digest, single-pass,
+    mergeable) — the exact form needs a per-group sort."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17f — pivot: total value per hour-of-day × event_type (wide).
+    The pivot values are pinned (EVENT_TYPES) so the plan is a single
+    pass of conditional aggregates — an unpinned pivot needs an extra
+    distinct-values job first, a full scan you don't want at 100 TB."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour_of_day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("hour_of_day")
+    )
+    return out.select(
+        "hour_of_day", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in EVENT_TYPES]
+    )
+
+
 QUERIES = {
     "t17_first_event_per_user_hour": first_event_per_user_hour,
     "t17_max_value_by_type_month": max_value_by_type_month,
     "t17_top10_users_by_value": top10_users_by_value,
     "t17_avg_json_prop_by_type": avg_json_prop_by_type,
+    "t17_value_quantiles_by_type": value_quantiles_by_type,
+    "t17_hourly_type_pivot": hourly_type_pivot,
 }
 
 ORACLE = {
@@ -125,5 +165,25 @@ ORACLE = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "t17_value_quantiles_by_type": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    "t17_hourly_type_pivot": """
+        SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+               COALESCE(ROUND(SUM(value) FILTER (event_type = 'click'), 2), 0.0) AS click,
+               COALESCE(ROUND(SUM(value) FILTER (event_type = 'error'), 2), 0.0) AS error,
+               COALESCE(ROUND(SUM(value) FILTER (event_type = 'purchase'), 2), 0.0) AS purchase,
+               COALESCE(ROUND(SUM(value) FILTER (event_type = 'signup'), 2), 0.0) AS signup,
+               COALESCE(ROUND(SUM(value) FILTER (event_type = 'view'), 2), 0.0) AS view,
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
     """,
 }

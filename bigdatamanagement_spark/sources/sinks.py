@@ -37,3 +37,41 @@ def write_kv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     return spark.read.format(fmt).load(path)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_mb: float = 256,
+    sample_rows: int = 10_000,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with output files sized toward ``target_file_mb``.
+
+    The 100 TB small-files guard: a pipeline stage that ends with many
+    shuffle partitions writes one (often tiny) file per partition, and
+    downstream scans then pay per-file open/footer/list costs. This sink
+    estimates on-disk bytes from a bounded sample (in-memory row size
+    scaled by a parquet compression factor), computes the file count, and
+    coalesce()s to it — coalesce, not repartition, so sizing adds NO
+    shuffle; it only merges existing partitions. Returns the file count.
+
+    Estimation, not measurement, is deliberate: measuring would mean
+    writing twice. For exact sizing at scale use
+    spark.sql.files.maxRecordsPerFile on top of this.
+    """
+    sample = df.limit(sample_rows)
+    # Row-size estimate from the sampled rows' in-memory representation;
+    # parquet (columnar + encoded + snappy) typically lands 3-6x smaller.
+    import sys
+
+    rows = sample.collect()
+    if not rows:
+        df.coalesce(1).write.mode(mode).parquet(path)
+        return 1
+    mem_bytes = sum(sys.getsizeof(str(r)) for r in rows) / len(rows)
+    est_disk_per_row = mem_bytes / 4.0
+    total = df.count()
+    n_files = max(1, int(total * est_disk_per_row / (target_file_mb * 1024 * 1024)))
+    df.coalesce(n_files).write.mode(mode).parquet(path)
+    return n_files

@@ -63,3 +63,19 @@ def test_to_json_and_array_literal(spark, sf_dir):
     rows = df.collect()
     assert all(r.doc.startswith('{"c_custkey":') for r in rows)
     assert all(r.vals == [1, 10, 20] for r in rows)
+
+
+def test_write_compacted_sizes_files(spark, sf_dir, tmp_path):
+    """The compaction sink must produce roughly-even files near the target
+    count, never the one-file-per-shuffle-partition explosion."""
+    import glob
+
+    from bigdatamanagement_spark.sources.sinks import read_back, write_compacted
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(32)
+    out = str(tmp_path / "compacted")
+    n = write_compacted(df, out, target_file_mb=0.05)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n
+    assert 1 <= n < 32  # compacted well below the 32 shuffle partitions
+    assert read_back(spark, out).count() == df.count()
