@@ -124,6 +124,61 @@ def hourly_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def last_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17g — as-of join: every event attributed to the user's most
+    recent purchase at-or-before it (classic attribution). Uses the
+    union+window asof_join operator; DuckDB's native ASOF LEFT JOIN is
+    the oracle."""
+    from bigdatamanagement_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    ).orderBy("event_id")
+
+
+def nearby_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17h — range join: for every event, how many OTHER error events
+    fired within ±5 minutes (incident-blast-radius attribution). Uses
+    the bucketized interval_join operator; the oracle is DuckDB's native
+    inequality join (IEJoin). Events with no nearby error keep n=0 via
+    the left join back."""
+    from bigdatamanagement_spark.operators.rangejoin import interval_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.select("event_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    pairs = interval_join(left, errors, "ts", "err_ts", -300, 300).filter(
+        F.col("event_id") != F.col("err_id")
+    )
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n"))
+    return (
+        ev.select("event_id")
+        .join(counts, "event_id", "left")
+        .select("event_id", F.coalesce("n", F.lit(0)).alias("n_nearby_errors"))
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
     "t17_first_event_per_user_hour": first_event_per_user_hour,
     "t17_max_value_by_type_month": max_value_by_type_month,
@@ -131,6 +186,8 @@ QUERIES = {
     "t17_avg_json_prop_by_type": avg_json_prop_by_type,
     "t17_value_quantiles_by_type": value_quantiles_by_type,
     "t17_hourly_type_pivot": hourly_type_pivot,
+    "t17_last_purchase_asof": last_purchase_asof,
+    "t17_nearby_error_counts": nearby_error_counts,
 }
 
 ORACLE = {
@@ -174,6 +231,27 @@ ORACLE = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "t17_nearby_error_counts": """
+        SELECT e.event_id, COALESCE(c.n, 0) AS n_nearby_errors
+        FROM events e LEFT JOIN (
+            SELECT e2.event_id, COUNT(*) AS n
+            FROM events e2 JOIN events r
+              ON r.event_type = 'error' AND r.event_id != e2.event_id
+             AND r.ts BETWEEN e2.ts - INTERVAL 5 MINUTE
+                          AND e2.ts + INTERVAL 5 MINUTE
+            GROUP BY 1
+        ) c USING (event_id)
+        ORDER BY e.event_id
+    """,
+    "t17_last_purchase_asof": """
+        SELECT e.event_id, e.user_id, e.event_type, e.ts,
+               p.purchase_ts, p.purchase_value
+        FROM events e ASOF LEFT JOIN (
+            SELECT user_id, ts AS purchase_ts, ROUND(value, 2) AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        ) p ON e.user_id = p.user_id AND e.ts >= p.purchase_ts
+        ORDER BY e.event_id
     """,
     "t17_hourly_type_pivot": """
         SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
