@@ -45,3 +45,57 @@ def hourly_downsample(weather_raw: DataFrame) -> DataFrame:
     return first_per_group(
         df, ["station", "date", "hour"], [F.col("minute").asc()]
     ).drop("minute")
+
+
+def rollup_cascade(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> dict[str, DataFrame]:
+    """Multi-resolution continuous aggregates: hour → day → month, each
+    level computed FROM THE PREVIOUS level's partials, not from raw.
+
+    count/sum/min/max are decomposable, so day = re-aggregate of 24 hour
+    rows and month of ~30 day rows; avg is carried as sum/count and
+    finalized per level. At 100 TB this is the difference between one
+    raw scan (hour) plus two tiny scans, and three full raw scans — and
+    it is exactly how a hypertable/materialized-rollup pipeline stays
+    incremental: append new hours, re-reduce only affected days/months.
+
+    Returns {"hour": df, "day": df, "month": df}; each df has key_cols +
+    bucket_ts + n/sum_v/min_v/max_v/avg_v.
+    """
+    import pyspark.sql.functions as F
+
+    def finalize(df: DataFrame) -> DataFrame:
+        return df.withColumn("avg_v", F.col("sum_v") / F.col("n"))
+
+    hour = (
+        events.groupBy(
+            *key_cols, F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+
+    def reduce_level(prev: DataFrame, unit: str) -> DataFrame:
+        return (
+            prev.groupBy(
+                *key_cols, F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+
+    day = reduce_level(hour, "day")
+    month = reduce_level(day, "month")
+    return {"hour": finalize(hour), "day": finalize(day), "month": finalize(month)}

@@ -179,6 +179,41 @@ def nearby_error_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17i — the day level of the hour→day→month rollup cascade
+    (computed from hourly partials, not raw). The oracle aggregates raw
+    directly, proving partial re-reduction is lossless."""
+    from bigdatamanagement_spark.operators.downsample import rollup_cascade
+
+    day = rollup_cascade(_events(spark, sf_dir))["day"]
+    return day.select(
+        "event_type",
+        F.col("bucket_ts").cast("timestamp_ntz").alias("day_ts"),
+        "n",
+        F.round("sum_v", 2).alias("sum_value"),
+        F.round("min_v", 2).alias("min_value"),
+        F.round("max_v", 2).alias("max_value"),
+        # round(sum)/n, NOT round(avg): the quotient of identically-rounded
+        # operands is bit-identical across engines, while rounding the
+        # quotient hits half-way points (n=8 → .xxx75) where Spark
+        # (HALF_UP on shortest-repr) and DuckDB disagree.
+        (F.round("sum_v", 2) / F.col("n")).alias("avg_value"),
+    ).orderBy("event_type", "day_ts")
+
+
+def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17j — HyperLogLog++ distinct users per event_type (rows-only:
+    sketch estimates are engine-specific; the accuracy bound vs the exact
+    count is asserted in tests). At 100 TB the sketch is the only sane
+    answer: single pass, mergeable partials, fixed memory per group."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "t17_first_event_per_user_hour": first_event_per_user_hour,
     "t17_max_value_by_type_month": max_value_by_type_month,
@@ -188,6 +223,8 @@ QUERIES = {
     "t17_hourly_type_pivot": hourly_type_pivot,
     "t17_last_purchase_asof": last_purchase_asof,
     "t17_nearby_error_counts": nearby_error_counts,
+    "t17_daily_rollup_cascade": daily_rollup_cascade,
+    "t17_approx_distinct_users_by_type": approx_distinct_users_by_type,
 }
 
 ORACLE = {
@@ -231,6 +268,17 @@ ORACLE = {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+    """,
+    "t17_daily_rollup_cascade": """
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value,
+               ROUND(MIN(value), 2) AS min_value,
+               ROUND(MAX(value), 2) AS max_value,
+               ROUND(SUM(value), 2) / COUNT(*) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
     """,
     "t17_nearby_error_counts": """
         SELECT e.event_id, COALESCE(c.n, 0) AS n_nearby_errors
