@@ -1,4 +1,7 @@
-"""Simulate the driver: entry() smoke + queries() vs oracle_sql() at sf0.01."""
+"""Simulate the driver: entry() smoke + queries() vs oracle_sql().
+
+SF dir overridable: SPARK_GRAFT_SIM_SF=/root/testdata/sf0.1 python tools/driver_sim.py"""
+import os
 import sys, os
 sys.path.insert(0, "/root/repo")
 os.chdir("/root/repo")
@@ -7,7 +10,7 @@ import __spark_entry__ as e
 from bigdatamanagement_spark.session import get_spark
 from bigdatamanagement_spark.catalog import TESTDATA_TABLES
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.01")
 spark = get_spark(app_name="driver-sim", shuffle_partitions=8)
 
 # smoke: entry
