@@ -5,6 +5,7 @@ from bigdatamanagement_spark.streaming.windows import (
     dedup_first_per_user_hour_stream,
     hourly_max_stream,
     run_to_memory,
+    run_to_parquet,
     session_window_stream,
     stream_static_enrich,
     sliding_avg_stream,
@@ -19,4 +20,5 @@ __all__ = [
     "stream_static_enrich",
     "dedup_first_per_user_hour_stream",
     "run_to_memory",
+    "run_to_parquet",
 ]

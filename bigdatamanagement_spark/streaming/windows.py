@@ -111,3 +111,25 @@ def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str) -> DataF
 
 def _is_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def run_to_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str
+) -> None:
+    """Drain an append-able stream to a parquet directory with an
+    availableNow trigger and a checkpoint — the durable, exactly-once
+    production sink (memory sinks are test-only). The checkpoint's WAL +
+    file-sink manifest make re-runs resume from the last committed
+    offset: restarting with the same checkpoint and no new source files
+    writes NOTHING, not duplicates. At scale pair this with
+    partitionBy() on the writer and a compaction pass (sinks.write_compacted)
+    over closed partitions."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

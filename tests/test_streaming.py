@@ -74,3 +74,21 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, batch_events):
         ).collect()
     ]
     assert got == want and got
+
+
+def test_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path):
+    """The checkpointed file sink must be exactly-once across restarts:
+    draining twice with the same checkpoint writes the source once."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    src = S.stream_events(spark, sf_dir).select("event_id", "ts", "value")
+    S.run_to_parquet(src, out, ckpt)
+    n_source = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_source
+    # restart with the same checkpoint: no new input -> no new rows
+    S.run_to_parquet(
+        S.stream_events(spark, sf_dir).select("event_id", "ts", "value"), out, ckpt
+    )
+    again = spark.read.parquet(out)
+    assert again.count() == n_source
+    assert again.select("event_id").distinct().count() == n_source
