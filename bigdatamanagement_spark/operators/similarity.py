@@ -108,29 +108,39 @@ def lsh_topk(
     n_tables: int = 4,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: union of ``n_tables`` hyperplane bucketings,
-    exact cosine re-rank within candidate buckets.
+    """Approximate top-k: ``n_tables`` hyperplane bucketings, exact cosine
+    re-rank within candidate buckets.
 
-    At scale the corpus side is written bucketed-by(bucket) so each query
-    probes one co-located bucket per table instead of the full corpus.
+    All tables' bucket ids are computed in ONE projection and posexploded
+    with their table index — a per-table union would scan (and re-hash)
+    the corpus n_tables times; this shape scans once and shuffles
+    (id, vec, table, bucket) keyed by (table, bucket). At scale the
+    corpus side is written bucketed-by(table, bucket) so each query
+    probes co-located buckets instead of the full corpus.
     """
     from pyspark.sql import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    cand = None
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed=42 + 1000 * t)
-        ct = c.select("neighbor_id", "cv", _bucket(F.col("cv"), planes).alias("bucket"))
-        qt = q.select("query_id", "qv", _bucket(F.col("qv"), planes).alias("bucket"))
-        pairs = qt.join(ct, "bucket").select("query_id", "qv", "neighbor_id", "cv")
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    all_planes = [
+        random_hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+
+    def tabled(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        src = df.select(
+            F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
+        )
+        buckets = F.array(*[_bucket(F.col(vec_alias), p) for p in all_planes])
+        # posexplode_outer: a plain explode infers size()>0 and pushes the
+        # whole hyperplane-dot tree into the scan filter (see dedup.py)
+        return src.select(
+            id_alias, vec_alias, F.posexplode_outer(buckets).alias("table", "bucket")
+        )
+
+    ct = tabled(corpus, "neighbor_id", "cv")
+    qt = tabled(queries, "query_id", "qv")
     cand = (
-        cand.dropDuplicates(["query_id", "neighbor_id"])
+        qt.join(ct, ["table", "bucket"])
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
