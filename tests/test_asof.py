@@ -116,3 +116,71 @@ def test_interval_join_matches_naive_crossjoin(spark):
         if -100 <= (r[1] - l[1]).total_seconds() <= 100
     }
     assert got == want and want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_row = st.tuples(
+    st.sampled_from(["a", "b", "c"]),           # key
+    st.integers(min_value=0, max_value=500),    # seconds offset
+)
+
+
+@given(left=st.lists(_row, min_size=1, max_size=25),
+       right=st.lists(_row, min_size=1, max_size=25))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_matches_pandas_merge_asof(spark, left, right):
+    """Property: asof_join ≡ pandas merge_asof (backward, exact matches
+    allowed) on random keyed timestamp data. Right (key, ts) pairs are
+    deduped first — both implementations only promise a deterministic
+    pick for unique right keys."""
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    seen, rrows = set(), []
+    for k, s in right:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            rrows.append((k, base + dt.timedelta(seconds=s), float(s)))
+    ldf = spark.createDataFrame(lrows, "lid long, k string, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "k string, rts timestamp, px double")
+    got = {
+        r.lid: (r.rts, r.px) for r in asof_join(ldf, rdf, "k", "ts", "rts").collect()
+    }
+    lpd = pd.DataFrame(lrows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(rrows, columns=["k", "rts", "px"]).sort_values("rts")
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="rts", by="k", direction="backward"
+    )
+    want = {
+        int(r.lid): (
+            None if pd.isna(r.rts) else r.rts.to_pydatetime(),
+            None if pd.isna(r.px) else float(r.px),
+        )
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+
+def test_interval_join_extra_key_isolates_groups(spark):
+    """extra_key must scope window matches to equal-key rows only."""
+    from bigdatamanagement_spark.operators.rangejoin import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u1", base), (2, "u2", base)], "lid long, u string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, "u1", base + dt.timedelta(seconds=5))], "rid long, u string, rts timestamp"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, "lts", "rts", -60, 60, extra_key="u"
+        ).collect()
+    }
+    assert got == {(1, 10)}
