@@ -20,6 +20,7 @@ from bigdatamanagement_spark.queries import (
     mongo,
     music,
     ncaa,
+    pipeline,
     setops,
     stock,
     streaming_pack,
@@ -37,6 +38,7 @@ _PACKS = [
     kv,
     ncaa,
     extensions,
+    pipeline,
     streaming_pack,
     setops,
 ]

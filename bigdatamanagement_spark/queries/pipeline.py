@@ -1,0 +1,263 @@
+"""Training-data pipeline pack: the corpus-curation stages downstream of
+the per-doc analyzers in ``queries/extensions.py`` (SURVEY §7 step 8).
+
+Covers: near-dup **cluster** formation (connected components over the
+MinHash candidate graph) and canonical-survivor selection; corpus
+**vocabulary** (top-k tokens); deterministic **train/val/test hash
+split**; token-hash **anonymization** (PII-safe corpus hashing); exact
+per-label **embedding centroids**; and a document-length histogram.
+
+Every query here is DuckDB-oracle checked. Cross-engine determinism
+tricks used:
+- the hash split is pure BIGINT arithmetic (Knuth multiplicative hash
+  mod 1000), identical in any SQL engine — never engine-native ``hash()``;
+- centroid sums quantize each float to integer micro-units with IEEE
+  double ops only and accumulate as BIGINT (exact, order-independent),
+  so Spark's and DuckDB's float summation orders cannot drift;
+- anonymization compares md5 hex strings, identical across engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatamanagement_spark.catalog import load_testdata
+from bigdatamanagement_spark.operators import cluster as C
+from bigdatamanagement_spark.operators import dedup as D
+
+JACCARD_T = 0.8  # same threshold as the extensions pack's pair finders
+ANON_MAX_DOC = 200
+KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * golden ratio)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, tables=("documents",), register=False)["documents"]
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, tables=("embeddings",), register=False)["embeddings"]
+
+
+def _tokens(text):
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+# --- near-dup clustering --------------------------------------------------
+
+def dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Every document with its near-dup cluster representative: MinHash+LSH
+    candidate pairs (J ≥ 0.8, exact-verified) → large-star/small-star
+    connected components → min-doc_id label; singletons label themselves.
+
+    This is the stage that turns pairwise dedup output into an actual
+    keep/drop decision. Oracle: recursive-CTE transitive closure over the
+    brute-force exact-Jaccard pair set (== the LSH pair set on this data,
+    recall asserted in tests/test_extensions.py)."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
+    return (
+        C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .select("doc_id", "cluster_rep")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_cluster_survivors(spark, sf_dir) -> DataFrame:
+    """Per-source corpus stats after near-dup dedup (keep the min-id doc
+    of each cluster): docs kept and chars kept."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
+    kept = C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b").where(
+        F.col("doc_id") == F.col("cluster_rep")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+        .orderBy("source")
+    )
+
+
+# --- vocabulary -----------------------------------------------------------
+
+def top_tokens(spark, sf_dir) -> DataFrame:
+    """Corpus top-50 tokens by document-token frequency (count desc, token
+    asc tiebreak). Map-side partial aggregation makes this one shuffle of
+    |vocab| partial counts, not |corpus| tokens."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+# --- deterministic splits -------------------------------------------------
+
+def hash_split_summary(spark, sf_dir) -> DataFrame:
+    """Train/val/test assignment by Knuth multiplicative hash of doc_id
+    (90/5/5). Pure integer arithmetic → reproducible on any engine and
+    stable under corpus growth (a doc's split never changes when other
+    docs are added — the property random sampling lacks)."""
+    d = _docs(spark, sf_dir)
+    bucket = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(1000)
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+# --- anonymization --------------------------------------------------------
+
+def anonymize_tokens(spark, sf_dir) -> DataFrame:
+    """Token-hash anonymization: each token replaced by the first 8 hex
+    chars of its md5 — structure-preserving, vocabulary-hiding (the shape
+    every PII-safe corpus-sharing pipeline needs). Output pins the md5 of
+    the anonymized text per doc (bounded to doc_id < 200 to keep the
+    compare set small; the transform itself is full-corpus-shaped)."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < ANON_MAX_DOC)
+    anon = F.array_join(
+        F.transform(_tokens(F.col("text")), lambda t: F.substring(F.md5(t), 1, 8)), " "
+    )
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(anon).alias("anon_hash"),
+    ).orderBy("doc_id")
+
+
+# --- embedding aggregation ------------------------------------------------
+
+def label_centroids(spark, sf_dir) -> DataFrame:
+    """Per-label, per-dimension embedding sums (the centroid numerator —
+    what an IVF/k-means update step computes). Each float is widened to
+    double (exact) and quantized to integer micro-units with IEEE ops
+    only (``floor(x*1e6 + 0.5)``), then summed as BIGINT: exact,
+    summation-order-independent, and bit-identical across engines —
+    engine-native float→decimal casts are NOT (shortest-repr vs full
+    binary expansion disagree in the 6th decimal)."""
+    e = _embs(spark, sf_dir)
+    micro = F.floor(F.col("x").cast("double") * 1000000 + 0.5).cast("long")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select("label", (F.col("pos") + 1).alias("dim"), micro.alias("xu"))
+        .groupBy("label", "dim")
+        .agg(F.sum("xu").alias("dim_sum_micro"), F.count("*").alias("n_vecs"))
+        .orderBy("label", "dim")
+    )
+
+
+# --- corpus stats ---------------------------------------------------------
+
+def doc_length_histogram(spark, sf_dir) -> DataFrame:
+    """Document-length histogram in 100-char buckets (integer arithmetic)."""
+    d = _docs(spark, sf_dir)
+    bucket = (F.floor(F.col("n_chars") / 100) * 100).cast("long")
+    return (
+        d.groupBy(bucket.alias("char_bucket"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("char_bucket")
+    )
+
+
+QUERIES = {
+    "ext_dedup_clusters": dedup_clusters,
+    "ext_dedup_cluster_survivors": dedup_cluster_survivors,
+    "ext_top_tokens": top_tokens,
+    "ext_hash_split_summary": hash_split_summary,
+    "ext_anonymize_tokens": anonymize_tokens,
+    "ext_label_centroids": label_centroids,
+    "ext_doc_length_histogram": doc_length_histogram,
+}
+
+# --- DuckDB oracle mirrors ------------------------------------------------
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2, 0) + 1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+# Transitive closure of the exact-Jaccard (J >= 0.8) pair graph: min
+# reachable doc_id per doc. Small at oracle SF; the Spark side runs the
+# scalable star-contraction instead.
+_CLUSTERS_CTE = f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, {_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+              greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+              >= {JACCARD_T}
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(n, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.n = e.v
+    ),
+    clusters AS (
+        SELECT n AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY n
+    )
+"""
+
+ORACLE = {
+    "ext_dedup_clusters": _CLUSTERS_CTE
+    + "SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id",
+    "ext_dedup_cluster_survivors": _CLUSTERS_CTE
+    + """
+        SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_chars) AS chars_kept
+        FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+        WHERE c.doc_id = c.cluster_rep
+        GROUP BY d.source ORDER BY d.source
+    """,
+    "ext_top_tokens": f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 50
+    """,
+    "ext_hash_split_summary": f"""
+        SELECT CASE WHEN (doc_id * {KNUTH}) % 1000 < 900 THEN 'train'
+                    WHEN (doc_id * {KNUTH}) % 1000 < 950 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "ext_anonymize_tokens": f"""
+        SELECT doc_id, len(toks) AS n_tokens,
+               md5(array_to_string(
+                   list_transform(toks, t -> substring(md5(t), 1, 8)), ' ')) AS anon_hash
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
+              WHERE doc_id < {ANON_MAX_DOC})
+        ORDER BY doc_id
+    """,
+    "ext_label_centroids": """
+        SELECT label, i.range AS dim,
+               SUM(CAST(floor(CAST(embedding[i.range] AS DOUBLE) * 1000000 + 0.5)
+                   AS BIGINT)) AS dim_sum_micro,
+               COUNT(*) AS n_vecs
+        FROM embeddings, range(1, 65) i
+        GROUP BY label, i.range ORDER BY label, dim
+    """,
+    "ext_doc_length_histogram": """
+        SELECT (n_chars // 100) * 100 AS char_bucket,
+               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+}

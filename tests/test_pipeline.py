@@ -1,0 +1,87 @@
+"""Oracle + property tests for the pipeline pack (clustering, vocab,
+splits, anonymization, centroids)."""
+
+import random
+
+import pytest
+
+from bigdatamanagement_spark.operators import cluster as C
+from bigdatamanagement_spark.queries import pipeline as P
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(P.ORACLE))
+def test_pipeline_oracle(spark, duck, sf_dir, name):
+    df = P.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, P.ORACLE[name])
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # path-compress everything, then label each node by the min of its set
+    comp = {}
+    for x in range(n_nodes):
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(nodes) for nodes in comp.values() for x in nodes}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 20), (2, 60, 90), (3, 40, 40)])
+def test_connected_components_matches_union_find(spark, seed, n, m):
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {r.node: r.component for r in C.connected_components(df, "a", "b").collect()}
+    want = _union_find_components(n, edges)
+    touched = {x for e in edges for x in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_connected_components_chain_worst_case(spark):
+    """A path graph maximizes diameter — star contraction must still
+    converge (in O(log n) rounds, not O(n)) and label by the min id."""
+    n = 64
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a: long, b: long")
+    got = {r.node: r.component for r in C.connected_components(df, "a", "b").collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame([], "a: long, b: long")
+    assert C.connected_components(df, "a", "b").count() == 0
+
+
+def test_assign_clusters_singletons(spark):
+    items = spark.createDataFrame([(i,) for i in range(6)], "doc_id: long")
+    pairs = spark.createDataFrame([(4, 5)], "doc_a: long, doc_b: long")
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in C.assign_clusters(items, "doc_id", pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4}
+
+
+def test_hash_split_is_stable_under_growth(spark, sf_dir):
+    """A doc's split assignment must not depend on the rest of the corpus:
+    recompute on a half-corpus and compare overlapping doc buckets."""
+    import pyspark.sql.functions as F
+
+    d = P._docs(spark, sf_dir)
+    bucket = (F.col("doc_id") * F.lit(P.KNUTH)) % F.lit(1000)
+    full = {r.doc_id: r.b for r in d.select("doc_id", bucket.alias("b")).collect()}
+    half = {
+        r.doc_id: r.b
+        for r in d.where("doc_id % 2 = 0").select("doc_id", bucket.alias("b")).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
