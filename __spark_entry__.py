@@ -19,6 +19,7 @@ from bigdatamanagement_spark.queries import (
     kv,
     mongo,
     music,
+    mutation,
     ncaa,
     pipeline,
     setops,
@@ -39,6 +40,7 @@ _PACKS = [
     ncaa,
     extensions,
     pipeline,
+    mutation,
     streaming_pack,
     setops,
 ]

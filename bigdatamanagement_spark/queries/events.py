@@ -214,6 +214,46 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17k — gap-based sessionization (30-min gap) histogram: how many
+    sessions have n events, and their summed duration. One shuffle keyed
+    by user_id feeds both windows and the session aggregate (see
+    operators/sessionize.py scale notes). Durations are exact integer
+    microseconds — engine-portable."""
+    from bigdatamanagement_spark.operators.sessionize import session_bounds
+
+    ev = _events(spark, sf_dir)
+    b = session_bounds(ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id")
+    return (
+        b.groupBy("n_events")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("duration_us").alias("total_duration_us"),
+        )
+        .orderBy("n_events")
+    )
+
+
+def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17l — SCD2 (type-2 slowly-changing-dimension) history built from
+    the purchase change stream: one validity interval per purchase,
+    closed by the user's next purchase (bounded to user_id < 50 to keep
+    the compare set small; the operator is full-corpus-shaped)."""
+    from bigdatamanagement_spark.operators.merge import scd2_from_events
+
+    ev = _events(spark, sf_dir).where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    )
+    hist = scd2_from_events(
+        ev.withColumn("value", F.round("value", 2)),
+        "user_id",
+        "ts",
+        value_cols=["value"],
+        order_tiebreak="event_id",
+    )
+    return hist.orderBy("user_id", "valid_from")
+
+
 QUERIES = {
     "t17_first_event_per_user_hour": first_event_per_user_hour,
     "t17_max_value_by_type_month": max_value_by_type_month,
@@ -225,9 +265,44 @@ QUERIES = {
     "t17_nearby_error_counts": nearby_error_counts,
     "t17_daily_rollup_cascade": daily_rollup_cascade,
     "t17_approx_distinct_users_by_type": approx_distinct_users_by_type,
+    "t17_session_stats": session_stats,
+    "t17_scd2_purchase_history": scd2_purchase_history,
 }
 
 ORACLE = {
+    "t17_session_stats": """
+        WITH s AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        numbered AS (
+            SELECT user_id, us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+            FROM s
+        ),
+        bounds AS (
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MAX(us) - MIN(us) AS duration_us
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT n_events, COUNT(*) AS n_sessions,
+               SUM(duration_us) AS total_duration_us
+        FROM bounds GROUP BY 1 ORDER BY 1
+    """,
+    "t17_scd2_purchase_history": """
+        SELECT user_id, ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               (LEAD(ts) OVER w IS NULL) AS is_current,
+               ROUND(value, 2) AS value
+        FROM events
+        WHERE event_type = 'purchase' AND user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ORDER BY user_id, valid_from
+    """,
     "t17_first_event_per_user_hour": """
         SELECT user_id, date_trunc('hour', ts) AS hour_ts, event_id,
                event_type, ROUND(value, 2) AS value

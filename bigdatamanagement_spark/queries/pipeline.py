@@ -43,6 +43,21 @@ def _tokens(text):
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+# MinHash candidate pairs are the shared intermediate of both clustering
+# queries; materialize once per (session, corpus) — the multi-query
+# equivalent of a pipeline stage writing its output for downstream steps.
+_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_MEMO:
+        docs = _docs(spark, sf_dir)
+        pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
+        _PAIRS_MEMO[key] = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    return _PAIRS_MEMO[key]
+
+
 # --- near-dup clustering --------------------------------------------------
 
 def dedup_clusters(spark, sf_dir) -> DataFrame:
@@ -55,7 +70,7 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     brute-force exact-Jaccard pair set (== the LSH pair set on this data,
     recall asserted in tests/test_extensions.py)."""
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
+    pairs = _neardup_pairs(spark, sf_dir)
     return (
         C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b")
         .select("doc_id", "cluster_rep")
@@ -67,7 +82,7 @@ def dedup_cluster_survivors(spark, sf_dir) -> DataFrame:
     """Per-source corpus stats after near-dup dedup (keep the min-id doc
     of each cluster): docs kept and chars kept."""
     docs = _docs(spark, sf_dir)
-    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
+    pairs = _neardup_pairs(spark, sf_dir)
     kept = C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b").where(
         F.col("doc_id") == F.col("cluster_rep")
     )
