@@ -26,11 +26,13 @@ from bigdatamanagement_spark.queries import (
     stock,
     streaming_pack,
     tpch,
+    tpch_full,
     weather,
 )
 
 _PACKS = [
     tpch,
+    tpch_full,
     mongo,
     events,
     music,

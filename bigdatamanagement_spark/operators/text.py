@@ -93,6 +93,21 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), k)
 
 
+def raw_shingles_from_tokens(toks: Column, k: int = 2) -> Column:
+    """Sliding k-gram strings WITH duplicates, in document order — the
+    unit for repetition metrics (duplicate-gram fraction, top-gram
+    fraction), where multiplicity is the signal that
+    ``shingles_from_tokens``'s array_distinct would destroy. Same
+    zip_with shifted-copy construction (linear; see below)."""
+    n = F.size(toks)
+    acc = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    acc = F.coalesce(acc, F.array().cast("array<string>"))
+    return F.filter(acc, lambda s: s.isNotNull())
+
+
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     # Sliding window via a zip_with chain over k shifted copies of the
     # token array, NOT element_at(toks, i+j) inside a transform lambda:
@@ -103,14 +118,7 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     # Here `toks` is referenced exactly k+1 times at row level — linear.
     # zip_with pads the shorter (shifted) side with null and concat
     # propagates null, so the k-1 invalid tail windows filter out.
-    n = F.size(toks)
-    acc = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    # coalesce: null text → null toks must yield [] (as the old CASE did)
-    acc = F.coalesce(acc, F.array().cast("array<string>"))
-    return F.array_distinct(F.filter(acc, lambda s: s.isNotNull()))
+    return F.array_distinct(raw_shingles_from_tokens(toks, k))
 
 
 def fingerprint(text: Column) -> Column:
@@ -152,4 +160,70 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality)
         .withColumn("fingerprint", fingerprint_from_tokens(toks))
         .drop("__toks")
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dup_k: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters — public paper):
+    (id, n_tokens, top_token_frac, top_bigram_frac, dup_kgram_frac).
+
+    - top_token_frac  = occurrences of the most frequent token / n_tokens
+    - top_bigram_frac = occurrences of the most frequent bigram / n_bigrams
+    - dup_kgram_frac  = fraction of k-gram OCCURRENCES beyond first use
+                        (1 - distinct/total), k = ``dup_k``
+
+    Plan shape (scale-first): ONE corpus scan builds unigram+bigram+k-gram
+    structs in a single projection and explodes once; one (id, k, gram)
+    count aggregate; one (id, k) roll-up pivoted to columns. Both shuffles
+    are keyed by doc id, so at 100 TB this is two well-partitioned
+    aggregations of the exploded gram stream — no window functions, no
+    per-row Python. Fractions are small-integer divisions → bit-identical
+    across engines.
+    """
+    toks = tokens(F.col(text_col))
+    gram_struct = lambda arr, k: F.transform(  # noqa: E731
+        arr, lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
+    )
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(toks).alias("n_tokens"),
+        F.explode(
+            F.concat(
+                gram_struct(toks, 1),
+                gram_struct(raw_shingles_from_tokens(toks, 2), 2),
+                gram_struct(raw_shingles_from_tokens(toks, dup_k), dup_k),
+            )
+        ).alias("g"),
+    )
+    cnt = grams.groupBy(
+        "__id", "n_tokens", F.col("g.k").alias("k"), F.col("g.gram").alias("gram")
+    ).agg(F.count("*").alias("c"))
+    per_k = cnt.groupBy("__id", "n_tokens", "k").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").alias("tot"),
+        F.count("*").alias("n_distinct"),
+    )
+    pick = lambda k, expr: F.max(F.when(F.col("k") == k, expr))  # noqa: E731
+    return (
+        per_k.groupBy("__id", "n_tokens")
+        .agg(
+            F.round(pick(1, F.col("max_c") / F.col("tot")), 4).alias("top_token_frac"),
+            F.round(
+                F.coalesce(pick(2, F.col("max_c") / F.col("tot")), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    pick(dup_k, (F.col("tot") - F.col("n_distinct")) / F.col("tot")),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias(f"dup_{dup_k}gram_frac"),
+        )
+        .withColumnRenamed("__id", id_col)
     )

@@ -183,7 +183,39 @@ def doc_length_histogram(spark, sf_dir) -> DataFrame:
     )
 
 
+# --- repetition filtering (Gopher-style) ----------------------------------
+
+# Thresholds chosen against the synthetic corpus distributions (median /
+# p90 probed at sf0.001: top-token 0.09/0.14, top-bigram 0.03/0.07,
+# dup-3gram ~0/0) so both keep=true and keep=false populations exist.
+REP_TOP_TOKEN_MAX = 0.125
+REP_TOP_BIGRAM_MAX = 0.06
+REP_DUP_3GRAM_MAX = 0.02
+
+
+def repetition_filter(spark, sf_dir) -> DataFrame:
+    """Per-doc Gopher-style repetition metrics + keep verdict (Rae et al.
+    2021 §A1.1): most-frequent-token fraction, most-frequent-bigram
+    fraction, duplicate-3-gram fraction. The keep flag is computed from
+    the ROUNDED metrics so the threshold comparison cannot straddle a
+    float ulp across engines. See operators/text.py repetition_metrics
+    for the single-scan plan shape."""
+    from bigdatamanagement_spark.operators.text import repetition_metrics
+
+    m = repetition_metrics(_docs(spark, sf_dir), "doc_id", "text", dup_k=3)
+    keep = (
+        (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
+        & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
+        & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
+    )
+    return m.select(
+        "doc_id", "n_tokens", "top_token_frac", "top_bigram_frac",
+        "dup_3gram_frac", keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
 QUERIES = {
+    "ext_repetition_filter": repetition_filter,
     "ext_dedup_clusters": dedup_clusters,
     "ext_dedup_cluster_survivors": dedup_cluster_survivors,
     "ext_top_tokens": top_tokens,
@@ -232,6 +264,40 @@ _CLUSTERS_CTE = f"""
 """
 
 ORACLE = {
+    "ext_repetition_filter": f"""
+        WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+        grams AS (
+          SELECT doc_id, len(ts) AS n_tokens, 1 AS k, g.gram
+          FROM tok, UNNEST(ts) AS g(gram)
+          UNION ALL
+          SELECT doc_id, len(ts), 2, ts[i] || ' ' || ts[i+1]
+          FROM tok, UNNEST(generate_series(1, len(ts)-1)) AS t(i)
+          UNION ALL
+          SELECT doc_id, len(ts), 3, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+          FROM tok, UNNEST(generate_series(1, len(ts)-2)) AS t(i)
+        ),
+        cnt AS (
+          SELECT doc_id, n_tokens, k, gram, COUNT(*) AS c
+          FROM grams GROUP BY ALL
+        ),
+        agg AS (
+          SELECT doc_id, n_tokens, k, MAX(c) AS max_c, SUM(c) AS tot,
+                 COUNT(*) AS dist
+          FROM cnt GROUP BY ALL
+        ),
+        m AS (
+          SELECT doc_id, n_tokens,
+            ROUND(MAX(CASE WHEN k=1 THEN max_c::DOUBLE/tot END), 4) AS top_token_frac,
+            ROUND(COALESCE(MAX(CASE WHEN k=2 THEN max_c::DOUBLE/tot END), 0.0), 4) AS top_bigram_frac,
+            ROUND(COALESCE(MAX(CASE WHEN k=3 THEN (tot-dist)::DOUBLE/tot END), 0.0), 4) AS dup_3gram_frac
+          FROM agg GROUP BY ALL
+        )
+        SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac, dup_3gram_frac,
+               (top_token_frac <= {REP_TOP_TOKEN_MAX}
+                AND top_bigram_frac <= {REP_TOP_BIGRAM_MAX}
+                AND dup_3gram_frac <= {REP_DUP_3GRAM_MAX}) AS keep
+        FROM m ORDER BY doc_id
+    """,
     "ext_dedup_clusters": _CLUSTERS_CTE
     + "SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id",
     "ext_dedup_cluster_survivors": _CLUSTERS_CTE

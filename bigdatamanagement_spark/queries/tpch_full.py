@@ -1,0 +1,838 @@
+"""Extended relational pack: the classic TPC-H query shapes, adapted to
+the driver testdata's slimmed schema (no partsupp table; no
+commitdate/receiptdate/shipmode/shippriority/phone/comment columns).
+
+The reference only exercises three Redshift TPC-H queries
+(Assignment 6/src/AmazonRedshift.java:465-535 — T01-T03 in
+queries/tpch.py). A "complete" relational engine needs the full
+analytic vocabulary those three omit: wide multi-aggregate scans,
+correlated EXISTS / NOT EXISTS, scalar-average subqueries, CASE-summed
+shares, left-join count distributions, view-style argmax, and
+decorrelated anti/semi joins. Each query below keeps its TPC-H
+namesake's *shape* (the operator composition Catalyst must plan) while
+substituting predicates that exist in this schema; the docstring of
+each says exactly what was adapted.
+
+Cross-engine determinism: money sums are computed as
+``SUM(CAST(x * expr AS DECIMAL(18,6)))`` in BOTH engines — the double
+product is IEEE-identical, the cast is order-independent, and decimal
+addition is exact, so aggregation order (Spark partial aggs vs DuckDB)
+cannot drift the result. Plain ``ROUND(SUM(double))`` is only safe for
+small inputs; at sf0.1 a 600k-row double sum carries ~1e-3 absolute
+error, enough to flip a ROUND(...,2) near a boundary.
+
+Scale notes (100 TB):
+- Every lineitem-side predicate (shipdate ranges, quantity bounds) is a
+  plain column comparison -> parquet row-group min/max pruning at the
+  scan; `.explain` shows PushedFilters for each.
+- part/supplier/nation/region joins broadcast (dimension tables);
+  orders<->lineitem joins shuffle on the orderkey only after both sides
+  are filtered.
+- Correlated subqueries (q17 avg-per-part, q21/q22 EXISTS) are written
+  as explicit aggregate-then-join plans, which is exactly what
+  Catalyst's RewriteCorrelatedScalarSubquery / RewritePredicateSubquery
+  would produce — stated explicitly so the shuffle keys are visible.
+- q18's HAVING runs on the pre-joined lineitem aggregate (smallest
+  possible shuffle), then joins orders/customer to the tiny survivor
+  set.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatamanagement_spark.catalog import load_testdata
+
+# Exact-money expression: double product -> decimal cast -> exact sum.
+_DEC = "decimal(18,6)"
+
+
+def _rev(price="l_extendedprice", disc="l_discount"):
+    return (F.col(price) * (F.lit(1.0) - F.col(disc))).cast(_DEC)
+
+
+def _t(spark: SparkSession, sf_dir: str, tables) -> dict[str, DataFrame]:
+    return load_testdata(spark, sf_dir, tables=tables, register=False)
+
+
+def _money(col):
+    """Exact decimal aggregate -> double for a hash-stable final column."""
+    return F.sum(col).cast("double")
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary report (verbatim shape; DELTA=90 days).
+
+    Single wide scan-aggregate: 8 aggregates over 2 group keys. At
+    scale this is the canonical map-side-partial-agg query: 6 groups
+    total, so the shuffle moves ~6 rows per task regardless of input
+    size. Averages are derived exact-sum / count (bit-stable) rather
+    than AVG(double).
+    """
+    li = _t(spark, sf_dir, ("lineitem",))["lineitem"]
+    qty = F.col("l_quantity").cast(_DEC)
+    base = F.col("l_extendedprice").cast(_DEC)
+    charge = (F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * (1.0 + F.col("l_tax"))).cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(qty).alias("sum_qty"),
+            _money(base).alias("sum_base_price"),
+            _money(_rev()).alias("sum_disc_price"),
+            _money(charge).alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(base).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(_DEC)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority (o_shippriority column absent -> o_orderdate
+    carried instead; segment BUILDING, date pivot 1998-03-15).
+
+    customer(filtered, broadcast) ⋈ orders(filtered) ⋈ lineitem(filtered),
+    then a top-10 by revenue: TakeOrderedAndProject, never a full sort.
+    """
+    t = _t(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_money(_rev()).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q04_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking. Adapted: the reference predicate
+    `l_commitdate < l_receiptdate` (columns absent) becomes "shipped
+    more than 60 days after order date" — same correlated-EXISTS shape.
+
+    EXISTS -> left_semi join on orderkey; Spark decorrelates the SQL
+    form to exactly this plan (RewritePredicateSubquery).
+    """
+    t = _t(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    # Correlated condition needs the order date: semi-join cannot carry
+    # it, so join the (already date-bounded, small) orders slice.
+    late_keys = (
+        t["lineitem"]
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late_keys, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local supplier volume, verbatim shape (region ASIA,
+    order year 1997): revenue where the customer's and the lineitem
+    supplier's nation coincide.
+
+    nation/region broadcast; the c_nationkey = s_nationkey equality is
+    enforced after both dimension joins — Catalyst turns it into a join
+    condition, not a post-filter.
+    """
+    t = _t(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nr = (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_money(_rev()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q06_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change, verbatim shape: pure
+    scan-filter-aggregate, zero joins, zero group keys. The three
+    predicates all push to the parquet scan.
+    """
+    li = _t(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.04, 0.06))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_money((F.col("l_extendedprice") * F.col("l_discount")).cast(_DEC)).alias("revenue"))
+    )
+
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nation groups ({1,2,3} x
+    {4,5,6}; groups rather than single nations so the result is
+    non-empty at sf0.001), verbatim shape: supplier-nation x
+    customer-nation pair in either direction, grouped by (supp_nation,
+    cust_nation, ship year).
+    """
+    t = _t(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation"))
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1998-12-31").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3")
+             & F.col("cust_nation").isin("NATION_4", "NATION_5", "NATION_6"))
+            | (F.col("supp_nation").isin("NATION_4", "NATION_5", "NATION_6")
+               & F.col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_money(_rev()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share, verbatim shape: NATION_3's share
+    of PROMO-part revenue delivered into AMERICA, by order year.
+    CASE-sum over a 6-table join; the share division happens after the
+    exact decimal sums.
+    """
+    t = _t(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region", "part"),
+    )
+    part = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    nr = (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    vol = (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("cust_nk"), "left_semi")
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _rev().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0).cast(_DEC))).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit. Adapted: no partsupp/ps_supplycost
+    in this schema, so profit = discounted revenue (the join tree —
+    part-name LIKE filter, supplier nation, order year — is intact).
+    """
+    t = _t(spark, sf_dir, ("orders", "lineitem", "supplier", "nation", "part"))
+    part = t["part"].filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_money(_rev()).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting, verbatim shape (minus the
+    absent phone/address/comment display columns): top-20 customers by
+    lost revenue on returned lineitems in a one-quarter order window.
+    """
+    t = _t(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money(_rev()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode/priority counting. Adapted: no
+    l_shipmode/commitdate/receiptdate, so the "late" predicate is
+    shipdate > orderdate + 90 days and the group key is ship year; the
+    high/low CASE-sum split on o_orderpriority is verbatim.
+    """
+    t = _t(spark, sf_dir, ("orders", "lineitem"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution, verbatim shape
+    (minus the absent o_comment NOT LIKE filter — replaced with an
+    o_orderstatus <> 'P' exclusion to keep the filtered-left-join
+    shape): histogram of customers by order count, including 0-order
+    customers via the left join.
+    """
+    t = _t(spark, sf_dir, ("customer", "orders"))
+    orders = t["orders"].filter(F.col("o_orderstatus") != "P")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect, verbatim shape: PROMO revenue share
+    in one ship-month, CASE-sum over the part join.
+    """
+    t = _t(spark, sf_dir, ("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast(_DEC))).cast("double")
+                / F.sum(_rev()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier, verbatim shape: quarterly revenue view
+    per supplier, then the suppliers achieving MAX(revenue). The max
+    is a broadcast 1-row aggregate joined back — the decorrelation
+    Catalyst applies to the scalar-subquery SQL form.
+    """
+    t = _t(spark, sf_dir, ("lineitem", "supplier"))
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_money(_rev()).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue, verbatim shape
+    (p_container absent -> p_size bound instead): lineitems whose
+    quantity is below 50% of their part's average quantity; the
+    correlated AVG subquery is an explicit per-part aggregate joined
+    back on partkey.
+    """
+    t = _t(spark, sf_dir, ("lineitem", "part"))
+    part = t["part"].filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)).select("p_partkey")
+    li = t["lineitem"].join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_pk")).agg(
+        (F.sum(F.col("l_quantity").cast(_DEC)).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("agg_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((_money(F.col("l_extendedprice").cast(_DEC)) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customer, verbatim shape: orders whose
+    total lineitem quantity exceeds 300, with customer detail.
+    HAVING runs on the lineitem-only aggregate first (smallest
+    shuffle); orders/customer join only the tiny survivor set.
+    """
+    t = _t(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue, verbatim shape (p_container /
+    l_shipmode absent -> p_size bands instead): disjunction of three
+    (brand, size-band, quantity-band) conjuncts evaluated inside the
+    part join condition, so Catalyst can use it for join pruning.
+    """
+    t = _t(spark, sf_dir, ("lineitem", "part"))
+    li, p = t["lineitem"], t["part"]
+    cond = (F.col("l_partkey") == F.col("p_partkey")) & (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5)) & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(20, 30)))
+    )
+    return li.join(F.broadcast(p), cond).agg(_money(_rev()).alias("revenue"))
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting. Adapted: "late" =
+    shipped > 90 days after order date (no receipt/commit dates). The
+    double-correlated EXISTS / NOT EXISTS is verbatim: count, per
+    supplier in NATION_0, the F-status orders where this supplier was
+    late, some other supplier also participated, and no other supplier
+    was late.
+
+    Plan: one orderkey-bucketed aggregate computes, per (orderkey,
+    suppkey): late flag + per-order supplier/late-supplier distinct
+    counts via window-free semi/anti joins.
+    """
+    t = _t(spark, sf_dir, ("orders", "lineitem", "supplier", "nation"))
+    orders_f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    li = (
+        t["lineitem"]
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_0").select("n_nationkey")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity. Adapted: the phone-prefix
+    country filter (column absent) becomes a nation-key subset, and
+    "no orders at all" (never true in this data) becomes "no orders
+    since 2000-01-01" — the scalar-AVG subquery + NOT EXISTS
+    anti-join shape is verbatim.
+    """
+    t = _t(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"].filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(_DEC)).cast("double") / F.count("*")).alias("ab")
+    )
+    recent = t["orders"].filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _money(F.col("c_acctbal").cast(_DEC)).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+QUERIES = {
+    "tpch_q01_pricing_summary": q01_pricing_summary,
+    "tpch_q03_shipping_priority": q03_shipping_priority,
+    "tpch_q04_order_priority_check": q04_order_priority_check,
+    "tpch_q05_local_supplier_volume": q05_local_supplier_volume,
+    "tpch_q06_revenue_forecast": q06_revenue_forecast,
+    "tpch_q07_volume_shipping": q07_volume_shipping,
+    "tpch_q08_market_share": q08_market_share,
+    "tpch_q09_product_profit": q09_product_profit,
+    "tpch_q10_returned_items": q10_returned_items,
+    "tpch_q12_late_shipments": q12_late_shipments,
+    "tpch_q13_customer_distribution": q13_customer_distribution,
+    "tpch_q14_promo_revenue": q14_promo_revenue,
+    "tpch_q15_top_supplier": q15_top_supplier,
+    "tpch_q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "tpch_q18_large_volume_customers": q18_large_volume_customers,
+    "tpch_q19_discounted_revenue": q19_discounted_revenue,
+    "tpch_q21_waiting_suppliers": q21_waiting_suppliers,
+    "tpch_q22_global_sales_opportunity": q22_global_sales_opportunity,
+}
+
+_REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
+
+ORACLE = {
+    "tpch_q01_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q03_shipping_priority": f"""
+        SELECT l.l_orderkey,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l.l_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q04_order_priority_check": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+          AND o.o_orderdate < TIMESTAMP '1997-10-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "tpch_q05_local_supplier_volume": f"""
+        SELECT n.n_name, CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name ASC
+    """,
+    "tpch_q06_revenue_forecast": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.04 AND 0.06
+          AND l_quantity < 24
+    """,
+    "tpch_q07_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE l.l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1998-12-31'
+          AND ((n1.n_name IN ('NATION_1','NATION_2','NATION_3') AND n2.n_name IN ('NATION_4','NATION_5','NATION_6'))
+            OR (n1.n_name IN ('NATION_4','NATION_5','NATION_6') AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "tpch_q08_market_share": f"""
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+                 {_REV_SQL} AS volume,
+                 n1.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          JOIN region r ON n2.n_regionkey = r.r_regionkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          WHERE p.p_type = 'PROMO'
+            AND r.r_name = 'AMERICA'
+            AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "tpch_q09_product_profit": f"""
+        SELECT n.n_name AS nation,
+               EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+    """,
+    "tpch_q10_returned_items": f"""
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+               CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-10-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        ORDER BY revenue DESC, c.c_custkey ASC
+        LIMIT 20
+    """,
+    "tpch_q12_late_shipments": """
+        SELECT EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY ship_year
+        ORDER BY ship_year
+    """,
+    "tpch_q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'P'
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q14_promo_revenue": f"""
+        SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    "tpch_q15_top_supplier": f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
+    "tpch_q17_small_quantity_revenue": """
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3' AND p_size <= 10),
+        li AS (
+          SELECT l.* FROM lineitem l WHERE l.l_partkey IN (SELECT p_partkey FROM pk)
+        ),
+        avgq AS (
+          SELECT l_partkey AS agg_pk,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM li GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM li JOIN avgq ON li.l_partkey = avgq.agg_pk
+        WHERE li.l_quantity < 0.5 * avgq.avg_qty
+    """,
+    "tpch_q18_large_volume_customers": """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               o.o_totalprice,
+               CAST(t.sum_qty AS DOUBLE) AS total_qty
+        FROM orders o
+        JOIN (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
+        ) t ON o.o_orderkey = t.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 100
+    """,
+    "tpch_q19_discounted_revenue": f"""
+        SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q21_waiting_suppliers": """
+        WITH li AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+        ),
+        per_order AS (
+          SELECT l_orderkey,
+                 COUNT(DISTINCT l_suppkey) AS n_supp,
+                 COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+          FROM li GROUP BY l_orderkey
+        )
+        SELECT s.s_name, COUNT(DISTINCT li.l_orderkey) AS numwait
+        FROM li
+        JOIN per_order p ON li.l_orderkey = p.l_orderkey
+        JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE li.late AND p.n_supp > 1 AND p.n_late_supp = 1
+          AND n.n_name = 'NATION_0'
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 100
+    """,
+    "tpch_q22_global_sales_opportunity": """
+        WITH cust AS (
+          SELECT * FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)
+        ),
+        ab AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ab
+          FROM cust WHERE c_acctbal > 0.0
+        )
+        SELECT c.c_nationkey AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        FROM cust c, ab
+        WHERE c.c_acctbal > ab.ab
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c.c_nationkey
+        ORDER BY cntrycode
+    """,
+}

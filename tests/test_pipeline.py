@@ -85,3 +85,10 @@ def test_hash_split_is_stable_under_growth(spark, sf_dir):
         for r in d.where("doc_id % 2 = 0").select("doc_id", bucket.alias("b")).collect()
     }
     assert all(full[k] == v for k, v in half.items())
+
+
+def test_repetition_filter_splits_corpus(spark, sf_dir):
+    """Thresholds must actually split the corpus (both verdicts present) —
+    an all-true keep column would trivially match any oracle."""
+    rows = P.repetition_filter(spark, sf_dir).select("keep").distinct().collect()
+    assert {r["keep"] for r in rows} == {True, False}
