@@ -254,7 +254,55 @@ def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("user_id", "valid_from")
 
 
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 analytic-frame extension — per-user running value sum and a
+    trailing 3-event moving sum (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW). One shuffle keyed by user_id serves BOTH frames (same window
+    partitioning), so adding the second aggregate is free at any scale.
+    Values are rounded per-row before summation parity matters: the
+    running sums accumulate ROUND(value,2) operands, which DuckDB
+    reproduces exactly (sums of 2-decimal values stay exactly
+    representable far beyond this data's magnitude)."""
+    ev = _events(spark, sf_dir).withColumn("v", F.round("value", 2))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_value"),
+            F.round(F.sum("v").over(w.rowsBetween(-2, 0)), 2).alias("trailing3_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+def event_gap_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 lead/lag extension — per-user inter-event gap (seconds) and
+    value delta vs previous event (gap in exact integer microseconds); first event per user yields NULLs
+    (lag default). Same single user-keyed shuffle as every other T17
+    window query."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            # Integer microseconds, not epoch-seconds: second-granularity
+            # casts round differently across engines (Spark floors,
+            # DuckDB rounds); unix_micros/epoch_us are exact integers.
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            ).alias("gap_us"),
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 QUERIES = {
+    "t17_user_running_value": user_running_value,
+    "t17_event_gap_deltas": event_gap_deltas,
     "t17_first_event_per_user_hour": first_event_per_user_hour,
     "t17_max_value_by_type_month": max_value_by_type_month,
     "t17_top10_users_by_value": top10_users_by_value,
@@ -270,6 +318,25 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t17_user_running_value": """
+        SELECT user_id, event_id,
+               ROUND(SUM(ROUND(value, 2)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+               ROUND(SUM(ROUND(value, 2)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS trailing3_value
+        FROM events
+        ORDER BY user_id, event_id
+    """,
+    "t17_event_gap_deltas": """
+        SELECT user_id, event_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+               ROUND(value - lag(value) OVER w, 2) AS value_delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ORDER BY user_id, event_id
+    """,
     "t17_session_stats": """
         WITH s AS (
             SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -94,6 +94,70 @@ def streaming_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment", "event_type")
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h window every 15min per event_type: each event lands in 4
+    overlapping windows. Emits count + exact-rounded sum (ROUND(SUM),
+    not AVG — engine-stable); oracle expands the window membership with
+    generate_series(0,3) over 15-min slots."""
+    ev = S.stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = S.run_to_memory(spark, agg, _uniq("sliding_counts"))
+    return out.select(
+        F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+def streaming_first_per_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates over (user, hour). WHICH event
+    survives per key depends on intra-batch arrival order (task race), so
+    the deterministic — and therefore oracle-checked — projection is the
+    surviving KEY SET, which equals DISTINCT (user_id, hour)."""
+    dedup = S.dedup_first_per_user_hour_stream(S.stream_events(spark, sf_dir))
+    out = S.run_to_memory(spark, dedup, _uniq("first_per_user_hour"))
+    return out.select(
+        "user_id", F.col("hour_ts").cast("timestamp_ntz").alias("hour_ts")
+    ).orderBy("user_id", "hour_ts")
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join: each purchase attributed
+    to the clicks by the same user in the preceding 30 minutes. Two
+    independent streaming sources over the same events file (Spark treats
+    a self-join of ONE streaming source conservatively; two sources keep
+    the state bookkeeping per side). The availableNow drain delivers each
+    side in a single micro-batch, so no row is ever beyond the watermark
+    and the result equals the batch interval join — oracle-checkable.
+    """
+    clicks = (
+        S.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = (
+        S.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    joined = S.stream_stream_interval_join(
+        clicks, purchases, key="user_id", max_delay="30 minutes"
+    )
+    out = S.run_to_memory(spark, joined, _uniq("click_attribution"))
+    return out.select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("delay_s"),
+        F.round("r_value", 2).alias("purchase_value"),
+    ).orderBy("click_id", "purchase_id")
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(spark, 64)
     return M.extract_features(media).orderBy("media_id")
@@ -113,6 +177,9 @@ QUERIES = {
     "ext_streaming_session_windows": streaming_session_windows,
     "ext_streaming_running_user_totals": streaming_running_user_totals,
     "ext_streaming_segment_rollup": streaming_segment_rollup,
+    "ext_streaming_click_attribution": streaming_click_attribution,
+    "ext_streaming_sliding_counts": streaming_sliding_counts,
+    "ext_streaming_first_per_user_hour": streaming_first_per_user_hour,
     "ext_multimodal_features": multimodal_features,
     "ext_multimodal_frame_sample": multimodal_frame_sample,
 }
@@ -131,6 +198,33 @@ ORACLE = {
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "ext_streaming_sliding_counts": """
+        SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 AS BIGINT))::TIMESTAMP AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events, UNNEST(generate_series(0, 3)) AS k(k)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "ext_streaming_first_per_user_hour": """
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour_ts
+        FROM events
+        ORDER BY user_id, hour_ts
+    """,
+    "ext_streaming_click_attribution": """
+        SELECT c.user_id,
+               c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               date_diff('second', c.ts, p.ts) AS delay_s,
+               ROUND(p.value, 2) AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id
     """,
     "ext_streaming_hourly_max": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -8,6 +8,7 @@ from bigdatamanagement_spark.streaming.windows import (
     run_to_parquet,
     session_window_stream,
     stream_static_enrich,
+    stream_stream_interval_join,
     sliding_avg_stream,
     stream_events,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "sliding_avg_stream",
     "session_window_stream",
     "stream_static_enrich",
+    "stream_stream_interval_join",
     "dedup_first_per_user_hour_stream",
     "run_to_memory",
     "run_to_parquet",

@@ -94,6 +94,47 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str) -> DataFram
     return events.join(F.broadcast(dim), on)
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "30 minutes",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right events matching a left
+    event on ``key`` within (left.ts <= right.ts <= left.ts + max_delay).
+
+    This is the one Structured Streaming surface with JOIN state on both
+    sides: each side buffers rows until the other side's watermark plus
+    the interval bound proves no further match can arrive, then evicts —
+    so state is bounded by (watermark + max_delay) x per-key arrival
+    rate, independent of stream length. Both watermarks are REQUIRED for
+    eviction; without them an inner join still runs but buffers forever.
+    The time-range predicate must live in the join condition (not a
+    post-filter) for Spark to derive the state-cleanup bound.
+
+    Columns come out prefixed l_/r_ (ts and the key stay unprefixed from
+    the left) to keep the self-join unambiguous.
+    """
+    l = left.withWatermark("ts", left_watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c not in (key, "ts")],
+    )
+    r = right.withWatermark("ts", right_watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c not in (key, "ts")],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str) -> DataFrame:
     """Drain a (watermarked, append/complete-able) stream into an
     in-memory table with an availableNow trigger; returns the result as a

@@ -92,3 +92,27 @@ def test_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == n_source
     assert again.select("event_id").distinct().count() == n_source
+
+
+def test_stream_stream_attribution_matches_batch(spark, duck, sf_dir):
+    """Stream-stream watermarked interval join ≡ batch interval join when
+    drained availableNow (single micro-batch per side → nothing is ever
+    late relative to the watermark)."""
+    from bigdatamanagement_spark.queries.streaming_pack import (
+        ORACLE,
+        streaming_click_attribution,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    df = streaming_click_attribution(spark, sf_dir)
+    assert_matches_oracle(df, duck, ORACLE["ext_streaming_click_attribution"])
+
+
+def test_streaming_pack_oracles(spark, duck, sf_dir):
+    """Every oracle-declared streaming entry matches DuckDB (availableNow
+    drain ≡ batch)."""
+    from bigdatamanagement_spark.queries import streaming_pack as SP
+    from tests.conftest import assert_matches_oracle
+
+    for name in ("ext_streaming_sliding_counts", "ext_streaming_first_per_user_hour"):
+        assert_matches_oracle(SP.QUERIES[name](spark, sf_dir), duck, SP.ORACLE[name])
