@@ -214,7 +214,60 @@ def repetition_filter(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- end-to-end curation funnel -------------------------------------------
+
+QUALITY_MIN = 0.40  # median quality ≈ 0.45 on this corpus → drops ~1/3
+
+
+def curation_funnel(spark, sf_dir) -> DataFrame:
+    """The composed corpus-curation pipeline in one DataFrame plan:
+    quality scoring → repetition filtering → near-dup clustering, with a
+    per-(source, verdict) funnel report. Each document gets its FIRST
+    failing stage (fixed precedence quality → repetitive →
+    near_duplicate) so the funnel counts are deterministic and the
+    stages' contributions are disjoint.
+
+    Scale shape: three doc-keyed intermediates (quality projection,
+    repetition aggregate, cluster labels) joined on doc_id — all three
+    shuffles share the join key, and the MinHash pair graph is the same
+    memoized intermediate the clustering queries use (one LSH pass per
+    corpus per session, the multi-consumer pipeline-stage pattern)."""
+    from bigdatamanagement_spark.operators.text import quality_score, repetition_metrics
+
+    docs = _docs(spark, sf_dir)
+    pairs = _neardup_pairs(spark, sf_dir)
+    clusters = C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b").select(
+        "doc_id", "cluster_rep"
+    )
+    rep_keep = (
+        (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
+        & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
+        & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
+    )
+    rep = repetition_metrics(docs, "doc_id", "text", dup_k=3).select(
+        "doc_id", rep_keep.alias("rep_keep")
+    )
+    base = docs.select(
+        "doc_id", "source", "n_chars", quality_score(F.col("text")).alias("quality")
+    )
+    verdict = (
+        F.when(F.col("quality") < QUALITY_MIN, "low_quality")
+        .when(~F.col("rep_keep"), "repetitive")
+        .when(F.col("doc_id") != F.col("cluster_rep"), "near_duplicate")
+        .otherwise("kept")
+    )
+    return (
+        base.join(rep, "doc_id")
+        .join(clusters, "doc_id")
+        .select("source", "n_chars", verdict.alias("verdict"))
+        .groupBy("source", "verdict")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source", "verdict")
+    )
+
+
 QUERIES = {
+    "ext_curation_funnel": curation_funnel,
     "ext_repetition_filter": repetition_filter,
     "ext_dedup_clusters": dedup_clusters,
     "ext_dedup_cluster_survivors": dedup_cluster_survivors,
@@ -263,40 +316,83 @@ _CLUSTERS_CTE = f"""
     )
 """
 
-ORACLE = {
-    "ext_repetition_filter": f"""
-        WITH tok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
-        grams AS (
+# Repetition-metric CTE chain (names r-prefixed so it composes with
+# _CLUSTERS_CTE in the funnel oracle without collisions).
+_REP_CTE = f"""
+        rtok AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+        rgrams AS (
           SELECT doc_id, len(ts) AS n_tokens, 1 AS k, g.gram
-          FROM tok, UNNEST(ts) AS g(gram)
+          FROM rtok, UNNEST(ts) AS g(gram)
           UNION ALL
           SELECT doc_id, len(ts), 2, ts[i] || ' ' || ts[i+1]
-          FROM tok, UNNEST(generate_series(1, len(ts)-1)) AS t(i)
+          FROM rtok, UNNEST(generate_series(1, len(ts)-1)) AS t(i)
           UNION ALL
           SELECT doc_id, len(ts), 3, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-          FROM tok, UNNEST(generate_series(1, len(ts)-2)) AS t(i)
+          FROM rtok, UNNEST(generate_series(1, len(ts)-2)) AS t(i)
         ),
-        cnt AS (
+        rcnt AS (
           SELECT doc_id, n_tokens, k, gram, COUNT(*) AS c
-          FROM grams GROUP BY ALL
+          FROM rgrams GROUP BY ALL
         ),
-        agg AS (
+        ragg AS (
           SELECT doc_id, n_tokens, k, MAX(c) AS max_c, SUM(c) AS tot,
                  COUNT(*) AS dist
-          FROM cnt GROUP BY ALL
+          FROM rcnt GROUP BY ALL
         ),
-        m AS (
+        rmetrics AS (
           SELECT doc_id, n_tokens,
             ROUND(MAX(CASE WHEN k=1 THEN max_c::DOUBLE/tot END), 4) AS top_token_frac,
             ROUND(COALESCE(MAX(CASE WHEN k=2 THEN max_c::DOUBLE/tot END), 0.0), 4) AS top_bigram_frac,
             ROUND(COALESCE(MAX(CASE WHEN k=3 THEN (tot-dist)::DOUBLE/tot END), 0.0), 4) AS dup_3gram_frac
-          FROM agg GROUP BY ALL
+          FROM ragg GROUP BY ALL
+        ),
+        rkeep AS (
+          SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac, dup_3gram_frac,
+                 (top_token_frac <= {REP_TOP_TOKEN_MAX}
+                  AND top_bigram_frac <= {REP_TOP_BIGRAM_MAX}
+                  AND dup_3gram_frac <= {REP_DUP_3GRAM_MAX}) AS keep
+          FROM rmetrics
         )
-        SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac, dup_3gram_frac,
-               (top_token_frac <= {REP_TOP_TOKEN_MAX}
-                AND top_bigram_frac <= {REP_TOP_BIGRAM_MAX}
-                AND dup_3gram_frac <= {REP_DUP_3GRAM_MAX}) AS keep
-        FROM m ORDER BY doc_id
+"""
+
+_QUALITY_CTE = f"""
+        qdocs AS (
+          SELECT doc_id, source, n_chars,
+                 ROUND(0.4 * least(len(toks) / 100.0, 1.0)
+                     + 0.4 * (len(list_filter(toks, t -> list_contains(
+                           ['the','a','and','of','to','in','is','on','for','with'], t))) * 1.0
+                         / greatest(len(toks), 1))
+                     + 0.2 * (1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0
+                         / greatest(length(text), 1)), 4) AS quality
+          FROM (SELECT doc_id, source, n_chars, text, {_TOKS} AS toks FROM documents)
+        )
+"""
+
+ORACLE = {
+    "ext_curation_funnel": _CLUSTERS_CTE
+    + ", "
+    + _REP_CTE
+    + ", "
+    + _QUALITY_CTE
+    + f"""
+        SELECT q.source,
+               CASE WHEN q.quality < {QUALITY_MIN} THEN 'low_quality'
+                    WHEN NOT r.keep THEN 'repetitive'
+                    WHEN c.doc_id <> c.cluster_rep THEN 'near_duplicate'
+                    ELSE 'kept' END AS verdict,
+               COUNT(*) AS n_docs, SUM(q.n_chars) AS total_chars
+        FROM qdocs q
+        JOIN rkeep r ON q.doc_id = r.doc_id
+        JOIN clusters c ON q.doc_id = c.doc_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "ext_repetition_filter": "WITH "
+    + _REP_CTE
+    + """
+        SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac,
+               dup_3gram_frac, keep
+        FROM rkeep ORDER BY doc_id
     """,
     "ext_dedup_clusters": _CLUSTERS_CTE
     + "SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id",

@@ -92,3 +92,12 @@ def test_repetition_filter_splits_corpus(spark, sf_dir):
     an all-true keep column would trivially match any oracle."""
     rows = P.repetition_filter(spark, sf_dir).select("keep").distinct().collect()
     assert {r["keep"] for r in rows} == {True, False}
+
+
+def test_curation_funnel_has_all_verdicts(spark, sf_dir):
+    """The funnel must exercise every stage: all four verdicts appear
+    (otherwise a stage's predicate is vacuous on this corpus and the
+    oracle match proves nothing about it)."""
+    rows = P.curation_funnel(spark, sf_dir).collect()
+    verdicts = {r["verdict"] for r in rows}
+    assert verdicts == {"kept", "low_quality", "repetitive", "near_duplicate"}
