@@ -20,11 +20,16 @@ def write_documents(
     fmt: str = "parquet",
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    **options: str,
 ) -> None:
     """Bulk document sink (insertMany analog). ``partition_by`` gives the
     layout used for partition pruning on read (the engine's substitute
-    for row-key range scans, SURVEY §4)."""
+    for row-key range scans, SURVEY §4). ``fmt`` is any built-in source
+    (parquet/orc/json/csv/text); extra ``options`` pass through to the
+    writer (e.g. header=True for csv)."""
     writer = df.write.mode(mode).format(fmt)
+    if options:
+        writer = writer.options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)

@@ -2,6 +2,7 @@
 coverage (S-07/S-09/S-11/S-12, F-16, N-05)."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from bigdatamanagement_spark.engine import Engine
 from bigdatamanagement_spark.queries import tpch
@@ -79,3 +80,29 @@ def test_write_compacted_sizes_files(spark, sf_dir, tmp_path):
     assert len(files) == n
     assert 1 <= n < 32  # compacted well below the 32 shuffle partitions
     assert read_back(spark, out).count() == df.count()
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_sink_format_round_trips(spark, sf_dir, tmp_path, fmt):
+    """write_documents/read_back across every built-in columnar/text
+    format. CSV/JSON are schema-lossy (stringly typed / no NTZ), so the
+    comparison re-applies the source schema on read."""
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .limit(200)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    out = str(tmp_path / f"orders_{fmt}")
+    if fmt == "csv":
+        write_documents(df, out, fmt=fmt, header=True)
+    else:
+        write_documents(df, out, fmt=fmt)
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True).schema(df.schema)
+    elif fmt == "json":
+        reader = reader.schema(df.schema)
+    back = reader.load(out)
+    want = sorted(map(tuple, df.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
