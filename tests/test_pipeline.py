@@ -101,3 +101,53 @@ def test_curation_funnel_has_all_verdicts(spark, sf_dir):
     rows = P.curation_funnel(spark, sf_dir).collect()
     verdicts = {r["verdict"] for r in rows}
     assert verdicts == {"kept", "low_quality", "repetitive", "near_duplicate"}
+
+
+# --- repetition metrics property test -------------------------------------
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_repetition(tokens, dup_k=3):
+    """Pure-Python reference for repetition_metrics on one doc."""
+    def grams(k):
+        return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+    def top_frac(g):
+        return round(Counter(g).most_common(1)[0][1] / len(g), 4) if g else 0.0
+
+    kg = grams(dup_k)
+    dup = round((len(kg) - len(set(kg))) / len(kg), 4) if kg else 0.0
+    return (len(tokens), top_frac(grams(1)), top_frac(grams(2)), dup)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab", "x1"]), min_size=1, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_metrics_property(spark, docs):
+    """repetition_metrics ≡ pure-Python Counter reference on random token
+    lists (small alphabet forces repeated tokens/grams)."""
+    from bigdatamanagement_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["top_token_frac"],
+            r["top_bigram_frac"],
+            r["dup_3gram_frac"],
+        )
+        for r in repetition_metrics(df, "doc_id", "text").collect()
+    }
+    want = {i: _py_repetition(toks) for i, toks in enumerate(docs)}
+    assert got == want
