@@ -5,6 +5,7 @@ from bigdatamanagement_spark.streaming.windows import (
     dedup_first_per_user_hour_stream,
     hourly_max_stream,
     run_to_memory,
+    run_merge_materialized_view,
     run_to_parquet,
     session_window_stream,
     stream_static_enrich,
@@ -23,4 +24,5 @@ __all__ = [
     "dedup_first_per_user_hour_stream",
     "run_to_memory",
     "run_to_parquet",
+    "run_merge_materialized_view",
 ]

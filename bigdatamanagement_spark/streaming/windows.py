@@ -174,3 +174,50 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def run_merge_materialized_view(
+    spark: SparkSession,
+    stream_agg: DataFrame,
+    keys: list[str],
+    path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming materialized view: drain a watermarked streaming
+    aggregate through foreachBatch, MERGE-upserting each micro-batch's
+    (possibly re-emitted) group rows into a parquet snapshot.
+
+    This is the continuous-aggregate maintenance pattern (the streaming
+    twin of operators/downsample.rollup_cascade): update mode re-emits a
+    group whenever new data lands in it, and the foreachBatch MERGE
+    (operators/merge.merge_upsert: one left-anti join keyed by the group
+    key) replaces the stale snapshot row. Exactly-once comes from the
+    checkpoint WAL: a replayed micro-batch re-merges the same rows
+    idempotently (upsert of identical keys+values is a no-op on the
+    final state).
+
+    At 100 TB: partition the snapshot by a key-aligned column (e.g. the
+    window date) and swap the full-snapshot rewrite for dynamic
+    partition overwrite so each micro-batch rewrites only the partitions
+    its keys touch; the MERGE join broadcasts the micro-batch side
+    (bounded by watermark + arrival rate), never the snapshot side.
+    """
+    from bigdatamanagement_spark.operators.merge import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)  # detach from the stream plan
+        try:
+            base = spark.read.parquet(path)
+            merged = merge_upsert(base, batch_df, keys)
+        except Exception:  # first batch: snapshot doesn't exist yet
+            merged = batch_df
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    q = (
+        stream_agg.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

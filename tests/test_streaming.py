@@ -116,3 +116,57 @@ def test_streaming_pack_oracles(spark, duck, sf_dir):
 
     for name in ("ext_streaming_sliding_counts", "ext_streaming_first_per_user_hour"):
         assert_matches_oracle(SP.QUERIES[name](spark, sf_dir), duck, SP.ORACLE[name])
+
+
+def test_merge_materialized_view_replaces_stale_rows(spark, sf_dir, tmp_path):
+    """foreachBatch MERGE view: pre-seed the snapshot with stale (zeroed)
+    rows for some keys, drain the streaming hourly aggregate into it, and
+    the final snapshot must equal the batch aggregate — stale rows
+    replaced, new keys inserted."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.catalog import load_testdata
+
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)["events"]
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp").alias("hour_ts"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    want = sorted(map(tuple, batch.collect()))
+
+    path = str(tmp_path / "mv")
+    stale = batch.filter(F.col("event_type") == "click").withColumn(
+        "n", F.lit(0).cast("long")
+    ).withColumn("total", F.lit(0.0))
+    stale.write.parquet(path)
+
+    stream_agg = (
+        S.stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp").alias("hour_ts"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    S.run_merge_materialized_view(
+        spark, stream_agg, ["hour_ts", "event_type"], path, str(tmp_path / "ckpt")
+    )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert got == want
+
+
+def test_merge_materialized_view_bootstrap(spark, sf_dir, tmp_path):
+    """First drain with no pre-existing snapshot just writes the aggregate."""
+    import pyspark.sql.functions as F
+
+    stream_agg = (
+        S.stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    path = str(tmp_path / "mv2")
+    S.run_merge_materialized_view(spark, stream_agg, ["event_type"], path, str(tmp_path / "c2"))
+    assert spark.read.parquet(path).count() == 5
