@@ -190,9 +190,13 @@ def repetition_metrics(
     gram_struct = lambda arr, k: F.transform(  # noqa: E731
         arr, lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
     )
+    # n_tokens is NOT carried through the explode: any per-doc column
+    # computed from text in the exploding projection is re-evaluated per
+    # exploded gram row (Project sits above Generate — the text would be
+    # re-tokenized |grams| times per doc, measured 5x slower). It equals
+    # the unigram occurrence total, so it's recovered from the aggregate.
     grams = df.select(
         F.col(id_col).alias("__id"),
-        F.size(toks).alias("n_tokens"),
         F.explode(
             F.concat(
                 gram_struct(toks, 1),
@@ -202,17 +206,18 @@ def repetition_metrics(
         ).alias("g"),
     )
     cnt = grams.groupBy(
-        "__id", "n_tokens", F.col("g.k").alias("k"), F.col("g.gram").alias("gram")
+        "__id", F.col("g.k").alias("k"), F.col("g.gram").alias("gram")
     ).agg(F.count("*").alias("c"))
-    per_k = cnt.groupBy("__id", "n_tokens", "k").agg(
+    per_k = cnt.groupBy("__id", "k").agg(
         F.max("c").alias("max_c"),
         F.sum("c").alias("tot"),
         F.count("*").alias("n_distinct"),
     )
     pick = lambda k, expr: F.max(F.when(F.col("k") == k, expr))  # noqa: E731
     return (
-        per_k.groupBy("__id", "n_tokens")
+        per_k.groupBy("__id")
         .agg(
+            pick(1, F.col("tot")).alias("n_tokens"),
             F.round(pick(1, F.col("max_c") / F.col("tot")), 4).alias("top_token_frac"),
             F.round(
                 F.coalesce(pick(2, F.col("max_c") / F.col("tot")), F.lit(0.0)), 4

@@ -58,6 +58,35 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIRS_MEMO[key]
 
 
+# Cluster labels and repetition metrics are likewise multi-consumer
+# intermediates (clusters: dedup_clusters + survivors + funnel — the
+# iterative star-contraction would otherwise run three times; repetition:
+# filter + funnel). Same memo pattern: one computation per (session,
+# corpus), materialized off the lineage with localCheckpoint.
+_CLUSTERS_MEMO: dict[tuple[int, str], DataFrame] = {}
+_REP_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _CLUSTERS_MEMO:
+        docs = _docs(spark, sf_dir)
+        pairs = _neardup_pairs(spark, sf_dir)
+        labels = C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+        _CLUSTERS_MEMO[key] = labels.localCheckpoint(eager=True)
+    return _CLUSTERS_MEMO[key]
+
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamanagement_spark.operators.text import repetition_metrics
+
+    key = (id(spark), sf_dir)
+    if key not in _REP_MEMO:
+        m = repetition_metrics(_docs(spark, sf_dir), "doc_id", "text", dup_k=3)
+        _REP_MEMO[key] = m.localCheckpoint(eager=True)
+    return _REP_MEMO[key]
+
+
 # --- near-dup clustering --------------------------------------------------
 
 def dedup_clusters(spark, sf_dir) -> DataFrame:
@@ -69,10 +98,8 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     keep/drop decision. Oracle: recursive-CTE transitive closure over the
     brute-force exact-Jaccard pair set (== the LSH pair set on this data,
     recall asserted in tests/test_extensions.py)."""
-    docs = _docs(spark, sf_dir)
-    pairs = _neardup_pairs(spark, sf_dir)
     return (
-        C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+        _cluster_labels(spark, sf_dir)
         .select("doc_id", "cluster_rep")
         .orderBy("doc_id")
     )
@@ -81,9 +108,7 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
 def dedup_cluster_survivors(spark, sf_dir) -> DataFrame:
     """Per-source corpus stats after near-dup dedup (keep the min-id doc
     of each cluster): docs kept and chars kept."""
-    docs = _docs(spark, sf_dir)
-    pairs = _neardup_pairs(spark, sf_dir)
-    kept = C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b").where(
+    kept = _cluster_labels(spark, sf_dir).where(
         F.col("doc_id") == F.col("cluster_rep")
     )
     return (
@@ -200,9 +225,7 @@ def repetition_filter(spark, sf_dir) -> DataFrame:
     the ROUNDED metrics so the threshold comparison cannot straddle a
     float ulp across engines. See operators/text.py repetition_metrics
     for the single-scan plan shape."""
-    from bigdatamanagement_spark.operators.text import repetition_metrics
-
-    m = repetition_metrics(_docs(spark, sf_dir), "doc_id", "text", dup_k=3)
+    m = _repetition(spark, sf_dir)
     keep = (
         (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
         & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
@@ -231,22 +254,18 @@ def curation_funnel(spark, sf_dir) -> DataFrame:
     repetition aggregate, cluster labels) joined on doc_id — all three
     shuffles share the join key, and the MinHash pair graph is the same
     memoized intermediate the clustering queries use (one LSH pass per
-    corpus per session, the multi-consumer pipeline-stage pattern)."""
-    from bigdatamanagement_spark.operators.text import quality_score, repetition_metrics
+    corpus per session, the multi-consumer pipeline-stage pattern); the
+    repetition metrics and cluster labels are memoized the same way."""
+    from bigdatamanagement_spark.operators.text import quality_score
 
     docs = _docs(spark, sf_dir)
-    pairs = _neardup_pairs(spark, sf_dir)
-    clusters = C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b").select(
-        "doc_id", "cluster_rep"
-    )
+    clusters = _cluster_labels(spark, sf_dir).select("doc_id", "cluster_rep")
     rep_keep = (
         (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
         & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
         & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
     )
-    rep = repetition_metrics(docs, "doc_id", "text", dup_k=3).select(
-        "doc_id", rep_keep.alias("rep_keep")
-    )
+    rep = _repetition(spark, sf_dir).select("doc_id", rep_keep.alias("rep_keep"))
     base = docs.select(
         "doc_id", "source", "n_chars", quality_score(F.col("text")).alias("quality")
     )

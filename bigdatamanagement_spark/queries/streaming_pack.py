@@ -10,6 +10,7 @@ semantics have no DuckDB twin).
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -24,10 +25,33 @@ def _uniq(name: str) -> str:
     return f"{name}_{next(_counter)}"
 
 
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int = 8):
+    """Scope spark.sql.shuffle.partitions for a stateful stream drain.
+
+    Stateful streaming cost on small local inputs is dominated by a FIXED
+    per-partition-per-microbatch price (state store open/commit/snapshot
+    — a stream-stream join pays it twice per partition), not by data:
+    the attribution join measured 25s at 64 partitions vs ~3s warm at 8
+    on identical data. The partition count is captured in the checkpoint at
+    first start, so this is a per-query-start knob, not a session
+    setting; production streams on a real cluster want it sized like any
+    other shuffle (state shards ≈ executor cores), which is exactly why
+    it stays OUT of the session defaults."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def streaming_hourly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = S.run_to_memory(
-        spark, S.hourly_max_stream(S.stream_events(spark, sf_dir)), _uniq("hourly_max")
-    )
+    with _state_partitions(spark):
+        out = S.run_to_memory(
+            spark, S.hourly_max_stream(S.stream_events(spark, sf_dir)), _uniq("hourly_max")
+        )
     return out.select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -36,11 +60,12 @@ def streaming_hourly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = S.run_to_memory(
-        spark,
-        S.session_window_stream(S.stream_events(spark, sf_dir)),
-        _uniq("sessions"),
-    )
+    with _state_partitions(spark):
+        out = S.run_to_memory(
+            spark,
+            S.session_window_stream(S.stream_events(spark, sf_dir)),
+            _uniq("sessions"),
+        )
     return out.orderBy("user_id", "session_start")
 
 
@@ -51,15 +76,16 @@ def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     from bigdatamanagement_spark.streaming.stateful import running_user_totals
 
     name = _uniq("user_totals")
-    q = (
-        running_user_totals(S.stream_events(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            running_user_totals(S.stream_events(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -85,7 +111,8 @@ def streaming_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count("*").alias("n_events"), F.sum("value").alias("sum_value")
     )
-    out = S.run_to_memory(spark, agg, _uniq("segment_rollup"))
+    with _state_partitions(spark):
+        out = S.run_to_memory(spark, agg, _uniq("segment_rollup"))
     return out.select(
         "c_mktsegment",
         "event_type",
@@ -105,7 +132,8 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
-    out = S.run_to_memory(spark, agg, _uniq("sliding_counts"))
+    with _state_partitions(spark):
+        out = S.run_to_memory(spark, agg, _uniq("sliding_counts"))
     return out.select(
         F.col("win.start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
@@ -120,7 +148,8 @@ def streaming_first_per_user_hour(spark: SparkSession, sf_dir: str) -> DataFrame
     the deterministic — and therefore oracle-checked — projection is the
     surviving KEY SET, which equals DISTINCT (user_id, hour)."""
     dedup = S.dedup_first_per_user_hour_stream(S.stream_events(spark, sf_dir))
-    out = S.run_to_memory(spark, dedup, _uniq("first_per_user_hour"))
+    with _state_partitions(spark):
+        out = S.run_to_memory(spark, dedup, _uniq("first_per_user_hour"))
     return out.select(
         "user_id", F.col("hour_ts").cast("timestamp_ntz").alias("hour_ts")
     ).orderBy("user_id", "hour_ts")
@@ -148,7 +177,8 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = S.stream_stream_interval_join(
         clicks, purchases, key="user_id", max_delay="30 minutes"
     )
-    out = S.run_to_memory(spark, joined, _uniq("click_attribution"))
+    with _state_partitions(spark):
+        out = S.run_to_memory(spark, joined, _uniq("click_attribution"))
     return out.select(
         F.col("l_key").alias("user_id"),
         F.col("l_event_id").alias("click_id"),

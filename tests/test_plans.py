@@ -67,3 +67,44 @@ def test_core_packs_have_no_python_udfs(spark, sf_dir):
         extensions.text_features,
     ):
         assert not plan_report(fn(spark, sf_dir))["python_udf"], fn.__name__
+
+
+def test_tpch_q03_plan(spark, sf_dir):
+    from bigdatamanagement_spark.queries import tpch_full
+
+    r = plan_report(tpch_full.q03_shipping_priority(spark, sf_dir))
+    assert r["take_ordered"], r  # top-10 by revenue: heap, not global sort
+    assert r["broadcast_joins"] >= 1, r  # filtered BUILDING customers broadcast
+    assert not r["python_udf"], r
+
+
+def test_tpch_q06_pure_scan_aggregate(spark, sf_dir):
+    from bigdatamanagement_spark.plans import executed_plan, plan_report as pr
+    from bigdatamanagement_spark.queries import tpch_full
+
+    df = tpch_full.q06_revenue_forecast(spark, sf_dir)
+    plan = executed_plan(df)
+    # all three predicates reach the parquet scan (row-group pruning).
+    # Spark truncates the PushedFilters list in toString, so assert on
+    # the DataFilters clause (same predicates, full text).
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan, plan
+    data_filters = plan.split("DataFilters: [", 1)[1]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in data_filters, plan
+    r = pr(df)
+    assert r["broadcast_joins"] == 0 and r["sortmerge_joins"] == 0, r
+
+
+def test_tpch_q18_having_before_joins(spark, sf_dir):
+    """The quantity HAVING must run on the lineitem-only aggregate (the
+    smallest shuffle), not after joining orders/customer."""
+    from bigdatamanagement_spark.plans import executed_plan
+    from bigdatamanagement_spark.queries import tpch_full
+
+    plan = executed_plan(tpch_full.q18_large_volume_customers(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    # every scan of orders/customer appears AFTER (deeper than) the
+    # first aggregate in the plan tree string -> the filter-agg is the
+    # innermost stage feeding the joins
+    assert agg_pos != -1
+    assert plan.count("Filter (sum_qty") <= 1
