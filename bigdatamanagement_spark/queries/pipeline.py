@@ -285,7 +285,53 @@ def curation_funnel(spark, sf_dir) -> DataFrame:
     )
 
 
+# --- multi-signal dedup ---------------------------------------------------
+
+NEARDUP_COS = 0.4  # same threshold as the extensions pack's embedding pairs
+
+
+def multi_signal_dedup_pairs(spark, sf_dir) -> DataFrame:
+    """Near-dup pairs from BOTH signals on the doc-aligned id range:
+    lexical (MinHash J ≥ 0.8, memoized pair graph) and embedding cosine
+    (≥ 0.4, triangle-blocked matmul), full-outer merged with a method
+    column (lexical / embedding / both). This is the production dedup
+    shape: surface-form near-dups (boilerplate, templating) and semantic
+    near-dups (paraphrase) are different populations, and the method
+    column is what a curation pipeline keys its drop policy on.
+
+    Scale: both pair sets are doc-keyed and sparse; the merge is a
+    full-outer sort-merge on the pair key — negligible next to either
+    pair finder."""
+    from bigdatamanagement_spark.operators import similarity as SIM
+
+    lex = _neardup_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(True).alias("lex")
+    )
+    doc_ids = _docs(spark, sf_dir).select("doc_id")
+    e = _embs(spark, sf_dir).join(
+        doc_ids, F.col("vec_id") == F.col("doc_id"), "left_semi"
+    )
+    emb = SIM.blocked_neardup_pairs(e, "vec_id", "embedding", NEARDUP_COS).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(True).alias("emb")
+    )
+    method = (
+        F.when(F.col("lex") & F.col("emb"), "both")
+        .when(F.col("lex"), "lexical")
+        .otherwise("embedding")
+    )
+    return (
+        lex.join(emb, ["a", "b"], "full_outer")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            method.alias("method"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 QUERIES = {
+    "ext_multi_signal_dedup": multi_signal_dedup_pairs,
     "ext_curation_funnel": curation_funnel,
     "ext_repetition_filter": repetition_filter,
     "ext_dedup_clusters": dedup_clusters,
@@ -388,6 +434,34 @@ _QUALITY_CTE = f"""
 """
 
 ORACLE = {
+    "ext_multi_signal_dedup": f"""
+        WITH lt AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        lex AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM lt a JOIN lt b ON a.doc_id < b.doc_id
+          WHERE ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6)
+                >= {JACCARD_T}
+        ),
+        e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id IN (SELECT doc_id FROM documents)
+        ),
+        emb AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {NEARDUP_COS}
+        )
+        SELECT COALESCE(l.a, m.a) AS doc_a, COALESCE(l.b, m.b) AS doc_b,
+               CASE WHEN l.a IS NOT NULL AND m.a IS NOT NULL THEN 'both'
+                    WHEN l.a IS NOT NULL THEN 'lexical'
+                    ELSE 'embedding' END AS method
+        FROM lex l FULL OUTER JOIN emb m ON l.a = m.a AND l.b = m.b
+        ORDER BY doc_a, doc_b
+    """,
     "ext_curation_funnel": _CLUSTERS_CTE
     + ", "
     + _REP_CTE

@@ -72,3 +72,23 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning — the engine analog of the
+    Bigtable row-key PREFIX (station in the (station, date, hour) key):
+    a predicate on a partition column prunes whole directories at
+    PLANNING time (`PartitionFilters` in the scan, zero I/O for pruned
+    values), one level above the footer/row-group stats Z-ordering
+    serves.
+
+    At 100 TB: partition by low-cardinality, always-filtered columns
+    (date, tenant, event_type); never by high-cardinality keys (one
+    directory per value — the small-files failure mode). Combine with
+    zorder_write for the within-partition dimensions."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -129,3 +129,23 @@ def test_zorder_files_are_narrow_in_both_dims(spark, sf_dir, tmp_path):
     assert l_user > 0.9
     # ...while the Z-order layout is narrow in both dimensions.
     assert z_user < 0.6 and z_ts < 0.6, (z_user, z_ts)
+
+
+def test_hive_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A predicate on the partition column must appear as a
+    PartitionFilters entry (planning-time directory pruning) and the
+    pruned scan must read fewer files than the full table."""
+    from bigdatamanagement_spark.sources.layout import write_hive_partitioned
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "events_by_type")
+    write_hive_partitioned(ev, out, ["event_type"])
+
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+    assert "(event_type" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0], plan
+
+    # value parity with the unpartitioned filter
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert pruned.count() == want
