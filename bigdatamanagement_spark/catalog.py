@@ -33,6 +33,13 @@ TESTDATA_TABLES = (
 )
 
 
+# DataFrame handles are lazy plans; memoizing them per (session, path)
+# reuses the resolved relation (file listing + footer schema read happen
+# once per table per session instead of once per query). Purely a
+# planning-time saving — execution still scans fresh data each action.
+_DF_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_testdata(
     spark: SparkSession,
     sf_dir: str,
@@ -47,9 +54,13 @@ def load_testdata(
     dfs: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
-            continue
-        df = spark.read.parquet(path)
+        key = (id(spark), path)
+        df = _DF_MEMO.get(key)
+        if df is None:
+            if not os.path.exists(path):
+                continue
+            df = spark.read.parquet(path)
+            _DF_MEMO[key] = df
         dfs[name] = df
         if register:
             df.createOrReplaceTempView(name)

@@ -254,6 +254,27 @@ def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.orderBy("user_id", "valid_from")
 
 
+def approx_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 sketch extension — approx_percentile (Greenwald-Khanna sketch,
+    single-pass, mergeable) p50/p90/p99 per event_type: the 100 TB
+    replacement for the exact interpolated quantiles of
+    t17_value_quantiles_by_type (which needs a per-group sort). Driver
+    check is rows-only (sketches have no DuckDB twin); the accuracy
+    bound vs the exact quantiles is pinned in
+    tests/test_events.py::test_approx_quantiles_close_to_exact."""
+    ev = _events(spark, sf_dir)
+    acc = 10_000  # 1/acc relative rank error
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile_approx("value", F.lit(0.5), F.lit(acc)), 4).alias("p50"),
+            F.round(F.percentile_approx("value", F.lit(0.9), F.lit(acc)), 4).alias("p90"),
+            F.round(F.percentile_approx("value", F.lit(0.99), F.lit(acc)), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T17 analytic-frame extension — per-user running value sum and a
     trailing 3-event moving sum (ROWS BETWEEN 2 PRECEDING AND CURRENT
@@ -301,6 +322,7 @@ def event_gap_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "t17_approx_value_quantiles_by_type": approx_value_quantiles_by_type,
     "t17_user_running_value": user_running_value,
     "t17_event_gap_deltas": event_gap_deltas,
     "t17_first_event_per_user_hour": first_event_per_user_hour,

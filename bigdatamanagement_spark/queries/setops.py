@@ -59,7 +59,26 @@ def orders_cube(spark, sf_dir) -> DataFrame:
     )
 
 
+def orders_grouping_sets(spark, sf_dir) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()) — the general
+    form ROLLUP/CUBE special-case, expressed through spark.sql (the
+    DataFrame API has no grouping-sets builder; SQL is the engine's
+    co-equal entry surface). One Expand + one aggregate — NOT a union of
+    three scans."""
+    load_testdata(spark, sf_dir, tables=("orders",))  # registers the view
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
 QUERIES = {
+    "agg_orders_grouping_sets": orders_grouping_sets,
     "setop_rock_not_ed": rock_not_ed,
     "setop_taylor_and_pop": taylor_and_pop,
     "agg_orders_rollup": orders_rollup,
@@ -67,6 +86,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "agg_orders_grouping_sets": """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """,
     "setop_rock_not_ed": _MUSIC_V
     + """
     SELECT title, artist FROM songs WHERE genre = 'Rock'

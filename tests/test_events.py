@@ -1,5 +1,6 @@
 """Golden oracle tests for the events time-series pack (T17)."""
 
+import pyspark.sql.functions as F
 import pytest
 
 from bigdatamanagement_spark.queries import events
@@ -69,3 +70,39 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[k] - exact[k]) <= max(1, 0.06 * exact[k]), (
             k, approx[k], exact[k],
         )
+
+
+def test_approx_quantiles_rank_guarantee(spark, sf_dir):
+    """percentile_approx's actual contract is a RANK bound, not a value
+    bound (the returned order statistic can be far from the interpolated
+    exact value in a sparse tail): at accuracy=10000 the returned value's
+    rank must be within ~1/10000 (+ one discrete step) of the target.
+    Verify by recomputing each returned value's empirical CDF position."""
+    from bigdatamanagement_spark.catalog import load_testdata
+
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)["events"]
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in events.QUERIES["t17_approx_value_quantiles_by_type"](spark, sf_dir).collect()
+    }
+    vals = {
+        et: sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == et).select("value").collect()
+        )
+        for et in approx
+    }
+    import bisect
+
+    for et, qs in approx.items():
+        n = per_type[et]
+        step = 1.0 / n
+        for q, a in zip((0.5, 0.9, 0.99), qs):
+            # a is ROUND(actual_value, 4); rank of the nearest value
+            lo = bisect.bisect_left([round(v, 4) for v in vals[et]], a) / n
+            hi = bisect.bisect_right([round(v, 4) for v in vals[et]], a) / n
+            assert lo - 2 * step <= q <= hi + 2 * step, (et, q, a, lo, hi, n)
