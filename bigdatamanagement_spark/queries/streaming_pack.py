@@ -60,13 +60,23 @@ def streaming_hourly_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (10-min gap per user). Deterministic
+    given the data — Spark's session_window fuses an event into the open
+    session iff ts < previous end (strictly, i.e. gap not yet elapsed)
+    and reports end = last_ts + gap, which is exactly batch gap
+    sessionization — so this IS oracle-checkable despite being stateful."""
     with _state_partitions(spark):
         out = S.run_to_memory(
             spark,
             S.session_window_stream(S.stream_events(spark, sf_dir)),
             _uniq("sessions"),
         )
-    return out.orderBy("user_id", "session_start")
+    return out.select(
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+    ).orderBy("user_id", "session_start")
 
 
 def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,6 +238,28 @@ ORACLE = {
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "ext_streaming_session_windows": """
+        WITH s AS (
+          SELECT user_id, ts,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           >= 600 * 1000000 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                   ROWS UNBOUNDED PRECEDING) AS seq
+          FROM s
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+               user_id,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, seq
+        ORDER BY user_id, session_start
     """,
     "ext_streaming_sliding_counts": """
         SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 - k.k * 900 AS BIGINT))::TIMESTAMP AS window_start,
