@@ -108,7 +108,78 @@ def top5_customers_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def custorderitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 nested view: lineitems nested into orders, those orders
+    nested into customers — array<struct<..., items array<struct>>>.
+    The Dremel repeated-within-repeated shape (one level past the
+    reference's custorders)."""
+    t = load_testdata(
+        spark, sf_dir, tables=("customer", "orders", "lineitem"), register=False
+    )
+    o2 = nest(t["orders"], t["lineitem"], "o_orderkey", "l_orderkey", "items")
+    return nest(t["customer"], o2, "c_custkey", "o_custkey", "orders")
+
+
+def depth2_quantity_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T08c — per-customer total lineitem quantity THROUGH the depth-2
+    nested view: explode orders, explode each order's items, aggregate.
+    Oracle is the flat 3-table join — the nested plan must be lossless.
+    A second, explode-free plan (nested higher-order F.aggregate over
+    both array levels — Dremel-style in-situ computation) is asserted
+    equal in tests/test_mongo.py."""
+    c2 = custorderitems(spark, sf_dir)
+    return (
+        unnest(c2, "orders")
+        .select("c_custkey", F.explode("orders.items").alias("item"))
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(F.col("item.l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def depth2_quantity_by_customer_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode-free twin of T08c: nested F.aggregate folds over both
+    array levels without generating any rows — the per-document
+    computation Dremel does columnar-natively. No shuffle beyond the
+    nest build; used as an equivalence check, not a driver entry."""
+    c2 = custorderitems(spark, sf_dir)
+    # decimal + decimal widens precision (18,6 -> 19,6) and a fold's
+    # lambda must return the accumulator's exact type, so each step
+    # casts back down (safe: sums here are far below 12 integer digits).
+    dec = "decimal(18,6)"
+    qty = F.aggregate(
+        F.col("orders"),
+        F.lit(0).cast(dec),
+        lambda acc, o: (
+            acc
+            + F.aggregate(
+                o["items"],
+                F.lit(0).cast(dec),
+                lambda a2, it: (a2 + it["l_quantity"].cast(dec)).cast(dec),
+            )
+        ).cast(dec),
+    )
+    n_items = F.aggregate(
+        F.col("orders"), F.lit(0).cast("long"), lambda acc, o: acc + F.size(o["items"])
+    )
+    return (
+        c2.select(
+            "c_custkey",
+            qty.cast("double").alias("total_qty"),
+            n_items.alias("n_items"),
+        )
+        .filter(F.col("n_items") > 0)
+        .orderBy("c_custkey")
+    )
+
+
 QUERIES = {
+    "t08c_depth2_quantity_by_customer": depth2_quantity_by_customer,
     "t04_customer_name_by_key": customer_name_by_key,
     "t05_orderdate_by_orderkey": orderdate_by_orderkey,
     "t06_orderdate_by_orderkey_nested": orderdate_by_orderkey_nested,
@@ -132,6 +203,16 @@ _T08_SQL = """
 """
 
 ORACLE = {
+    "t08c_depth2_quantity_by_customer": """
+        SELECT c.c_custkey,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+               COUNT(*) AS n_items
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY c.c_custkey
+        ORDER BY c.c_custkey
+    """,
     "t04_customer_name_by_key": f"SELECT c_name FROM customer WHERE c_custkey = {CUSTKEY}",
     "t05_orderdate_by_orderkey": _T05_SQL,
     "t06_orderdate_by_orderkey_nested": _T05_SQL,  # dual-plan: flat SQL is the oracle

@@ -27,3 +27,16 @@ def test_flat_nested_equivalence(spark, sf_dir):
     flat = canonicalize(mongo.top5_customers_flat(spark, sf_dir).toArrow().to_pylist())
     nested = canonicalize(mongo.top5_customers_nested(spark, sf_dir).toArrow().to_pylist())
     assert flat == nested
+
+
+def test_depth2_inplace_plan_equals_explode_plan(spark, sf_dir):
+    """The explode-free nested-aggregate plan (higher-order fold over
+    both array levels) must equal the explode plan row-for-row."""
+    from bigdatamanagement_spark.queries.mongo import (
+        depth2_quantity_by_customer,
+        depth2_quantity_by_customer_inplace,
+    )
+
+    a = sorted(map(tuple, depth2_quantity_by_customer(spark, sf_dir).collect()))
+    b = sorted(map(tuple, depth2_quantity_by_customer_inplace(spark, sf_dir).collect()))
+    assert a == b
