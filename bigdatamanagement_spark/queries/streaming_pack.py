@@ -198,6 +198,54 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id", "purchase_id")
 
 
+def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: clicks with their
+    attributed purchases, plus null-padded rows for clicks the watermark
+    has PROVEN unmatched. The null emission rule is fully deterministic
+    and therefore oracle-checkable: Spark's global watermark under the
+    default min policy is least(max_left_ts - left_delay,
+    max_right_ts - right_delay), and an unmatched left row is emitted
+    exactly when l_ts + interval_bound < that watermark (verified
+    empirically — the miscounted alternative hypotheses were per-side
+    watermarks). Clicks younger than that stay in state, unemitted: at
+    a real stream's tail those rows are pending, not dropped.
+    """
+    clicks = (
+        S.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = (
+        S.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    l = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = purchases.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    with _state_partitions(spark):
+        out = S.run_to_memory(spark, l.join(r, cond, "left_outer"), _uniq("click_outer"))
+    return out.select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.round("r_value", 2).alias("purchase_value"),
+    ).orderBy("click_id", "purchase_id")
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(spark, 64)
     return M.extract_features(media).orderBy("media_id")
@@ -218,6 +266,7 @@ QUERIES = {
     "ext_streaming_running_user_totals": streaming_running_user_totals,
     "ext_streaming_segment_rollup": streaming_segment_rollup,
     "ext_streaming_click_attribution": streaming_click_attribution,
+    "ext_streaming_click_attribution_outer": streaming_click_attribution_outer,
     "ext_streaming_sliding_counts": streaming_sliding_counts,
     "ext_streaming_first_per_user_hour": streaming_first_per_user_hour,
     "ext_multimodal_features": multimodal_features,
@@ -238,6 +287,40 @@ ORACLE = {
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2
         ORDER BY 1, 2
+    """,
+    "ext_streaming_click_attribution_outer": """
+        WITH wm AS (
+          SELECT least(max(ts) FILTER (event_type = 'click') - INTERVAL 1 HOUR,
+                       max(ts) FILTER (event_type = 'purchase') - INTERVAL 2 HOUR)
+                 AS watermark
+          FROM events
+        ),
+        matched AS (
+          SELECT c.user_id, c.event_id AS click_id,
+                 p.event_id AS purchase_id,
+                 ROUND(p.value, 2) AS purchase_value
+          FROM events c
+          JOIN events p
+            ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ),
+        expired_unmatched AS (
+          SELECT c.user_id, c.event_id AS click_id,
+                 CAST(NULL AS BIGINT) AS purchase_id,
+                 CAST(NULL AS DOUBLE) AS purchase_value
+          FROM events c, wm
+          WHERE c.event_type = 'click'
+            AND NOT EXISTS (
+              SELECT 1 FROM events p
+              WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+            AND c.ts + INTERVAL 30 MINUTE < wm.watermark
+        )
+        SELECT * FROM matched
+        UNION ALL
+        SELECT * FROM expired_unmatched
+        ORDER BY click_id, purchase_id
     """,
     "ext_streaming_session_windows": """
         WITH s AS (

@@ -114,7 +114,11 @@ def test_streaming_pack_oracles(spark, duck, sf_dir):
     from bigdatamanagement_spark.queries import streaming_pack as SP
     from tests.conftest import assert_matches_oracle
 
-    for name in ("ext_streaming_sliding_counts", "ext_streaming_first_per_user_hour"):
+    for name in (
+        "ext_streaming_sliding_counts",
+        "ext_streaming_first_per_user_hour",
+        "ext_streaming_click_attribution_outer",
+    ):
         assert_matches_oracle(SP.QUERIES[name](spark, sf_dir), duck, SP.ORACLE[name])
 
 
