@@ -103,7 +103,29 @@ def top10_leaderboard_emails(spark, sf_dir) -> DataFrame:
     )
 
 
+def pii_masked_users(spark, sf_dir) -> DataFrame:
+    """T15-ext — PII masking over the user store (the training-data
+    privacy op the corpus tables can't exercise non-vacuously: this
+    fixture has real email/IP/geo columns). Email keeps first char +
+    domain; IP zeroes the last octet (/24 coarsening); lat/lon rounded
+    to 1 decimal (~11 km) — all JVM regexp/arithmetic, deterministic
+    strings, exact DuckDB mirror."""
+    u = tables(spark)["users"]
+    return (
+        u.select(
+            "user_key",
+            F.regexp_replace("email", r"(^.)[^@]*(@.*$)", r"$1***$2").alias("masked_email"),
+            F.regexp_replace("ip_address", r"\.\d+$", ".0").alias("masked_ip"),
+            F.round("longitude", 1).alias("coarse_lon"),
+            F.round("latitude", 1).alias("coarse_lat"),
+            "country",
+        )
+        .orderBy("user_key")
+    )
+
+
 QUERIES = {
+    "t15_pii_masked_users": pii_masked_users,
     "t15_q1_user_attributes": user_attributes,
     "t15_q2_user_coordinates": user_coordinates,
     "t15_q3_even_prefix_users": even_prefix_users,
@@ -112,6 +134,17 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t15_pii_masked_users": _V
+    + r"""
+    SELECT user_key,
+           regexp_replace(email, '(^.)[^@]*(@.*$)', '\1***\2') AS masked_email,
+           regexp_replace(ip_address, '\.\d+$', '.0') AS masked_ip,
+           ROUND(longitude, 1) AS coarse_lon,
+           ROUND(latitude, 1) AS coarse_lat,
+           country
+    FROM users
+    ORDER BY user_key
+    """,
     "t15_q1_user_attributes": _V
     + f"SELECT {', '.join(_USER_FIELDS)} FROM users WHERE user_key = '{POINT_USER}'",
     "t15_q2_user_coordinates": _V
