@@ -14,6 +14,13 @@ Design for 100 TB:
   confirmed by Hamming distance via bit_count(xor).
 - Brute-force n-gram Jaccard exists as the small-scale oracle-checkable
   baseline; its pair space is quadratic — keep it off the 100 TB path.
+
+Public sources: MinHash — Broder, "On the resemblance and containment
+of documents" (1997); LSH banding — Gionis/Indyk/Motwani (VLDB 1999)
+and the Mining of Massive Datasets ch.3 formulation; SimHash —
+Charikar, "Similarity estimation techniques from rounding algorithms"
+(STOC 2002); prefix-filtered set-similarity join — Vernica/Carey/Li
+(SIGMOD 2010).
 """
 
 from __future__ import annotations

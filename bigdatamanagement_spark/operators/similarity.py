@@ -16,6 +16,12 @@ Two paths:
   partitioned by ``cell`` so a probe is a partition-pruned scan, and the
   centroid table (n_cells × dim floats) rides along as literals —
   no shuffle of the corpus per query batch.
+
+Public sources: hyperplane LSH — Charikar (STOC 2002); IVF/nprobe —
+Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011, the IVF coarse-quantizer stage, without PQ codes);
+scalable k-means init — Bahmani et al., "Scalable k-means++" (VLDB
+2012, via pyspark.ml's k-means|| implementation).
 """
 
 from __future__ import annotations
