@@ -27,6 +27,7 @@ from bigdatamanagement_spark.queries import (
     streaming_pack,
     tpch,
     tpch_full,
+    traindata,
     weather,
 )
 
@@ -45,6 +46,7 @@ _PACKS = [
     mutation,
     streaming_pack,
     setops,
+    traindata,
 ]
 
 
