@@ -163,6 +163,76 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_count_max: int = 2,
+) -> DataFrame:
+    """Corpus-level unigram language-model quality score per document —
+    the classic perplexity-proxy filter (CCNet / Wenzek et al. 2020 use a
+    5-gram KenLM; the unigram degeneration is the piece expressible as
+    pure relational algebra): train p(t) = count(t)/total over the WHOLE
+    corpus, then score each doc by its mean token log-probability. Low
+    (very negative) scores = mostly-rare-token noise; near-zero scores =
+    degenerate high-frequency repetition.
+
+    Returns (id, n_tokens, sum_logprob_micro, avg_logprob_micro,
+    rare_frac_bp): log-probs are per-token rounded to integer MICRO-nats
+    and summed as BIGINT, so aggregation order cannot drift the result
+    between engines (double summation is order-sensitive; integer
+    summation is not). ``rare_frac_bp`` = basis points of token
+    occurrences whose corpus count <= ``rare_count_max``.
+
+    Plan shape (scale-first): one corpus scan explodes tokens once; a
+    (doc, token) partial count collapses each doc's repeated tokens
+    BEFORE the corpus-wide vocab aggregate, so the token-keyed shuffle
+    moves per-doc vocab rows, not raw occurrences (the heavy-hitter
+    "the" rows collapse per doc map-side). The trained vocab (≪ corpus;
+    ~1e6-1e8 rows even at 100 TB) broadcasts back onto the (doc, token)
+    stream — no shuffle on the skewed token key — and the final
+    aggregate is doc-keyed. If the vocab ever outgrew broadcast range,
+    the join falls back to a shuffle join where AQE's skew split handles
+    the head of the Zipf curve.
+    """
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    doc_tok = occ.groupBy("__id", "tok").agg(F.count("*").alias("dc"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("dc").alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "c",
+        F.round(F.log(F.col("c") / F.col("total")) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    return (
+        doc_tok.join(F.broadcast(lp), "tok")
+        .groupBy("__id")
+        .agg(
+            F.sum("dc").alias("n_tokens"),
+            F.sum(F.col("dc") * F.col("lp_micro")).alias("sum_logprob_micro"),
+            F.sum(
+                F.when(F.col("c") <= rare_count_max, F.col("dc")).otherwise(F.lit(0))
+            ).alias("n_rare"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "sum_logprob_micro",
+            F.floor(F.col("sum_logprob_micro") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("avg_logprob_micro"),
+            F.floor(F.lit(10000) * F.col("n_rare") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("rare_frac_bp"),
+        )
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     id_col: str = "doc_id",

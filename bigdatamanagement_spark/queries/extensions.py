@@ -61,6 +61,14 @@ def lang_distribution(spark, sf_dir) -> DataFrame:
     )
 
 
+def unigram_logprob_quality(spark, sf_dir) -> DataFrame:
+    """Corpus-unigram-LM quality scores per document (perplexity-proxy
+    filter): mean token log-prob in integer micro-nats + rare-token basis
+    points. Integer-stable across engines — see
+    ``operators/text.unigram_lm_scores``."""
+    return T.unigram_lm_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # --- dedup ----------------------------------------------------------------
 
 def dedup_exact_groups(spark, sf_dir) -> DataFrame:
@@ -182,6 +190,7 @@ def ivf_ann_topk(spark, sf_dir) -> DataFrame:
 QUERIES = {
     "ext_text_features": text_features,
     "ext_lang_distribution": lang_distribution,
+    "ext_unigram_logprob_quality": unigram_logprob_quality,
     "ext_dedup_exact_groups": dedup_exact_groups,
     "ext_dedup_exact_survivors": dedup_exact_survivors,
     "ext_ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -254,6 +263,28 @@ ORACLE = {
         SELECT {_LANG_CASE} AS lang_pred, COUNT(*) AS n_docs
         FROM (SELECT text, {_HITS} FROM documents)
         GROUP BY 1 ORDER BY 1
+    """,
+    "ext_unigram_logprob_quality": f"""
+        WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        dt AS (SELECT doc_id, tok, COUNT(*) AS dc FROM occ GROUP BY doc_id, tok),
+        vocab AS (SELECT tok, SUM(dc) AS c FROM dt GROUP BY tok),
+        total AS (SELECT SUM(c) AS total FROM vocab),
+        lp AS (SELECT tok, c,
+                      CAST(round(ln(c / total) * 1000000.0, 0) AS BIGINT)
+                          AS lp_micro
+               FROM vocab, total),
+        doc AS (
+            SELECT doc_id, SUM(dc) AS n_tokens,
+                   SUM(dc * lp_micro) AS sum_logprob_micro,
+                   SUM(CASE WHEN c <= 2 THEN dc ELSE 0 END) AS n_rare
+            FROM dt JOIN lp USING (tok) GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, sum_logprob_micro,
+               CAST(floor(sum_logprob_micro / n_tokens) AS BIGINT)
+                   AS avg_logprob_micro,
+               CAST(floor(10000 * n_rare / n_tokens) AS BIGINT)
+                   AS rare_frac_bp
+        FROM doc ORDER BY doc_id
     """,
     "ext_dedup_exact_groups": """
         SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,

@@ -108,3 +108,13 @@ def test_exact_dedup_is_idempotent(spark, sf_dir):
     once = exact_dedup(d, "doc_id", "text")
     twice = exact_dedup(once, "doc_id", "text")
     assert once.count() == twice.count()
+
+
+def test_unigram_lm_scores_semantics(spark, sf_dir):
+    """Unigram-LM scores: log-probs strictly negative, token totals agree
+    with the independent tokenizer count, rare fraction in [0, 10000]."""
+    rows = E.unigram_logprob_quality(spark, sf_dir).collect()
+    assert rows and all(r.sum_logprob_micro < 0 for r in rows)
+    tf = {r.doc_id: r.token_count for r in E.text_features(spark, sf_dir).collect()}
+    assert all(tf[r.doc_id] == r.n_tokens for r in rows)
+    assert all(0 <= r.rare_frac_bp <= 10000 for r in rows)
