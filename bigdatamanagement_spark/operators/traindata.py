@@ -157,6 +157,95 @@ def mixture_sample(
     return df.join(F.broadcast(rates), source_col).where(keep)
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 128,
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing — the standard LM training-set
+    layout (GPT-3 / Gopher data prep): concatenate every document's token
+    stream in ``id_col`` order and cut the stream into fixed ``seq_len``
+    blocks; a document may span block boundaries. Returns the per-sequence
+    manifest ``(seq_id, n_docs, first_doc, last_doc, n_seq_tokens)`` —
+    every sequence holds exactly ``seq_len`` tokens except the last.
+
+    The global token offset of each document is an EXCLUSIVE PREFIX SUM
+    in id order — computed distributed, not with a single-partition
+    global window (`Window.orderBy` without partitionBy funnels 100 TB
+    through one task). Two-phase scan, the same shape as Spark's own
+    ``zipWithIndex``:
+
+    1. range-repartition by id, sort within partitions, pin the
+       partitioning with ``localCheckpoint`` (offsets and the window pass
+       must see the SAME partition boundaries);
+    2. per-partition token totals → driver (one row per partition — KB at
+       any scale) → exclusive prefix over partition ids, broadcast back;
+    3. within-partition running sum (window keyed by the partition id —
+       parallel across partitions) + the partition's offset.
+
+    Everything after is narrow: each doc explodes to the ~n/seq_len
+    sequence ids it overlaps and one seq-keyed partial aggregate builds
+    the manifest. Integer arithmetic end-to-end — bit-stable across
+    engines and input partitionings (asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = df.sparkSession
+    n_expr = (
+        F.col(n_tokens_col) if n_tokens_col else F.size(tokens(F.col(text_col)))
+    )
+    base = df.select(F.col(id_col).alias("_id"), n_expr.alias("_n")).where(
+        F.col("_n") > 0
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    staged = (
+        base.repartitionByRange(n_parts, "_id")
+        .sortWithinPartitions("_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = staged.groupBy("_pid").agg(F.sum("_n").alias("_pt")).collect()
+    acc, offsets = 0, []
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_pt"]
+    off = spark.createDataFrame(offsets, schema="_pid int, _poff bigint")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = staged.join(F.broadcast(off), "_pid").select(
+        "_id",
+        "_n",
+        (F.coalesce(F.sum("_n").over(w), F.lit(0)) + F.col("_poff")).alias("_start"),
+    )
+    spans = pos.select(
+        "_id",
+        "_n",
+        "_start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / seq_len),
+                F.floor((F.col("_start") + F.col("_n") - 1) / seq_len),
+            )
+        ).alias("seq_id"),
+    )
+    overlap = F.least(
+        F.col("_start") + F.col("_n"), (F.col("seq_id") + 1) * seq_len
+    ) - F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    return spans.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.min("_id").alias("first_doc"),
+        F.max("_id").alias("last_doc"),
+        F.sum(overlap).alias("n_seq_tokens"),
+    )
+
+
 def shuffle_manifest(
     df: DataFrame,
     id_col: str,

@@ -26,6 +26,7 @@ from bigdatamanagement_spark.operators.traindata import (
     chunk_documents,
     contamination_overlap,
     mixture_sample,
+    pack_sequences,
     shuffle_manifest,
 )
 
@@ -33,6 +34,7 @@ CHUNK_SIZE = 16
 CHUNK_STRIDE = 12
 BENCH_MOD = 41  # doc_id % 41 == 0 plays the held-out eval benchmark
 N_SHARDS = 8
+SEQ_LEN = 128
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,8 +112,18 @@ def shuffle_manifest_q(spark, sf_dir) -> DataFrame:
     ).orderBy("shard")
 
 
+def pack_sequences_q(spark, sf_dir) -> DataFrame:
+    """Per-sequence packing manifest at seq_len=128: which docs feed each
+    fixed-length training sequence and how many of their tokens land in
+    it. Distributed prefix-sum — no single-partition global window."""
+    return pack_sequences(
+        _docs(spark, sf_dir), "doc_id", "text", seq_len=SEQ_LEN
+    ).orderBy("seq_id")
+
+
 QUERIES = {
     "ext_chunk_documents": chunk_documents_q,
+    "ext_pack_sequences": pack_sequences_q,
     "ext_decontamination_summary": decontamination_summary,
     "ext_mixture_sample_summary": mixture_sample_summary,
     "ext_shuffle_manifest": shuffle_manifest_q,
@@ -125,6 +137,27 @@ _SHINGLES = (
 )
 
 ORACLE = {
+    "ext_pack_sequences": f"""
+        WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+        c AS (
+            SELECT doc_id, n,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start
+            FROM t WHERE n > 0
+        ),
+        s AS (
+            SELECT doc_id, n, start,
+                   unnest(range(start // {SEQ_LEN},
+                                (start + n - 1) // {SEQ_LEN} + 1)) AS seq_id
+            FROM c
+        )
+        SELECT seq_id, COUNT(*) AS n_docs,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               SUM(least(start + n, (seq_id + 1) * {SEQ_LEN})
+                   - greatest(start, seq_id * {SEQ_LEN})) AS n_seq_tokens
+        FROM s GROUP BY seq_id ORDER BY seq_id
+    """,
     "ext_chunk_documents": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         c AS (

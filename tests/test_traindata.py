@@ -103,3 +103,36 @@ def test_chunking_plan_is_narrow(spark, sf_dir):
         T._docs(spark, sf_dir), "doc_id", "text"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_conservation_and_shape(spark, sf_dir):
+    """Packing conserves every token exactly once; every sequence is
+    exactly seq_len tokens except the last; doc spans are contiguous."""
+    from bigdatamanagement_spark.operators.traindata import pack_sequences
+
+    docs = T._docs(spark, sf_dir)
+    rows = sorted(
+        pack_sequences(docs, "doc_id", "text", seq_len=T.SEQ_LEN).collect(),
+        key=lambda r: r.seq_id,
+    )
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.lower(F.trim("text")), "\\s+")))
+    ).first()[0]
+    assert sum(r.n_seq_tokens for r in rows) == total_tokens
+    assert [r.seq_id for r in rows] == list(range(len(rows)))
+    assert all(r.n_seq_tokens == T.SEQ_LEN for r in rows[:-1])
+    assert 0 < rows[-1].n_seq_tokens <= T.SEQ_LEN
+    # doc ranges tile: consecutive sequences share exactly the boundary doc
+    for a, b in zip(rows, rows[1:]):
+        assert b.first_doc in (a.last_doc, a.last_doc + 1) or b.first_doc > a.last_doc
+
+
+def test_pack_sequences_invariant_to_input_partitioning(spark, sf_dir):
+    """The prefix sum must not depend on the input's physical layout."""
+    from bigdatamanagement_spark.operators.traindata import pack_sequences
+
+    docs = T._docs(spark, sf_dir)
+    base = {tuple(r) for r in pack_sequences(docs, seq_len=T.SEQ_LEN).collect()}
+    scrambled = docs.repartition(7, F.col("source"))
+    again = {tuple(r) for r in pack_sequences(scrambled, seq_len=T.SEQ_LEN).collect()}
+    assert base == again and base
