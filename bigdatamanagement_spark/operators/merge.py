@@ -39,6 +39,53 @@ def apply_deletes(base: DataFrame, deletes: DataFrame, keys: Sequence[str]) -> D
     return base.join(deletes.select(*list(keys)), list(keys), "left_anti")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Dataset-version diff: classify every key across two snapshots as
+    ``added`` / ``removed`` / ``modified`` / ``unchanged`` by comparing an
+    md5 content hash of ``compare_cols`` over a keyed full outer join —
+    the audit step between two corpus releases (what changed since v1?).
+
+    Returns one row per key: ``(*keys, change_type)``. Content equality
+    is hash-based so wide payloads compare as one string column; NULLs
+    hash via a reserved sentinel so NULL != '' and NULL == NULL.
+
+    Scale notes (100 TB): one shuffle per side on the key — with both
+    snapshot generations written bucketed by the key family the join is
+    co-located and the diff is a zipper scan; the hash collapses the
+    payload to 32 bytes BEFORE the exchange, so the shuffle moves keys +
+    digests, not document bodies.
+    """
+    keys = list(keys)
+
+    def hashed(df: DataFrame, name: str) -> DataFrame:
+        digest = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in compare_cols
+                ],
+            )
+        )
+        return df.select(*keys, digest.alias(name))
+
+    o = hashed(old, "_old_h")
+    n = hashed(new, "_new_h")
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_old_h").isNull(), F.lit("added"))
+        .when(F.col("_new_h").isNull(), F.lit("removed"))
+        .when(F.col("_old_h") != F.col("_new_h"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*keys, change.alias("change_type"))
+
+
 def scd2_from_events(
     df: DataFrame,
     key_col: str,

@@ -14,11 +14,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdatamanagement_spark.catalog import load_testdata
-from bigdatamanagement_spark.operators.merge import apply_deletes, merge_upsert
+from bigdatamanagement_spark.operators.merge import (
+    apply_deletes,
+    merge_upsert,
+    snapshot_diff,
+)
 
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_testdata(spark, sf_dir, tables=("orders",), register=False)["orders"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, tables=("documents",), register=False)[
+        "documents"
+    ]
 
 
 def _updates(orders: DataFrame) -> DataFrame:
@@ -59,9 +69,34 @@ def delete_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUT-3 — release-over-release corpus audit: v1 drops every 7th doc,
+    v2 drops every 5th and edits every 11th; the diff classifies every
+    doc_id as added/removed/modified/unchanged and reports counts per
+    (source, change_type). The diff is a keyed full outer join of content
+    DIGESTS (md5 computed before the exchange), so the shuffle carries
+    keys + 32-byte hashes, never document bodies."""
+    docs = _docs(spark, sf_dir)
+    v1 = docs.where(F.col("doc_id") % 7 != 0)
+    v2 = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2-edit"))
+        ).otherwise(F.col("text")),
+    )
+    d = snapshot_diff(v1, v2, ["doc_id"], ["text"])
+    return (
+        d.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "change_type")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "change_type")
+    )
+
+
 QUERIES = {
     "mut_upsert_orders_summary": upsert_orders_summary,
     "mut_delete_survivors": delete_merge_roundtrip,
+    "mut_corpus_version_diff": corpus_version_diff,
 }
 
 ORACLE = {
@@ -82,5 +117,28 @@ ORACLE = {
     "mut_delete_survivors": """
         SELECT COUNT(*) AS n_orders, SUM(o_orderkey) AS key_sum
         FROM orders WHERE o_orderkey % 7 <> 0
+    """,
+    "mut_corpus_version_diff": """
+        WITH v1 AS (
+            SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+        ),
+        v2 AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2-edit'
+                            ELSE text END) AS h
+            FROM documents WHERE doc_id % 5 <> 0
+        ),
+        d AS (
+            SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        WHEN v1.h <> v2.h THEN 'modified'
+                        ELSE 'unchanged' END AS change_type
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT s.source, d.change_type, COUNT(*) AS n_docs
+        FROM d JOIN documents s USING (doc_id)
+        GROUP BY s.source, d.change_type
+        ORDER BY s.source, d.change_type
     """,
 }

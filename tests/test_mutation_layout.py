@@ -149,3 +149,27 @@ def test_hive_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     # value parity with the unpartitioned filter
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert pruned.count() == want
+
+
+def test_snapshot_diff_classification(spark):
+    """All four change classes on a hand-built pair of snapshots,
+    including NULL-vs-empty payloads (sentinel hashing)."""
+    from bigdatamanagement_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None), (5, "")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, ""), (5, ""), (6, "new")],
+        "k long, v string",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "modified",
+        3: "removed",
+        4: "modified",  # NULL -> '' is a content change, not equality
+        5: "unchanged",
+        6: "added",
+    }
