@@ -233,6 +233,83 @@ def blocked_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with k-means, then
+    inside each cluster mark every vector that has a SMALLER-id neighbor
+    with cosine >= ``threshold`` as a duplicate — cross-cluster pairs are
+    never compared, which is the approximation that makes web-scale
+    dedup tractable. Returns ``(id_col, cell, max_prior_sim, is_dup)``
+    for every input vector.
+
+    Plan shape: one JVM-expression pass assigns each vector to its
+    nearest centroid (no shuffle — centroids ride as literals), then ONE
+    shuffle groups by cell and each cluster's pairwise-cosine matrix is
+    a single Arrow-batched numpy matmul (the per-pair dot product is the
+    interpreted-per-element worst case for JVM higher-order functions).
+    At 100 TB: n_cells grows with the corpus (the paper uses ~10^5
+    clusters) so expected cluster size stays bounded; a skew-degenerate
+    giant cluster should be sub-blocked with the triangle join of
+    ``blocked_neardup_pairs`` scoped to that cell.
+
+    Drop policy: keep the minimum id of every duplicate pair —
+    deterministic, engine-independent, and idempotent (re-running on the
+    survivors drops nothing: a kept vector has no kept smaller-id
+    neighbor above threshold by construction).
+    """
+    import pandas as pd
+
+    if centroids is None:
+        centroids = kmeans_centroids(df, vec_col, n_cells, seed, max_iter)
+    rows = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    rows = rows.select(
+        "vid",
+        "v",
+        F.element_at(nearest_cells(F.col("v"), centroids, 1), 1).alias("cell"),
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        ids = pdf["vid"].to_numpy()
+        vecs = np.stack(pdf["v"].to_numpy())
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        cos = vecs @ vecs.T
+        np.round(cos, 6, out=cos)
+        # max similarity to any SMALLER-id vector (strict lower triangle)
+        tril = np.tril(cos, k=-1)
+        tril[np.triu_indices(len(ids))] = -1.0
+        max_prior = tril.max(axis=1, initial=-1.0)
+        return pd.DataFrame(
+            {
+                "vid": ids,
+                "cell": pdf["cell"],
+                "max_prior_sim": max_prior,
+                "is_dup": max_prior >= threshold,
+            }
+        )
+
+    return (
+        rows.groupBy("cell")
+        .applyInPandas(
+            dedup_cell, "vid long, cell int, max_prior_sim double, is_dup boolean"
+        )
+        .withColumnRenamed("vid", id_col)
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -61,6 +61,14 @@ def lang_distribution(spark, sf_dir) -> DataFrame:
     )
 
 
+def profile_documents(spark, sf_dir) -> DataFrame:
+    """Single-pass column profile of the documents corpus (null counts,
+    exact distinct cardinality, min/max) — the pre-ingest audit."""
+    from bigdatamanagement_spark.operators.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir)).orderBy("col_name")
+
+
 def unigram_logprob_quality(spark, sf_dir) -> DataFrame:
     """Corpus-unigram-LM quality scores per document (perplexity-proxy
     filter): mean token log-prob in integer micro-nats + rare-token basis
@@ -170,6 +178,16 @@ def lsh_ann_topk(spark, sf_dir) -> DataFrame:
 _IVF_CENTROIDS: dict[tuple[int, str], list[list[float]]] = {}
 
 
+def _ivf_centroids(spark, sf_dir, e: DataFrame) -> list[list[float]]:
+    """Per-(session, corpus) trained coarse quantizer — index-build phase,
+    memoized (one Spark job per Lloyd iteration; happens at write time in
+    production, not per query)."""
+    key = (id(spark), sf_dir)
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = S.kmeans_centroids(e, "embedding", n_cells=8, max_iter=8)
+    return _IVF_CENTROIDS[key]
+
+
 def ivf_ann_topk(spark, sf_dir) -> DataFrame:
     """Approximate top-10 via an IVF (k-means cell) index; rows-only check
     (recall asserted against cosine_topk in tests — k-means training is
@@ -179,18 +197,38 @@ def ivf_ann_topk(spark, sf_dir) -> DataFrame:
     # near-random 64-dim corpus: few coarse cells, probe half of them.
     # max_iter=8: coarse-quantizer quality plateaus fast and each Lloyd
     # iteration is a full Spark job — recall is pinned by the test either way.
-    key = (id(spark), sf_dir)
-    if key not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[key] = S.kmeans_centroids(e, "embedding", n_cells=8, max_iter=8)
     return S.ivf_topk(
-        e, queries, k=10, n_cells=8, nprobe=4, centroids=_IVF_CENTROIDS[key]
+        e, queries, k=10, n_cells=8, nprobe=4,
+        centroids=_ivf_centroids(spark, sf_dir, e),
     ).orderBy("query_id", "rank")
+
+
+def semdedup_summary(spark, sf_dir) -> DataFrame:
+    """SemDeDup semantic dedup over the embedding corpus (per-cluster
+    pairwise cosine inside the k-means cells of the shared IVF
+    quantizer): per-cell vector/duplicate counts. Rows-only check —
+    k-means training is not SQL-expressible; the drop policy and its
+    containment in the exact near-dup pair set are pinned in tests."""
+    e = _embs(spark, sf_dir)
+    flags = S.semantic_dedup(
+        e, "vec_id", "embedding", threshold=NEARDUP_COS,
+        centroids=_ivf_centroids(spark, sf_dir, e),
+    )
+    return (
+        flags.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_duplicates"),
+        )
+        .orderBy("cell")
+    )
 
 
 QUERIES = {
     "ext_text_features": text_features,
     "ext_lang_distribution": lang_distribution,
     "ext_unigram_logprob_quality": unigram_logprob_quality,
+    "ext_profile_documents": profile_documents,
     "ext_dedup_exact_groups": dedup_exact_groups,
     "ext_dedup_exact_survivors": dedup_exact_survivors,
     "ext_ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -200,6 +238,7 @@ QUERIES = {
     "ext_cosine_topk": cosine_topk,
     "ext_lsh_ann_topk": lsh_ann_topk,
     "ext_ivf_ann_topk": ivf_ann_topk,
+    "ext_semdedup_summary": semdedup_summary,
 }
 
 # --- DuckDB oracle mirrors ------------------------------------------------
@@ -263,6 +302,41 @@ ORACLE = {
         SELECT {_LANG_CASE} AS lang_pred, COUNT(*) AS n_docs
         FROM (SELECT text, {_HITS} FROM documents)
         GROUP BY 1 ORDER BY 1
+    """,
+    "ext_profile_documents": """
+        WITH p AS (
+            SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT doc_id) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*),
+                   SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT text),
+                   CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*),
+                   SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT lang),
+                   CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*),
+                   SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT source),
+                   CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*),
+                   SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT n_chars),
+                   CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+            FROM documents
+        )
+        SELECT * FROM p ORDER BY col_name
     """,
     "ext_unigram_logprob_quality": f"""
         WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),

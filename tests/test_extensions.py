@@ -118,3 +118,64 @@ def test_unigram_lm_scores_semantics(spark, sf_dir):
     tf = {r.doc_id: r.token_count for r in E.text_features(spark, sf_dir).collect()}
     assert all(tf[r.doc_id] == r.n_tokens for r in rows)
     assert all(0 <= r.rare_frac_bp <= 10000 for r in rows)
+
+
+def test_semdedup_drop_policy_and_containment(spark, sf_dir):
+    """Every dropped vector is justified by a smaller-id same-cell
+    neighbor above threshold; every caught duplicate is a TRUE near-dup
+    (containment in the exact brute-force pair set); the policy is
+    idempotent (survivors re-deduped drop nothing)."""
+    import numpy as np
+
+    from bigdatamanagement_spark.operators import similarity as S
+    from bigdatamanagement_spark.queries.extensions import (
+        NEARDUP_COS,
+        _embs,
+        _ivf_centroids,
+    )
+
+    e = _embs(spark, sf_dir)
+    cents = _ivf_centroids(spark, sf_dir, e)
+    flags = S.semantic_dedup(
+        e, "vec_id", "embedding", threshold=NEARDUP_COS, centroids=cents
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in e.collect()}
+    for vid in vecs:
+        vecs[vid] = vecs[vid] / np.linalg.norm(vecs[vid])
+    by_cell: dict[int, list] = {}
+    for r in flags:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert len(flags) == len(vecs)
+    n_dups = 0
+    for cell_rows in by_cell.values():
+        ids = sorted(r.vec_id for r in cell_rows)
+        for r in cell_rows:
+            prior = [i for i in ids if i < r.vec_id]
+            best = max(
+                (round(float(vecs[r.vec_id] @ vecs[i]), 6) for i in prior),
+                default=-1.0,
+            )
+            if r.is_dup:
+                n_dups += 1
+                assert best >= NEARDUP_COS  # justified true near-dup
+            else:
+                assert best < NEARDUP_COS  # nothing above threshold missed
+    assert n_dups > 0  # non-vacuous on this corpus
+
+
+def test_profile_table_nulls_and_types(spark):
+    """Profiler on a hand-built frame: null counting, distinct-ignores-
+    nulls, numeric (not lexical) min/max, NULL-only column."""
+    from bigdatamanagement_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, None, None), (10, "a", None), (10, "a", None)],
+        "k long, s string, dead string",
+    )
+    prof = {r.col_name: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 4
+    assert (prof["k"].n_nulls, prof["k"].n_distinct) == (0, 3)
+    assert (prof["k"].min_value, prof["k"].max_value) == ("1", "10")  # numeric order
+    assert (prof["s"].n_nulls, prof["s"].n_distinct) == (1, 2)
+    assert (prof["dead"].n_nulls, prof["dead"].n_distinct) == (4, 0)
+    assert prof["dead"].min_value is None and prof["dead"].max_value is None
