@@ -107,6 +107,40 @@ def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_idle_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-finalized gap sessions (GroupState + EventTimeTimeout): gap
+    closures emit in-batch; idle tails emit when the watermark passes
+    their deadline and the group times out. Oracle-checkable: timeout
+    fires iff session_end + gap < max(ts) - delay STRICTLY (boundary
+    equality does not fire — empirically pinned on a crafted event at
+    the exact deadline; see tests/test_stateful.py)."""
+    from bigdatamanagement_spark.streaming.stateful import idle_session_finalizer
+
+    name = _uniq("idle_sessions")
+    with _state_partitions(spark):
+        q = (
+            idle_session_finalizer(S.stream_events(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "closed_by",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def streaming_segment_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join + running aggregate: the events stream enriched
     with the customer dimension (broadcast static side), rolled up by
@@ -264,6 +298,7 @@ QUERIES = {
     "ext_streaming_hourly_max": streaming_hourly_max,
     "ext_streaming_session_windows": streaming_session_windows,
     "ext_streaming_running_user_totals": streaming_running_user_totals,
+    "ext_streaming_idle_sessions": streaming_idle_sessions,
     "ext_streaming_segment_rollup": streaming_segment_rollup,
     "ext_streaming_click_attribution": streaming_click_attribution,
     "ext_streaming_click_attribution_outer": streaming_click_attribution_outer,
@@ -274,6 +309,37 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ext_streaming_idle_sessions": """
+        WITH s AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                           >= 600 * 1000000 THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        ),
+        numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                   ROWS UNBOUNDED PRECEDING) AS seq
+          FROM s
+        ),
+        agg AS (
+          SELECT user_id, seq, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                 COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+          FROM numbered GROUP BY user_id, seq
+        ),
+        -- watermark and timer deadlines are MILLISECOND-granular in
+        -- Spark (micros truncate): wm_ms > deadline_ms, strictly
+        wm AS (SELECT epoch_us(MAX(ts)) // 1000 - 1800000 AS w_ms FROM events),
+        last_sess AS (SELECT user_id, MAX(seq) AS mseq FROM agg GROUP BY user_id)
+        SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+               a.total_value,
+               CASE WHEN a.seq = l.mseq THEN 'timer' ELSE 'gap' END AS closed_by
+        FROM agg a JOIN last_sess l USING (user_id), wm
+        WHERE a.seq < l.mseq
+           OR (epoch_us(a.session_end) + 600000000) // 1000 < wm.w_ms
+        ORDER BY a.user_id, a.session_start
+    """,
     "ext_streaming_running_user_totals": """
         SELECT user_id, ROUND(SUM(value), 2) AS total_value,
                COUNT(*) AS n_events
