@@ -297,6 +297,81 @@ def minhash_lsh_pairs(
     )
 
 
+def _band_hashes(sigs: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, band_hash) — exploded LSH band keys for a signature
+    table (posexplode_outer per the inferred-filter convention above)."""
+    bh = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(F.col("sig"), b * rows + 1, rows)),
+    )
+    return sigs.select("doc_id", F.posexplode_outer(bh).alias("band", "band_hash"))
+
+
+def incremental_minhash_pairs(
+    base: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs of an incoming BATCH against an existing BASE
+    corpus: (new_doc, dup_of, jaccard) with jaccard ≥ threshold —
+    the production shape of dedup at 100 TB, where a new crawl snapshot
+    is checked against the standing corpus WITHOUT re-enumerating
+    base×base pairs.
+
+    Ids must be disjoint across the two inputs (they share one id space
+    in a real corpus; asserted by the caller).
+
+    Scale design: the base side's (band, band_hash) index is exactly
+    what a production pipeline materializes at ingest (bucketed by
+    band_hash); the per-batch cost is then signature computation over
+    the batch + one equi-join keyed by (band, band_hash) whose base
+    side is partition-pruned by the bucket layout. Candidates are
+    verified with exact shingle Jaccard via ONE melted join-back
+    against the union of both signature tables (same single-evaluation
+    discipline as minhash_lsh_pairs). base×base and batch×batch pairs
+    never exist: the join is strictly cross-sided.
+    """
+    rows = num_hashes // bands
+    sig_base = minhash_signatures(base, id_col, text_col, num_hashes, k)
+    sig_batch = minhash_signatures(batch, id_col, text_col, num_hashes, k)
+    cand = (
+        _band_hashes(sig_batch, bands, rows)
+        .alias("q")
+        .join(
+            _band_hashes(sig_base, bands, rows).alias("x"),
+            (F.col("q.band") == F.col("x.band"))
+            & (F.col("q.band_hash") == F.col("x.band_hash")),
+        )
+        .select(F.col("q.doc_id").alias("new_doc"), F.col("x.doc_id").alias("dup_of"))
+        .dropDuplicates(["new_doc", "dup_of"])
+    )
+    sigs_all = sig_base.select("doc_id", "sh").unionByName(sig_batch.select("doc_id", "sh"))
+    melted = cand.select(
+        "new_doc",
+        "dup_of",
+        F.posexplode(F.array(F.col("new_doc"), F.col("dup_of"))).alias("side", "doc_id"),
+    )
+    return (
+        melted.join(sigs_all, "doc_id")
+        .groupBy("new_doc", "dup_of")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("side") == 1, F.col("sh"))).alias("sh_b"),
+        )
+        .select(
+            "new_doc",
+            "dup_of",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash signature: xxhash64 bit votes over distinct 3-word shingles.
 

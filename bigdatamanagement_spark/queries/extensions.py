@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bigdatamanagement_spark.catalog import load_testdata
 from bigdatamanagement_spark.operators import dedup as D
+from bigdatamanagement_spark.operators import search as SR
 from bigdatamanagement_spark.operators import similarity as S
 from bigdatamanagement_spark.operators import text as T
 
@@ -77,7 +78,39 @@ def unigram_logprob_quality(spark, sf_dir) -> DataFrame:
     return T.unigram_lm_scores(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+# Bag-of-words query for the BM25 entry — mid-frequency domain terms.
+BM25_QUERY = ["spark", "join", "stream"]
+# Incremental dedup: every 5th doc plays the "new crawl snapshot".
+BATCH_MOD = 5
+
+
+def tfidf_top_terms(spark, sf_dir) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (integer-micro
+    scores; the keyword-extraction stage of a curation pipeline)."""
+    return SR.tfidf_top_terms(_docs(spark, sf_dir), k=3).orderBy("doc_id", "rank")
+
+
+def bm25_search(spark, sf_dir) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed bag-of-words query — the
+    engine-side RediSearch upgrade (see operators/search.py)."""
+    return SR.bm25_search(_docs(spark, sf_dir), BM25_QUERY, topk=10).orderBy("rank")
+
+
 # --- dedup ----------------------------------------------------------------
+
+
+def incremental_neardup(spark, sf_dir) -> DataFrame:
+    """Near-dup pairs of a simulated incoming snapshot (doc_id ≡ 4 mod 5)
+    against the standing corpus (the rest): the incremental-dedup shape —
+    base×base pairs are never enumerated. MinHash-banded candidates,
+    exact-Jaccard verified; the oracle is the exact cross-sided Jaccard
+    scan (LSH recall = 1 on this corpus, pinned corpus-wide in tests)."""
+    d = _docs(spark, sf_dir)
+    base = d.filter(F.col("doc_id") % BATCH_MOD != BATCH_MOD - 1)
+    batch = d.filter(F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1)
+    return D.incremental_minhash_pairs(
+        base, batch, "doc_id", "text", threshold=JACCARD_T
+    ).orderBy("new_doc", "dup_of")
 
 def dedup_exact_groups(spark, sf_dir) -> DataFrame:
     """Exact-duplicate groups by md5(text)."""
@@ -229,6 +262,9 @@ QUERIES = {
     "ext_lang_distribution": lang_distribution,
     "ext_unigram_logprob_quality": unigram_logprob_quality,
     "ext_profile_documents": profile_documents,
+    "ext_tfidf_top_terms": tfidf_top_terms,
+    "ext_bm25_search": bm25_search,
+    "ext_incremental_neardup": incremental_neardup,
     "ext_dedup_exact_groups": dedup_exact_groups,
     "ext_dedup_exact_survivors": dedup_exact_survivors,
     "ext_ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -279,7 +315,75 @@ _JACCARD_BASE = f"""
     ORDER BY doc_a, doc_b
 """
 
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
 ORACLE = {
+    "ext_tfidf_top_terms": f"""
+        WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   tf * CAST(round((ln(CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE))
+                                    + CAST(1.0 AS DOUBLE)) * CAST(1000000.0 AS DOUBLE), 0)
+                             AS BIGINT) AS score_micro
+            FROM dt JOIN dfreq USING (term), n
+        )
+        SELECT doc_id, term, tf, df, score_micro, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY score_micro DESC, term ASC) AS rank
+            FROM scored)
+        WHERE rank <= 3
+        ORDER BY doc_id, rank
+    """,
+    "ext_bm25_search": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        occ AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ
+               WHERE term IN ({_BM25_TERMS}) GROUP BY 1, 2),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+        contrib AS (
+            SELECT dt.doc_id,
+                   CAST(round(CAST(1000000.0 AS DOUBLE)
+                        * ln(CAST(1.0 AS DOUBLE)
+                             + (n_docs - df + CAST(0.5 AS DOUBLE))
+                               / (df + CAST(0.5 AS DOUBLE)))
+                        * (tf * CAST(2.2 AS DOUBLE))
+                        / (tf + CAST(1.2 AS DOUBLE)
+                           * (CAST(0.25 AS DOUBLE)
+                              + CAST(0.75 AS DOUBLE)
+                                * (dl / (CAST(sum_dl AS DOUBLE) / n_docs)))), 0)
+                        AS BIGINT) AS c
+            FROM dt JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+        ),
+        scored AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(c) AS score_micro
+                   FROM contrib GROUP BY doc_id)
+        SELECT doc_id, n_terms, score_micro, rank FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= 10
+        ORDER BY rank
+    """,
+    "ext_incremental_neardup": f"""
+        WITH t AS (
+            SELECT doc_id, {_SHINGLES} AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        pairs AS (
+            SELECT q.doc_id AS new_doc, b.doc_id AS dup_of,
+                   ROUND(len(list_intersect(q.sh, b.sh)) * 1.0 /
+                         greatest(len(q.sh) + len(b.sh) - len(list_intersect(q.sh, b.sh)), 1), 6)
+                       AS jaccard
+            FROM t q JOIN t b
+              ON q.doc_id % {BATCH_MOD} = {BATCH_MOD - 1}
+             AND b.doc_id % {BATCH_MOD} <> {BATCH_MOD - 1}
+        )
+        SELECT new_doc, dup_of, jaccard FROM pairs WHERE jaccard >= {JACCARD_T}
+        ORDER BY new_doc, dup_of
+    """,
     "ext_text_features": f"""
         WITH base AS (
             SELECT doc_id, text, {_TOKS} AS toks, {_HITS} FROM documents

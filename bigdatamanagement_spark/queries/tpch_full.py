@@ -555,8 +555,199 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp view — the testdata has no partsupp table, so the
+    four queries that need one (q02/q11/q16/q20) run over the
+    (l_partkey, l_suppkey) pairs observed in lineitem, with
+    ``ps_availqty`` = exact decimal sum of shipped quantity and
+    ``ps_supplycost`` = MIN(l_extendedprice) (deterministic exact-decimal
+    proxy — MIN is aggregation-order-free, unlike an average).
+
+    One orderkey-free aggregate keyed by (partkey, suppkey): map-side
+    partials collapse the ~12 lineitems per pair before the shuffle. At
+    100 TB this materializes once at ingest as a bucketed table (it is
+    the classic partsupp layout), not per query.
+    """
+    li = _t(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("ps_availqty"),
+        F.min(F.col("l_extendedprice").cast(_DEC)).alias("ps_supplycost"),
+    )
+
+
+_PARTSUPP_SQL = """
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS ps_availqty,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,6))) AS ps_supplycost
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (p_size in [10,25], p_type LARGE, region
+    EUROPE; comment/phone/address columns absent from the projection).
+    The correlated MIN-subquery is the verbatim shape, written as an
+    explicit aggregate-then-join (what RewriteCorrelatedScalarSubquery
+    produces): per-part regional min cost, re-joined on equality.
+
+    Plan: part is filtered FIRST (p_size/p_type push to the scan) and
+    semi-joined into partsupp before the min aggregate, so the regional
+    cost table only aggregates the surviving parts. supplier⋈nation⋈
+    region broadcasts (dimension chain).
+    """
+    t = _t(spark, sf_dir, ("part", "supplier", "nation", "region"))
+    part = (
+        t["part"]
+        .filter(F.col("p_size").between(10, 25) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    region = t["region"].filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    nat = t["nation"].join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supp = t["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    ps = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    min_cost = ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        ps.join(
+            F.broadcast(min_cost),
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock identification (nation GERMANY →
+    NATION_3, a nation with suppliers at every SF; fraction 0.0001 → value·10000 > total, an exact integer-
+    scaled decimal comparison immune to double rounding at the HAVING
+    boundary). Scalar-total subquery + HAVING-over-aggregate, verbatim.
+
+    Plan: the national partsupp slice is computed once and reused for
+    both the per-part aggregate and the grand total (grand total is a
+    1-row broadcast — no second scan of lineitem thanks to the derived
+    view being the shuffle result).
+    """
+    t = _t(spark, sf_dir, ("supplier", "nation"))
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    supp = t["supplier"].join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    ).select("s_suppkey")
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(30,6)")
+    per_part = ps.groupBy("ps_partkey").agg(F.sum(val).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_dec") * 10000 > F.col("total_dec"))
+        .select("ps_partkey", F.col("value_dec").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship (supplier-complaint NOT IN
+    becomes s_acctbal < 0 — the comment column is absent; brand/type/size
+    exclusions adapted to this domain: brand <> Brand#4, type <> MEDIUM,
+    size IN 8 values). COUNT(DISTINCT) over an anti-joined partsupp,
+    verbatim shape.
+
+    Plan: the excluded-supplier set is tiny → broadcast anti-join before
+    the distinct aggregate; part filters push to the part scan and the
+    join to part broadcasts.
+    """
+    t = _t(spark, sf_dir, ("part", "supplier"))
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(bad_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_concentrated_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion. Adapted: ps_availqty here is
+    total shipped quantity, so the "availqty > half the year's shipments"
+    test becomes its meaningful inverse — suppliers of 'small%' parts in
+    NATION_3 whose 1997 shipments of a part exceed half their all-time
+    shipments of it (2·qty_1997 > ps_availqty, exact decimals on both
+    sides). The nested IN-chain (supplier IN (partsupp IN (part) with a
+    correlated lineitem sum)) is the verbatim shape, decorrelated into
+    aggregate-then-join.
+
+    Plan: part filter broadcasts into both the 1997 lineitem aggregate
+    and the partsupp view before their (partkey, suppkey) equi-join —
+    both aggregates shuffle on the same composite key so AQE can plan a
+    co-partitioned join.
+    """
+    t = _t(spark, sf_dir, ("part", "supplier", "nation", "lineitem"))
+    part = t["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    li97 = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("qty_1997"))
+    )
+    ps = _partsupp(spark, sf_dir).join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    strong = (
+        ps.join(
+            li97,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("qty_1997") * 2 > F.col("ps_availqty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(strong, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 QUERIES = {
     "tpch_q01_pricing_summary": q01_pricing_summary,
+    "tpch_q02_min_cost_supplier": q02_min_cost_supplier,
     "tpch_q03_shipping_priority": q03_shipping_priority,
     "tpch_q04_order_priority_check": q04_order_priority_check,
     "tpch_q05_local_supplier_volume": q05_local_supplier_volume,
@@ -565,13 +756,16 @@ QUERIES = {
     "tpch_q08_market_share": q08_market_share,
     "tpch_q09_product_profit": q09_product_profit,
     "tpch_q10_returned_items": q10_returned_items,
+    "tpch_q11_important_stock": q11_important_stock,
     "tpch_q12_late_shipments": q12_late_shipments,
     "tpch_q13_customer_distribution": q13_customer_distribution,
     "tpch_q14_promo_revenue": q14_promo_revenue,
     "tpch_q15_top_supplier": q15_top_supplier,
+    "tpch_q16_supplier_part_counts": q16_supplier_part_counts,
     "tpch_q17_small_quantity_revenue": q17_small_quantity_revenue,
     "tpch_q18_large_volume_customers": q18_large_volume_customers,
     "tpch_q19_discounted_revenue": q19_discounted_revenue,
+    "tpch_q20_concentrated_shippers": q20_concentrated_shippers,
     "tpch_q21_waiting_suppliers": q21_waiting_suppliers,
     "tpch_q22_global_sales_opportunity": q22_global_sales_opportunity,
 }
@@ -579,6 +773,76 @@ QUERIES = {
 _REV_SQL = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))"
 
 ORACLE = {
+    "tpch_q02_min_cost_supplier": f"""
+        WITH ps AS ({_PARTSUPP_SQL}),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        slice AS (
+            SELECT ps.*, eu.s_name, eu.s_acctbal, eu.n_name
+            FROM ps JOIN eu ON ps_suppkey = s_suppkey
+            WHERE ps_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_size BETWEEN 10 AND 25 AND p_type = 'LARGE')
+        )
+        SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+               CAST(ps_supplycost AS DOUBLE) AS supplycost
+        FROM slice
+        WHERE ps_supplycost = (SELECT MIN(s2.ps_supplycost) FROM slice s2
+                               WHERE s2.ps_partkey = slice.ps_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q11_important_stock": f"""
+        WITH ps AS ({_PARTSUPP_SQL}),
+        national AS (
+            SELECT ps_partkey,
+                   SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(30,6))) AS value_dec
+            FROM ps
+            WHERE ps_suppkey IN (
+                SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3')
+            GROUP BY ps_partkey
+        )
+        SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS value
+        FROM national
+        WHERE value_dec * 10000 > (SELECT SUM(value_dec) FROM national)
+        ORDER BY value DESC, ps_partkey
+    """,
+    "tpch_q16_supplier_part_counts": f"""
+        WITH ps AS ({_PARTSUPP_SQL})
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> 'Brand#4' AND p_type <> 'MEDIUM'
+          AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "tpch_q20_concentrated_shippers": f"""
+        WITH ps AS ({_PARTSUPP_SQL}),
+        small_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        li97 AS (
+            SELECT l_partkey, l_suppkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty_1997
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_partkey IN (SELECT p_partkey FROM small_parts)
+            GROUP BY 1, 2
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier
+        WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+          AND s_suppkey IN (
+            SELECT ps_suppkey
+            FROM ps JOIN li97 ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+            WHERE ps_partkey IN (SELECT p_partkey FROM small_parts)
+              AND qty_1997 * 2 > ps_availqty)
+        ORDER BY s_name
+    """,
     "tpch_q01_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

@@ -179,3 +179,58 @@ def test_profile_table_nulls_and_types(spark):
     assert (prof["s"].n_nulls, prof["s"].n_distinct) == (1, 2)
     assert (prof["dead"].n_nulls, prof["dead"].n_distinct) == (4, 0)
     assert prof["dead"].min_value is None and prof["dead"].max_value is None
+
+
+def test_incremental_neardup_equals_cross_bruteforce(spark, sf_dir):
+    """Incremental (batch-vs-base) MinHash dedup must return exactly the
+    cross-sided subset of the brute-force pair set — no base×base or
+    batch×batch pair, nothing missed (LSH recall=1 on this corpus)."""
+    from bigdatamanagement_spark.queries.extensions import BATCH_MOD
+
+    is_batch = lambda d: d % BATCH_MOD == BATCH_MOD - 1
+    full = E.minhash_lsh_pairs(spark, sf_dir).collect()
+    want = {
+        ((a, b) if is_batch(a) else (b, a), j)
+        for a, b, j in ((r.doc_a, r.doc_b, r.jaccard) for r in full)
+        if is_batch(a) != is_batch(b)
+    }
+    got = {
+        ((r.new_doc, r.dup_of), r.jaccard)
+        for r in E.incremental_neardup(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_bm25_results_contain_query_terms(spark, sf_dir):
+    """Every BM25 hit must actually contain ≥ n_terms distinct query
+    terms, and ranks must be dense from 1."""
+    from bigdatamanagement_spark.queries.extensions import BM25_QUERY, _docs
+
+    hits = E.bm25_search(spark, sf_dir).collect()
+    assert [r.rank for r in hits] == list(range(1, len(hits) + 1))
+    texts = dict(
+        _docs(spark, sf_dir)
+        .filter("doc_id in (%s)" % ",".join(str(r.doc_id) for r in hits))
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in hits:
+        present = {t for t in BM25_QUERY if t in texts[r.doc_id].split()}
+        assert len(present) == r.n_terms
+
+
+def test_tfidf_rare_terms_outscore_common(spark, sf_dir):
+    """Within a doc, a term with strictly smaller df and tf >= the other
+    must never score lower (idf monotonicity sanity)."""
+    rows = E.tfidf_top_terms(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    checked = 0
+    for rs in by_doc.values():
+        for a in rs:
+            for b in rs:
+                if a.df < b.df and a.tf >= b.tf:
+                    assert a.score_micro >= b.score_micro
+                    checked += 1
+    assert checked

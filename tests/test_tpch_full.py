@@ -13,6 +13,7 @@ from tests.conftest import assert_matches_oracle
 
 NONEMPTY = {
     "tpch_q01_pricing_summary",
+    "tpch_q02_min_cost_supplier",
     "tpch_q03_shipping_priority",
     "tpch_q04_order_priority_check",
     "tpch_q05_local_supplier_volume",
@@ -21,11 +22,14 @@ NONEMPTY = {
     "tpch_q08_market_share",
     "tpch_q09_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
     "tpch_q12_late_shipments",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q20_concentrated_shippers",
     "tpch_q19_discounted_revenue",
     "tpch_q22_global_sales_opportunity",
 }
