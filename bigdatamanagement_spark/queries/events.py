@@ -321,7 +321,63 @@ def event_gap_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event transition counts: for each user's time-ordered
+    stream, count (prev_type -> next_type) adjacencies, with row-share in
+    exact basis points. One user-keyed shuffle (the lag window), then a
+    25-row aggregate — the path-analysis primitive behind "what do users
+    do after X".
+    """
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(F.broadcast(row_tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.floor(F.lit(10000) * F.col("n") / F.col("row_n")).cast("long").alias("share_bp"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup→view→click→purchase: users reaching each
+    step (strictly-increasing timestamps) + basis-point conversion.
+    One user-keyed shuffle — the per-user step walk is a single sorted
+    array fold, not a per-step join cascade (operators/funnel.py)."""
+    from bigdatamanagement_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention triangle (offsets 0..7): cohort = first
+    activity date; retained-at-k = active on cohort_day+k; exact
+    integer basis points (operators/funnel.py)."""
+    from bigdatamanagement_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), max_offset_days=7)
+
+
 QUERIES = {
+    "t17_event_transition_matrix": event_transition_matrix,
+    "t17_funnel_signup_purchase": funnel_signup_purchase,
+    "t17_cohort_retention": cohort_retention_daily,
     "t17_approx_value_quantiles_by_type": approx_value_quantiles_by_type,
     "t17_user_running_value": user_running_value,
     "t17_event_gap_deltas": event_gap_deltas,
@@ -340,6 +396,55 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t17_event_transition_matrix": """
+        WITH pairs AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ),
+        counted AS (
+            SELECT prev_type, next_type, COUNT(*) AS n FROM pairs
+            WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        ),
+        tot AS (SELECT prev_type, SUM(n) AS row_n FROM counted GROUP BY 1)
+        SELECT prev_type, next_type, n,
+               CAST(floor(10000 * n / row_n) AS BIGINT) AS share_bp
+        FROM counted JOIN tot USING (prev_type)
+        ORDER BY prev_type, next_type
+    """,
+    "t17_funnel_signup_purchase": """
+        WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+               WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+               WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+        s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e JOIN s3 USING (user_id)
+               WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1),
+        n AS (SELECT (SELECT count(*) FROM s1) AS n1, (SELECT count(*) FROM s2) AS n2,
+                     (SELECT count(*) FROM s3) AS n3, (SELECT count(*) FROM s4) AS n4)
+        SELECT * FROM (
+            SELECT 1 AS step_no, 'signup' AS event_type, n1 AS n_users,
+                   CAST(floor(10000 * n1 / n1) AS BIGINT) AS conv_bp FROM n
+            UNION ALL SELECT 2, 'view', n2, CAST(floor(10000 * n2 / n1) AS BIGINT) FROM n
+            UNION ALL SELECT 3, 'click', n3, CAST(floor(10000 * n3 / n1) AS BIGINT) FROM n
+            UNION ALL SELECT 4, 'purchase', n4, CAST(floor(10000 * n4 / n1) AS BIGINT) FROM n
+        ) ORDER BY step_no
+    """,
+    "t17_cohort_retention": """
+        WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohorts AS (SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY 1),
+        sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohorts GROUP BY 1),
+        ret AS (SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_active
+                FROM acts JOIN cohorts USING (user_id)
+                WHERE day - cohort_day BETWEEN 0 AND 7
+                GROUP BY 1, 2)
+        SELECT r.cohort_day, day_offset, n_active, cohort_size,
+               CAST(floor(10000 * n_active / cohort_size) AS BIGINT) AS retention_bp
+        FROM ret r JOIN sizes USING (cohort_day)
+        ORDER BY cohort_day, day_offset
+    """,
     "t17_user_running_value": """
         SELECT user_id, event_id,
                ROUND(SUM(ROUND(value, 2)) OVER (

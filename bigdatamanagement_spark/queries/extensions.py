@@ -96,6 +96,81 @@ def bm25_search(spark, sf_dir) -> DataFrame:
     return SR.bm25_search(_docs(spark, sf_dir), BM25_QUERY, topk=10).orderBy("rank")
 
 
+def countmin_tokens(spark, sf_dir) -> DataFrame:
+    """Count-min sketch (4×64, md5-sliced buckets) probed for the exact
+    top-20 tokens: (term, exact_cnt, cm_est), cm_est ≥ exact_cnt always
+    (one-sided error). The sketch is the mergeable bounded-memory
+    replacement for an exact vocab count at 100 TB; the exact counts
+    here exist to exhibit the error bound (operators/sketch.py)."""
+    from bigdatamanagement_spark.operators import sketch as SK
+
+    occ = (
+        _docs(spark, sf_dir)
+        .select(F.explode_outer(T.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    sk = SK.countmin_build(occ, depth=4, width=64)
+    exact = occ.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "term").limit(20)
+    est = SK.countmin_probe(sk, probes.select("term"), depth=4, width=64)
+    return (
+        probes.join(est, "term")
+        .select("term", "exact_cnt", "cm_est")
+        .orderBy(F.desc("exact_cnt"), "term")
+    )
+
+
+def fuzzy_name_pairs(spark, sf_dir) -> DataFrame:
+    """Record linkage over the customer table: within-nation customer
+    pairs whose names are ≤ 2 edits apart (operators/linkage.py) —
+    blocked Levenshtein with threshold early-exit."""
+    from bigdatamanagement_spark.operators.linkage import blocked_fuzzy_pairs
+
+    cust = load_testdata(spark, sf_dir, tables=("customer",), register=False)["customer"]
+    return blocked_fuzzy_pairs(
+        cust, "c_custkey", "c_name", "c_nationkey", max_dist=2
+    ).orderBy("rec_a", "rec_b")
+
+
+def source_kl_divergence(spark, sf_dir) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution from
+    the corpus distribution, in integer micro-nats: (source, n_tokens,
+    kl_micro). The mixture-drift monitor of a multi-source pretraining
+    pipeline — a source whose KL jumps between snapshots changed its
+    content mix.
+
+    Determinism: each (source, token) term p_s·ln(p_s/p_c) is rounded to
+    integer micros BEFORE the per-source sum (aggregation-order-proof;
+    the same discipline as unigram_lm_scores). All counts flow from ONE
+    (source, token)-keyed aggregate; the vocab totals broadcast back
+    (token-keyed sort-merge join at 100 TB vocab sizes).
+    """
+    d = _docs(spark, sf_dir)
+    occ = d.select(
+        "source", F.explode_outer(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isNotNull())
+    st = occ.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("total_s"))
+    t_tot = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    tot = t_tot.agg(F.sum("c_t").alias("total"))
+    ps = F.col("c_st").cast("double") / F.col("total_s")
+    pc = F.col("c_t").cast("double") / F.col("total")
+    tm = F.round(F.lit(1000000.0) * ps * F.log(ps / pc), 0).cast("long")
+    terms = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(F.broadcast(t_tot), "term")
+        .join(F.broadcast(tot))
+        .select("source", tm.alias("tm"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("tm").alias("kl_micro"))
+        .join(F.broadcast(s_tot), "source")
+        .select("source", F.col("total_s").alias("n_tokens"), "kl_micro")
+        .orderBy("source")
+    )
+
+
 # --- dedup ----------------------------------------------------------------
 
 
@@ -265,6 +340,9 @@ QUERIES = {
     "ext_tfidf_top_terms": tfidf_top_terms,
     "ext_bm25_search": bm25_search,
     "ext_incremental_neardup": incremental_neardup,
+    "ext_countmin_tokens": countmin_tokens,
+    "ext_source_kl_divergence": source_kl_divergence,
+    "ext_fuzzy_name_pairs": fuzzy_name_pairs,
     "ext_dedup_exact_groups": dedup_exact_groups,
     "ext_dedup_exact_survivors": dedup_exact_survivors,
     "ext_ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -366,6 +444,56 @@ ORACLE = {
             FROM scored)
         WHERE rank <= 10
         ORDER BY rank
+    """,
+    "ext_fuzzy_name_pairs": """
+        SELECT a.c_custkey AS rec_a, b.c_custkey AS rec_b,
+               levenshtein(a.c_name, b.c_name) AS dist
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 2
+        ORDER BY rec_a, rec_b
+    """,
+    "ext_source_kl_divergence": f"""
+        WITH occ AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+        st AS (SELECT source, term, COUNT(*) AS c_st FROM occ GROUP BY 1, 2),
+        s_tot AS (SELECT source, SUM(c_st) AS total_s FROM st GROUP BY 1),
+        t_tot AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY 1),
+        tot AS (SELECT SUM(c_t) AS total FROM t_tot),
+        terms AS (
+            SELECT source,
+                   CAST(round(CAST(1000000.0 AS DOUBLE)
+                        * (CAST(c_st AS DOUBLE) / total_s)
+                        * ln((CAST(c_st AS DOUBLE) / total_s)
+                             / (CAST(c_t AS DOUBLE) / total)), 0) AS BIGINT) AS tm
+            FROM st JOIN s_tot USING (source) JOIN t_tot USING (term), tot
+        )
+        SELECT source, total_s AS n_tokens, SUM(tm) AS kl_micro
+        FROM terms JOIN s_tot USING (source)
+        GROUP BY source, total_s
+        ORDER BY source
+    """,
+    "ext_countmin_tokens": f"""
+        WITH occ AS (SELECT unnest({_TOKS}) AS term FROM documents),
+        sketch AS (
+            SELECT i AS row,
+                   (('0x' || substring(md5(term), CAST(i * 8 + 1 AS INT), 8))::BIGINT) % 64 AS bucket,
+                   COUNT(*) AS cnt
+            FROM occ CROSS JOIN range(4) t(i)
+            GROUP BY 1, 2
+        ),
+        exact AS (SELECT term, COUNT(*) AS exact_cnt FROM occ GROUP BY 1),
+        probes AS (SELECT term, exact_cnt FROM exact
+                   ORDER BY exact_cnt DESC, term LIMIT 20),
+        pi AS (SELECT p.term, p.exact_cnt, i,
+                      (('0x' || substring(md5(p.term), CAST(i * 8 + 1 AS INT), 8))::BIGINT) % 64 AS bucket
+               FROM probes p CROSS JOIN range(4) t(i)),
+        est AS (
+            SELECT pi.term, MIN(coalesce(s.cnt, 0)) AS cm_est
+            FROM pi LEFT JOIN sketch s ON s.row = pi.i AND s.bucket = pi.bucket
+            GROUP BY 1
+        )
+        SELECT term, exact_cnt, cm_est FROM probes JOIN est USING (term)
+        ORDER BY exact_cnt DESC, term
     """,
     "ext_incremental_neardup": f"""
         WITH t AS (

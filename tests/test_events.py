@@ -106,3 +106,62 @@ def test_approx_quantiles_rank_guarantee(spark, sf_dir):
             lo = bisect.bisect_left([round(v, 4) for v in vals[et]], a) / n
             hi = bisect.bisect_right([round(v, 4) for v in vals[et]], a) / n
             assert lo - 2 * step <= q <= hi + 2 * step, (et, q, a, lo, hi, n)
+
+
+def test_funnel_strict_order_semantics(spark):
+    """Crafted events: a user whose purchase precedes the click must not
+    count as step 4; equal timestamps never advance a step (strict >)."""
+    import datetime as dt
+
+    from bigdatamanagement_spark.operators.funnel import funnel_counts, funnel_reach
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # u1: clean full funnel
+        (1, t0, "signup"), (1, t0 + s, "view"), (1, t0 + 2 * s, "click"),
+        (1, t0 + 3 * s, "purchase"),
+        # u2: purchase BEFORE click -> reaches click only
+        (2, t0, "signup"), (2, t0 + s, "view"), (2, t0 + 2 * s, "purchase"),
+        (2, t0 + 3 * s, "click"),
+        # u3: view at the SAME instant as signup -> strict > blocks step 2
+        (3, t0, "signup"), (3, t0, "view"),
+        # u4: never signed up -> reaches nothing
+        (4, t0, "view"), (4, t0 + s, "click"), (4, t0 + 2 * s, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["signup", "view", "click", "purchase"]
+    got = {r.step_no: (r.n_users, r.conv_bp) for r in funnel_counts(df, steps).collect()}
+    assert got == {1: (3, 10000), 2: (2, 6666), 3: (2, 6666), 4: (1, 3333)}
+    reach = {r.user_id: (r.t1, r.t2, r.t3, r.t4) for r in funnel_reach(df, steps).collect()}
+    assert reach[2][3] is None and reach[2][2] is not None
+    assert reach[3][1] is None
+    assert reach[4] == (None, None, None, None)
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    """Offset 0 is always 10000 bp with n_active = cohort_size; n_active
+    never exceeds cohort_size; offsets within bounds."""
+    rows = events.cohort_retention_daily(spark, sf_dir).collect()
+    assert rows
+    seen0 = 0
+    for r in rows:
+        assert 0 <= r.day_offset <= 7
+        assert r.n_active <= r.cohort_size
+        if r.day_offset == 0:
+            assert r.n_active == r.cohort_size and r.retention_bp == 10000
+            seen0 += 1
+    assert seen0 == len({r.cohort_day for r in rows})
+
+
+def test_transition_matrix_row_shares(spark, sf_dir):
+    """Per prev_type: floor'd shares sum within [10000 - (k-1), 10000]
+    and n sums match; every event_type appears as a prev."""
+    rows = events.event_transition_matrix(spark, sf_dir).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    assert len(by_prev) == 5
+    for rs in by_prev.values():
+        s = sum(r.share_bp for r in rs)
+        assert 10000 - (len(rs) - 1) <= s <= 10000

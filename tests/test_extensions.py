@@ -234,3 +234,117 @@ def test_tfidf_rare_terms_outscore_common(spark, sf_dir):
                     assert a.score_micro >= b.score_micro
                     checked += 1
     assert checked
+
+
+def test_countmin_one_sided_over_full_vocab(spark, sf_dir):
+    """cm_est >= exact for EVERY vocab term (not just the top-20 probe
+    set) — the count-min guarantee has no 'almost' cases."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.operators import sketch as SK
+    from bigdatamanagement_spark.operators import text as T
+    from bigdatamanagement_spark.queries.extensions import _docs
+
+    occ = (
+        _docs(spark, sf_dir)
+        .select(F.explode_outer(T.tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    sk = SK.countmin_build(occ, depth=4, width=64)
+    exact = occ.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    est = SK.countmin_probe(sk, exact.select("term"), depth=4, width=64)
+    bad = (
+        exact.join(est, "term")
+        .filter(F.col("cm_est") < F.col("exact_cnt"))
+        .count()
+    )
+    assert bad == 0
+    # sketch total mass equals stream length per row
+    n = occ.count()
+    per_row = {r.row: r.total for r in
+               sk.groupBy("row").agg(F.sum("cnt").alias("total")).collect()}
+    assert all(v == n for v in per_row.values()) and len(per_row) == 4
+
+
+def test_kl_divergence_nonnegative_and_zero_for_self(spark, sf_dir):
+    """KL(source‖corpus) is ≥ 0 up to integer-micro rounding slack
+    (±0.5 micro per vocab term); a single-source corpus gives exactly 0."""
+    import pyspark.sql.functions as F
+
+    rows = E.source_kl_divergence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_micro >= -2000, r
+    from bigdatamanagement_spark.queries.extensions import _docs
+
+    one = _docs(spark, sf_dir).withColumn("source", F.lit("only"))
+    # re-run the operator on a degenerate single-source corpus via a
+    # temporary loader shim
+    import bigdatamanagement_spark.queries.extensions as ext
+
+    orig = ext._docs
+    ext._docs = lambda s, d: one
+    try:
+        got = ext.source_kl_divergence(spark, sf_dir).collect()
+    finally:
+        ext._docs = orig
+    assert len(got) == 1 and got[0].kl_micro == 0
+
+
+def test_fuzzy_pairs_length_guard_lossless(spark, sf_dir):
+    """The length-difference pre-filter must not drop any true pair:
+    operator output == unguarded within-block brute force."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.catalog import load_testdata
+
+    cust = load_testdata(spark, sf_dir, tables=("customer",), register=False)["customer"]
+    s = cust.select("c_custkey", "c_name", "c_nationkey")
+    a, b = s.alias("a"), s.alias("b")
+    brute = {
+        (r.rec_a, r.rec_b, r.dist)
+        for r in a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("rec_a"),
+            F.col("b.c_custkey").alias("rec_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .collect()
+    }
+    got = {(r.rec_a, r.rec_b, r.dist) for r in E.fuzzy_name_pairs(spark, sf_dir).collect()}
+    assert got == brute and got
+
+
+def test_countmin_merge_equals_rebuild(spark, sf_dir):
+    """Sketches built per source slice then merged cell-wise must equal
+    the sketch built over the whole corpus — the mergeability property
+    that makes count-min the 100 TB path."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.operators import sketch as SK
+    from bigdatamanagement_spark.operators import text as T
+    from bigdatamanagement_spark.queries.extensions import _docs
+
+    d = _docs(spark, sf_dir)
+    occ = d.select(
+        "source", F.explode_outer(T.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isNotNull())
+    whole = {
+        (r.row, r.bucket): r.cnt for r in SK.countmin_build(occ).collect()
+    }
+    sources = [r.source for r in d.select("source").distinct().collect()]
+    merged: dict = {}
+    for s in sources[:4] + [None]:  # 4 slices + the remainder
+        part = (
+            occ.filter(F.col("source").isin(sources[:4]) == False)  # noqa: E712
+            if s is None
+            else occ.filter(F.col("source") == s)
+        )
+        for r in SK.countmin_build(part).collect():
+            merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.cnt
+    assert merged == whole
