@@ -22,6 +22,7 @@ from bigdatamanagement_spark.queries import (
     mutation,
     ncaa,
     pipeline,
+    quality,
     setops,
     stock,
     streaming_pack,
@@ -47,6 +48,7 @@ _PACKS = [
     streaming_pack,
     setops,
     traindata,
+    quality,
 ]
 
 

@@ -86,3 +86,63 @@ def countmin_probe(
         .groupBy("term")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )
+
+
+# --- Bloom filter ----------------------------------------------------------
+#
+# Bloom (CACM 1970) membership sketch with the same md5-sliced portable
+# hashing as count-min above, so build AND probe mirror exactly in DuckDB.
+# The canonical use at scale is the runtime semi-join filter: build over the
+# join keys of a *filtered* dimension, broadcast the bit set, and drop fact
+# rows whose key cannot be present BEFORE the shuffle of the real join —
+# what Spark's own runtime row-level filtering
+# (spark.sql.optimizer.runtime.bloomFilter.enabled, bloom_filter_agg /
+# might_contain) does automatically; this is the explicit, cross-engine-
+# checkable variant. One-sided: never a false negative, false-positive
+# rate ≈ (1 - e^{-kn/m})^k.
+
+
+def _bit(key: Column, hash_idx: int, m_bits: int) -> Column:
+    """Bit position of ``key`` for hash function ``hash_idx``: 8 md5 hex
+    chars (chars 8i+1..8i+8) parsed base-16, mod m."""
+    return (
+        F.conv(F.substring(F.md5(key), hash_idx * 8 + 1, 8), 16, 10).cast("long")
+        % m_bits
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str = "key", m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """Build the filter from a key table: returns the SET bit positions as
+    a 1-column DataFrame (bit). ≤ m rows, mergeable by union+distinct —
+    per-partition partial blooms OR together, exactly what the map-side
+    distinct before the single bit-keyed shuffle does here."""
+    assert k <= 4, "md5 yields 32 hex chars = 4 independent 8-char slices"
+    bits = F.array(*[_bit(F.col(key_col).cast("string"), i, m_bits) for i in range(k)])
+    return keys.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame, probes: DataFrame, key_col: str = "key",
+    m_bits: int = 4096, k: int = 4,
+) -> DataFrame:
+    """Membership-test each probe key: (key, bloom_pass) with bloom_pass=1
+    iff all k addressed bits are set. The bit set (≤ m rows) broadcasts;
+    the probe side never shuffles — the whole point of the pattern."""
+    melted = probes.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(*[_bit(F.col(key_col).cast("string"), i, m_bits) for i in range(k)])
+        ).alias("bit"),
+    )
+    hit = bloom.select("bit", F.lit(1).alias("is_set"))
+    return (
+        melted.join(F.broadcast(hit), "bit", "left")
+        .groupBy("key")
+        .agg(
+            (F.sum(F.coalesce(F.col("is_set"), F.lit(0))) == F.lit(k))
+            .cast("int")
+            .alias("bloom_pass")
+        )
+    )

@@ -374,7 +374,20 @@ def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_events(spark, sf_dir), max_offset_days=7)
 
 
+def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly grid per event_type with LOCF: every hour in each
+    type's observed span appears, missing hours get n_events=0 and carry
+    the last observed hourly sum forward (operators/gapfill.py) — the
+    time_bucket_gapfill/locf capability over the events stream."""
+    from bigdatamanagement_spark.operators.gapfill import gapfill_locf_hourly
+
+    return gapfill_locf_hourly(
+        _events(spark, sf_dir), ["event_type"], "ts", "value"
+    ).orderBy("event_type", "hr")
+
+
 QUERIES = {
+    "t17_hourly_gapfill_locf": hourly_gapfill_locf,
     "t17_event_transition_matrix": event_transition_matrix,
     "t17_funnel_signup_purchase": funnel_signup_purchase,
     "t17_cohort_retention": cohort_retention_daily,
@@ -396,6 +409,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t17_hourly_gapfill_locf": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS sum_micro
+            FROM events GROUP BY 1, 2
+        ),
+        spans AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                  FROM hourly GROUP BY 1),
+        grid AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                 FROM spans),
+        filled AS (
+            SELECT g.event_type, g.hr, h.n_events, h.sum_micro
+            FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+        )
+        SELECT event_type, hr,
+               CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+               CAST(COALESCE(sum_micro, 0) AS BIGINT) AS sum_value_micro,
+               last_value(sum_micro IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_value_micro,
+               CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM filled ORDER BY event_type, hr
+    """,
     "t17_event_transition_matrix": """
         WITH pairs AS (
             SELECT lag(event_type) OVER (PARTITION BY user_id

@@ -120,6 +120,45 @@ def countmin_tokens(spark, sf_dir) -> DataFrame:
     )
 
 
+BLOOM_SEGMENT = "BUILDING"
+BLOOM_M = 4096
+BLOOM_K = 4
+
+
+def bloom_semijoin_filter(spark, sf_dir) -> DataFrame:
+    """Bloom-filter runtime semi-join pre-filter (operators/sketch.py):
+    build a 4096-bit/4-hash bloom over the custkeys of one market
+    segment, probe every distinct orders custkey, and report the
+    one-sided membership outcome — (n_probe_keys, n_bloom_pass,
+    n_true_match, n_false_pos). n_bloom_pass ≥ n_true_match always and
+    n_false_pos is the ~0.4% overshoot; at 100 TB this bit set is what
+    gets broadcast to drop fact rows BEFORE the join shuffle (Spark's
+    runtime row-level filtering does this implicitly; this is the
+    explicit cross-engine-checkable form)."""
+    from bigdatamanagement_spark.operators import sketch as SK
+
+    t = load_testdata(spark, sf_dir, tables=("customer", "orders"), register=False)
+    dim = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    bloom = SK.bloom_build(dim, "key", m_bits=BLOOM_M, k=BLOOM_K)
+    probes = t["orders"].select(F.col("o_custkey").alias("key")).distinct()
+    passed = SK.bloom_probe(bloom, probes, "key", m_bits=BLOOM_M, k=BLOOM_K)
+    flagged = passed.join(
+        F.broadcast(dim.withColumn("is_true", F.lit(1))), "key", "left"
+    ).select("bloom_pass", F.coalesce(F.col("is_true"), F.lit(0)).alias("is_true"))
+    return flagged.agg(
+        F.count("*").cast("long").alias("n_probe_keys"),
+        F.sum("bloom_pass").cast("long").alias("n_bloom_pass"),
+        F.sum("is_true").cast("long").alias("n_true_match"),
+        F.sum(((F.col("bloom_pass") == 1) & (F.col("is_true") == 0)).cast("int"))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+
+
 def fuzzy_name_pairs(spark, sf_dir) -> DataFrame:
     """Record linkage over the customer table: within-nation customer
     pairs whose names are ≤ 2 edits apart (operators/linkage.py) —
@@ -341,6 +380,7 @@ QUERIES = {
     "ext_bm25_search": bm25_search,
     "ext_incremental_neardup": incremental_neardup,
     "ext_countmin_tokens": countmin_tokens,
+    "ext_bloom_semijoin_filter": bloom_semijoin_filter,
     "ext_source_kl_divergence": source_kl_divergence,
     "ext_fuzzy_name_pairs": fuzzy_name_pairs,
     "ext_dedup_exact_groups": dedup_exact_groups,
@@ -395,7 +435,38 @@ _JACCARD_BASE = f"""
 
 _BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
 
+_BLOOM_BIT = (
+    "(('0x' || substring(md5(key::VARCHAR), CAST(i * 8 + 1 AS INT), 8))::BIGINT)"
+    f" % {BLOOM_M}"
+)
+
 ORACLE = {
+    "ext_bloom_semijoin_filter": f"""
+        WITH dim AS (SELECT c_custkey AS key FROM customer
+                     WHERE c_mktsegment = '{BLOOM_SEGMENT}'),
+        bits AS (SELECT DISTINCT {_BLOOM_BIT} AS bit
+                 FROM dim CROSS JOIN range({BLOOM_K}) t(i)),
+        probes AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        pk AS (SELECT key, {_BLOOM_BIT} AS bit
+               FROM probes CROSS JOIN range({BLOOM_K}) t(i)),
+        passed AS (
+            SELECT key,
+                   CASE WHEN SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                             = {BLOOM_K} THEN 1 ELSE 0 END AS bloom_pass
+            FROM pk LEFT JOIN bits b USING (bit) GROUP BY key
+        ),
+        flagged AS (
+            SELECT p.bloom_pass,
+                   CASE WHEN d.key IS NOT NULL THEN 1 ELSE 0 END AS is_true
+            FROM passed p LEFT JOIN dim d ON d.key = p.key
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+               CAST(SUM(bloom_pass) AS BIGINT) AS n_bloom_pass,
+               CAST(SUM(is_true) AS BIGINT) AS n_true_match,
+               CAST(SUM(CASE WHEN bloom_pass = 1 AND is_true = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_false_pos
+        FROM flagged
+    """,
     "ext_tfidf_top_terms": f"""
         WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
         dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY 1, 2),

@@ -165,3 +165,31 @@ def test_transition_matrix_row_shares(spark, sf_dir):
     for rs in by_prev.values():
         s = sum(r.share_bp for r in rs)
         assert 10000 - (len(rs) - 1) <= s <= 10000
+
+
+def test_gapfill_dense_grid_and_locf(spark, sf_dir):
+    """Grid is dense (one row per hour in each key's span), gap rows are
+    zero-count, and LOCF equals the chronologically previous observed
+    hourly sum — checked on a crafted frame with a 3-hour hole."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.operators.gapfill import gapfill_locf_hourly
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 1.5),
+        ("a", dt.datetime(2024, 1, 1, 0, 40), 2.5),
+        ("a", dt.datetime(2024, 1, 1, 4, 5), 10.0),
+        ("b", dt.datetime(2024, 1, 1, 2, 0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = gapfill_locf_hourly(df, ["event_type"], "ts", "value")
+    got = {(r.event_type, r.hr.hour): r for r in out.collect()}
+    assert len(got) == 6  # a: hours 0..4 (5 rows), b: hour 2 only
+    for h in (1, 2, 3):
+        r = got[("a", h)]
+        assert r.is_gap == 1 and r.n_events == 0 and r.sum_value_micro == 0
+        assert r.locf_value_micro == 4_000_000  # carried from hour 0 (1.5+2.5)
+    assert got[("a", 4)].locf_value_micro == 10_000_000
+    assert got[("b", 2)].is_gap == 0 and got[("b", 2)].sum_value_micro == 7_000_000

@@ -348,3 +348,27 @@ def test_countmin_merge_equals_rebuild(spark, sf_dir):
         for r in SK.countmin_build(part).collect():
             merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.cnt
     assert merged == whole
+
+
+def test_bloom_one_sided_and_mergeable(spark, sf_dir):
+    """Bloom guarantees: (a) every key the filter was built from passes
+    (zero false negatives, no 'almost' cases); (b) partial blooms OR
+    (union+distinct) into exactly the bloom of the union — the map-side
+    merge the build relies on."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.catalog import load_testdata
+    from bigdatamanagement_spark.operators import sketch as SK
+
+    cust = load_testdata(spark, sf_dir, tables=("customer",), register=False)[
+        "customer"
+    ].select(F.col("c_custkey").alias("key"))
+    bloom = SK.bloom_build(cust, "key")
+    probed = SK.bloom_probe(bloom, cust.distinct(), "key")
+    assert probed.filter(F.col("bloom_pass") == 0).count() == 0
+
+    a = SK.bloom_build(cust.filter(F.col("key") % 2 == 0), "key")
+    b = SK.bloom_build(cust.filter(F.col("key") % 2 == 1), "key")
+    merged = {r.bit for r in a.union(b).distinct().collect()}
+    whole = {r.bit for r in bloom.collect()}
+    assert merged == whole
