@@ -68,6 +68,31 @@ def hashed_shingle_sets(
     return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
 
 
+def portable_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(doc_id, sh: array<long>) — distinct 60-bit md5-slice k-word
+    shingle hashes behind the same optimizer fence as
+    ``hashed_shingle_sets``. 15 hex chars parsed base-16 fit a signed
+    long on both engines, so the DuckDB twin is exactly
+    ``('0x' || substring(md5(s), 1, 15))::BIGINT`` — used where the
+    downstream op needs a cross-engine oracle (portable SimHash);
+    xxhash64 stays the default elsewhere (cheaper, 64 full bits)."""
+    sh = F.array_sort(
+        F.shuffle(
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(tokens(F.col(text_col)), k),
+                    lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast(
+                        "long"
+                    ),
+                )
+            )
+        )
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh"))
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_docs, keep_id, doc_ids).
 
@@ -419,25 +444,41 @@ def _shl1(b: Column) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    bits: int = 60,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on any equal 16-bit chunk, confirm
-    by Hamming distance ≤ max_hamming (bit_count of xor).
+    """Near-dup pairs by SimHash: block on any equal (bits/4)-bit chunk,
+    confirm by Hamming distance ≤ max_hamming (bit_count of xor).
+
+    Feature hashes are the PORTABLE md5-slice 60-bit kind
+    (portable_shingle_hashes), so the whole pipeline — feature hashing,
+    bit votes, chunk blocking, Hamming confirm — has an exact DuckDB
+    mirror (queries/extensions.py ext_simhash_pairs oracle). Blocking is
+    pigeonhole-lossless only for hamming < 4; above that it is the
+    standard approximate trade (mirrored identically in the oracle).
 
     Feature hashes are computed behind the optimizer fence (same
-    recompute hazards as MinHash), folded to the 64-bit signature, and
-    candidates come from GROUPING each 16-bit-chunk bucket (one
-    evaluation of the signature pipeline) rather than a chunk self-join
-    (two). The signature rides in the bucket members, so the Hamming
-    distance is computed inline — no join-back at all."""
-    hashed = hashed_shingle_sets(df, id_col, text_col, 3)
-    s = hashed.select("doc_id", simhash_from_hashes(F.col("sh")).alias("sim"))
+    recompute hazards as MinHash), folded to the signature, and
+    candidates come from GROUPING each chunk bucket (one evaluation of
+    the signature pipeline) rather than a chunk self-join (two). The
+    signature rides in the bucket members, so the Hamming distance is
+    computed inline — no join-back at all."""
+    assert bits % 4 == 0
+    chunk_bits = bits // 4
+    mask = (1 << chunk_bits) - 1
+    hashed = portable_shingle_hashes(df, id_col, text_col, 3)
+    s = hashed.select("doc_id", simhash_from_hashes(F.col("sh"), bits).alias("sim"))
     chunks = s.select(
         F.struct("doc_id", "sim").alias("m"),
         F.posexplode_outer(  # outer: avoid inferred-filter pushdown (see above)
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("sim"), chunk_bits * i).bitwiseAND(
+                        F.lit(mask)
+                    )
                     for i in range(4)
                 ]
             )

@@ -65,7 +65,9 @@ def gapfill_locf_hourly(
     )
     return filled.select(
         *keys,
-        "hr",
+        # ntz: Arrow export must not carry a UTC offset the SQL oracle
+        # side (naive timestamps) doesn't have — session tz is UTC.
+        F.col("hr").cast("timestamp_ntz").alias("hr"),
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
         F.coalesce("sum_micro", F.lit(0)).cast("long").alias("sum_value_micro"),
         F.last("sum_micro", ignorenulls=True).over(w).alias("locf_value_micro"),

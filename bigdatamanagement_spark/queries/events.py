@@ -352,6 +352,29 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary importance of event types: weighted PageRank (5 exact-
+    integer power iterations, damping 0.85) over the Markov transition
+    graph of per-user event streams (operators/pagerank.py). The edge
+    build is the same single user-keyed lag-window shuffle as the
+    transition matrix; each iteration is then one tiny dst-keyed
+    aggregate over the 25-edge graph."""
+    from bigdatamanagement_spark.operators.pagerank import pagerank
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    edges = (
+        e.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    return pagerank(edges, iters=5).orderBy(F.desc("rank_micro"), "node")
+
+
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
 
@@ -387,6 +410,7 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "t17_event_type_pagerank": event_type_pagerank,
     "t17_hourly_gapfill_locf": hourly_gapfill_locf,
     "t17_event_transition_matrix": event_transition_matrix,
     "t17_funnel_signup_purchase": funnel_signup_purchase,
@@ -408,7 +432,18 @@ QUERIES = {
     "t17_scd2_purchase_history": scd2_purchase_history,
 }
 
+from bigdatamanagement_spark.operators.pagerank import pagerank_oracle_sql as _pr_sql
+
+_PR_EDGES = """edges AS (
+    SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+    FROM (SELECT lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts ASC, event_id ASC) AS prev_type, event_type
+          FROM events)
+    WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)"""
+
 ORACLE = {
+    "t17_event_type_pagerank": _pr_sql(_PR_EDGES, damping_bp=8500, iters=5),
     "t17_hourly_gapfill_locf": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -6,9 +6,11 @@ similarity search (brute-force + hyperplane-LSH). Every SQL-expressible
 operator ships a DuckDB oracle mirror — including MinHash-LSH, whose
 oracle is the brute-force exact-Jaccard pair set (validated locally: the
 banding parameters catch every pair above threshold on this data; the
-recall bound is also asserted in tests). SimHash and LSH-ANN are
-rows-only (xxhash64 has no DuckDB twin); their quality is pinned by
-recall tests against the exact baselines instead.
+recall bound is also asserted in tests). SimHash runs on PORTABLE
+60-bit md5-slice feature hashes (dedup.portable_shingle_hashes), so its
+whole pipeline — votes, chunk blocking, Hamming confirm — has an exact
+DuckDB mirror. LSH-ANN stays rows-only (hyperplanes from xxhash64,
+no DuckDB twin); its quality is pinned by recall tests instead.
 """
 
 from __future__ import annotations
@@ -261,7 +263,8 @@ def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
 
 
 def simhash_pairs(spark, sf_dir) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming ≤ 8); rows-only check."""
+    """Portable SimHash-60 near-dup pairs (hamming ≤ 8, md5-slice feature
+    hashes, 15-bit chunk blocking) — oracle-checked bit-for-bit."""
     return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text").orderBy("doc_a", "doc_b")
 
 
@@ -466,6 +469,45 @@ ORACLE = {
                CAST(SUM(CASE WHEN bloom_pass = 1 AND is_true = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_false_pos
         FROM flagged
+    """,
+    # Portable SimHash mirror: same 60-bit md5-slice feature hashes, same
+    # majority-vote bit rule (2·ones > n), same 4×15-bit chunk blocking,
+    # same Hamming confirm — docs with no shingles carry signature 0 on
+    # both engines (Spark's fold over an empty array sets no bits).
+    "ext_simhash_pairs": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform({_SHINGLES},
+                       s -> ('0x' || substring(md5(s), 1, 15))::BIGINT)) AS fh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        f AS (SELECT doc_id, unnest(fh) AS hv FROM t),
+        n AS (SELECT doc_id, COUNT(*) AS nf FROM f GROUP BY 1),
+        votes AS (
+            SELECT doc_id, b, SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE 0 END) AS ones
+            FROM f CROSS JOIN range(60) r(b) GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT v.doc_id,
+                   CAST(SUM(CASE WHEN 2 * ones > nf
+                                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sim
+            FROM votes v JOIN n USING (doc_id) GROUP BY 1
+        ),
+        sig_all AS (
+            SELECT t.doc_id, COALESCE(s.sim, 0) AS sim
+            FROM t LEFT JOIN sig s USING (doc_id)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM sig_all a JOIN sig_all b ON a.doc_id < b.doc_id
+            WHERE ((a.sim >> 0) & 32767) = ((b.sim >> 0) & 32767)
+               OR ((a.sim >> 15) & 32767) = ((b.sim >> 15) & 32767)
+               OR ((a.sim >> 30) & 32767) = ((b.sim >> 30) & 32767)
+               OR ((a.sim >> 45) & 32767) = ((b.sim >> 45) & 32767)
+        )
+        SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+        ORDER BY doc_a, doc_b
     """,
     "ext_tfidf_top_terms": f"""
         WITH occ AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),

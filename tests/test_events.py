@@ -193,3 +193,23 @@ def test_gapfill_dense_grid_and_locf(spark, sf_dir):
         assert r.locf_value_micro == 4_000_000  # carried from hour 0 (1.5+2.5)
     assert got[("a", 4)].locf_value_micro == 10_000_000
     assert got[("b", 2)].is_gap == 0 and got[("b", 2)].sum_value_micro == 7_000_000
+
+
+def test_pagerank_semantics(spark):
+    """On a crafted sink-free 3-node graph: (a) total rank mass stays
+    ≈ 1e6 (floor losses only), (b) the node every edge points at outranks
+    the others, (c) the 5-iteration result is reproducible exactly (pure
+    integer arithmetic)."""
+    from bigdatamanagement_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "c", 3), ("b", "c", 1), ("c", "a", 2), ("c", "b", 2)],
+        "src string, dst string, w long",
+    )
+    out1 = {r.node: r.rank_micro for r in pagerank(edges, iters=5).collect()}
+    out2 = {r.node: r.rank_micro for r in pagerank(edges, iters=5).collect()}
+    assert out1 == out2
+    assert set(out1) == {"a", "b", "c"}
+    assert out1["c"] > out1["a"] == out1["b"]  # a, b: teleport-only twins
+    total = sum(out1.values())
+    assert 900000 < total <= 1000000  # floors only ever lose mass

@@ -56,6 +56,8 @@ def test_dedup_scan_filters_stay_cheap(spark, sf_dir):
     ):
         for cond in filter_exprs(fn(spark, sf_dir)):
             assert "xxhash64" not in cond, (fn.__name__, cond[:200])
+            # the portable (md5-slice) hash pipeline must stay fenced too
+            assert "md5" not in cond, (fn.__name__, cond[:200])
 
 
 def test_core_packs_have_no_python_udfs(spark, sf_dir):
