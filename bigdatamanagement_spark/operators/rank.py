@@ -1,0 +1,64 @@
+"""Exact global ranking without a one-partition window.
+
+``Window.orderBy(...)`` with no partitionBy funnels the entire input
+through a single task — the canonical 100 TB anti-pattern. This module
+computes exact 1-based global row numbers with the same two-phase shape
+as Spark's ``zipWithIndex`` (and traindata.pack_sequences' prefix sum):
+
+1. range-repartition by the order keys + sort within partitions, pin the
+   partitioning with ``localCheckpoint`` (the count pass and the window
+   pass must see identical partition boundaries);
+2. per-partition row counts to the driver (one row per partition — KB at
+   any scale) → exclusive prefix over partition ids, broadcast back;
+3. within-partition ``row_number`` (parallel across partitions) + the
+   partition's offset.
+
+Ties are the caller's responsibility: include a unique tiebreak column in
+``order_exprs`` or ranks are partition-placement-dependent.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def global_row_number(
+    df: DataFrame, order_exprs: Sequence[Column], rank_col: str = "rank"
+) -> tuple[DataFrame, int]:
+    """(df + ``rank_col``, total_rows): exact global row_number in
+    ``order_exprs`` order, distributed. Returns the total row count for
+    free (the driver already saw the per-partition counts)."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = staged.groupBy("_pid").count().collect()
+    acc, offsets = 0, []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["count"]
+    off = spark.createDataFrame(offsets, schema="_pid int, _poff bigint")
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    out = (
+        staged.join(F.broadcast(off), "_pid")
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("_poff")).cast("long"))
+        .drop("_pid", "_poff")
+    )
+    return out, acc
+
+
+def quantile_bucket(rank_col: str, n_rows: int, k: int) -> Column:
+    """Bucket 1..k from a 1-based global rank: 1 + floor((rank−1)·k / n).
+    Differs from SQL NTILE only in which buckets absorb the remainder
+    (NTILE front-loads; this formula back-loads) — chosen because it is
+    one integer expression, identical in Spark and DuckDB."""
+    return (
+        F.lit(1) + F.floor((F.col(rank_col) - 1) * k / F.lit(float(n_rows)))
+    ).cast("int")

@@ -123,10 +123,59 @@ def lineitem_count_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of customers: quartile scores (1 = best) for
+    Recency (latest order), Frequency (order count), Monetary (lifetime
+    spend in exact cents), concatenated into a segment label — the
+    classic CRM cohort operator.
+
+    The three exact global ranks come from operators/rank.py
+    global_row_number (range-repartition + per-partition counts +
+    within-partition row_number), NOT a one-partition Window.orderBy —
+    the rank is exact at any scale with nothing data-sized on the
+    driver. Ties (same order date, count, or spend) break on custkey,
+    so ranks are deterministic and the DuckDB row_number oracle matches
+    exactly. Bucketing uses 1 + floor((rank−1)·4/n) — one integer
+    expression, identical in both engines (ntile's remainder placement
+    differs; documented in quantile_bucket)."""
+    from bigdatamanagement_spark.operators.rank import (
+        global_row_number,
+        quantile_bucket,
+    )
+
+    base = (
+        _t(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("rec"),
+            F.count("*").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("mon_c"),
+        )
+    )
+    r, n = global_row_number(base, [F.desc("rec"), F.asc("custkey")], "rr")
+    f, _ = global_row_number(r, [F.desc("freq"), F.asc("custkey")], "fr")
+    m, _ = global_row_number(f, [F.desc("mon_c"), F.asc("custkey")], "mr")
+    scored = m.select(
+        "custkey",
+        quantile_bucket("rr", n, 4).alias("r_score"),
+        quantile_bucket("fr", n, 4).alias("f_score"),
+        quantile_bucket("mr", n, 4).alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    ).orderBy("custkey")
+
+
 QUERIES = {
     "t01_top10_recent_orders_america": top10_recent_orders_america,
     "t02_urgent_spend_largest_segment": urgent_spend_largest_segment,
     "t03_lineitem_count_by_priority": lineitem_count_by_priority,
+    "t02b_customer_rfm_segments": customer_rfm_segments,
 }
 
 ORACLE = {
@@ -169,5 +218,32 @@ ORACLE = {
           AND o.o_orderdate < TIMESTAMP '2003-04-01'
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority
+    """,
+    "t02b_customer_rfm_segments": """
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   MAX(o_orderdate) AS rec,
+                   COUNT(*) AS freq,
+                   SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS mon_c
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT custkey,
+                   row_number() OVER (ORDER BY rec DESC, custkey) AS rr,
+                   row_number() OVER (ORDER BY freq DESC, custkey) AS fr,
+                   row_number() OVER (ORDER BY mon_c DESC, custkey) AS mr
+            FROM base
+        ),
+        n AS (SELECT COUNT(*) AS n FROM base),
+        scored AS (
+            SELECT custkey,
+                   CAST(1 + ((rr - 1) * 4) // n AS INT) AS r_score,
+                   CAST(1 + ((fr - 1) * 4) // n AS INT) AS f_score,
+                   CAST(1 + ((mr - 1) * 4) // n AS INT) AS m_score
+            FROM ranked CROSS JOIN n
+        )
+        SELECT custkey, r_score, f_score, m_score,
+               r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+        FROM scored ORDER BY custkey
     """,
 }
