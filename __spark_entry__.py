@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdatamanagement_spark.queries import (
+    analytics,
     events,
     extensions,
     kv,
@@ -49,6 +50,7 @@ _PACKS = [
     setops,
     traindata,
     quality,
+    analytics,
 ]
 
 

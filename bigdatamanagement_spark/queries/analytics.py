@@ -1,0 +1,459 @@
+"""Advanced-analytics pack (T18/ext): RANGE-interval window frames,
+decile banding (ntile + percent_rank), sliding distinct counts, IQR
+outlier screening, chunk-level exact-substring dedup, deterministic
+stratified sampling, UNPIVOT/melt, and token-pair PMI.
+
+These extend the reference's aggregation/window vocabulary (SURVEY §2.4,
+§2.5 — Bigtable time-slice reads `Assignment 4/.../Bigtable.java:129-145`,
+Redis leaderboard ranks `Assignment 5/redis_client.py:443`) with the
+shapes a training-data/analytics pipeline needs that none of the seven
+reference assignments cover: time-interval frames, banded rank stats,
+sliding DISTINCT, robust outlier screens, span-level dedup, per-stratum
+sampling, wide↔long reshape, and co-occurrence association scores.
+
+Scale notes (100 TB):
+- trailing-hour RANGE frame: ONE user-keyed shuffle; frame lookback is
+  bounded by wall-clock (1 h), so per-row state is small regardless of
+  total volume. Same shuffle key as the other t17 window queries —
+  on a real pipeline these share one exchange.
+- rolling 7-day distinct actives: sliding COUNT(DISTINCT) does not
+  decompose into partial aggregates, so we EXPAND each (user, day)
+  activity into the ≤7 window-ends it serves and count per window-end.
+  Expansion factor is a constant 7 — linear, shuffle on day keys; the
+  classic alternative (self-join days × 7-day activity ranges) shuffles
+  the activity table 7× instead.
+- decile banding: ntile needs a total order per type — per-group sort,
+  acceptable because group count (event types) is small and AQE splits
+  skewed groups; at extreme cardinality switch to approx-quantile cuts.
+- chunk dedup: tokenize once, chunk narrowly (posexplode), hash to a
+  32-byte digest BEFORE the chunk-keyed shuffle (ship digests, not
+  text), then broadcast the (small) duplicated-chunk set back.
+- stratified sample: deterministic hash-rank top-n per stratum — one
+  shuffle on the stratum key, no RNG state, reproducible across runs
+  and engines (the property reservoir sampling cannot give).
+- PMI: vocabulary capped to top-50 by document frequency (broadcast),
+  per-doc intersect is array work inside codegen; pair space ≤ C(50,2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bigdatamanagement_spark.catalog import load_testdata
+
+_HOUR_US = 3600 * 1000000
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, tables=("events",), register=False)["events"]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, tables=("documents",), register=False)["documents"]
+
+
+def trailing_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18a — RANGE-interval frame: per event, the sum/count of the same
+    user's events in the trailing hour (inclusive). rangeBetween on
+    unix_micros == RANGE BETWEEN <us> PRECEDING; peers (equal ts) share
+    a frame on both engines, so no tiebreak column is needed."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-(_HOUR_US - 1), 0)
+    )
+    vmicro = F.round(F.col("value") * 1000000.0, 0).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(vmicro).over(w).alias("trailing_hr_micro"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+    ).orderBy("user_id", "event_id")
+
+
+def value_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18b — ntile(10) banding per event_type with exact percent_rank
+    band edges in integer basis points (integer division: no float in
+    the rank arithmetic, exact on both engines)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("vmicro"),
+        F.ntile(10).over(w).alias("decile"),
+        F.rank().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("cnt"),
+    )
+    return (
+        ranked.groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vmicro").alias("sum_micro"),
+            F.min(F.expr("(10000 * (rnk - 1)) div (cnt - 1)")).alias("lo_bp"),
+            F.max(F.expr("(10000 * (rnk - 1)) div (cnt - 1)")).alias("hi_bp"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18c — trailing-7-day distinct active users per calendar day.
+    Sliding COUNT(DISTINCT) does not merge from partials, so each
+    (user, day) activity is expanded to the ≤7 window-end days it
+    serves (constant fan-out), then counted per window-end over the
+    full min..max day grid."""
+    ev = _events(spark, sf_dir)
+    acts = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    span = acts.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    contrib = (
+        acts.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("w_day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("w_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(contrib, grid.day == contrib.w_day, "left")
+        .select(grid.day.alias("day"), F.coalesce("n", F.lit(0)).alias("active_users_7d"))
+        .orderBy("day")
+    )
+
+
+def iqr_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18d — Tukey-fence outlier screen per event_type: p25/p75 by
+    linear interpolation (the definition Spark `percentile` and DuckDB
+    `quantile_cont` share), fences at 1.5×IQR, count + bound the
+    flagged tail. The fence compare is on raw doubles — both engines
+    interpolate with the same formula on the same doubles."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
+    )
+    fenced = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "is_out",
+        (F.col("value") < F.col("p25") - 1.5 * (F.col("p75") - F.col("p25")))
+        | (F.col("value") > F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))),
+    )
+    return (
+        fenced.groupBy("event_type")
+        .agg(
+            F.round(F.first("p25"), 4).alias("p25"),
+            F.round(F.first("p75"), 4).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
+            F.round(F.min(F.when(F.col("is_out"), F.col("value"))), 4).alias("min_outlier"),
+            F.round(F.max(F.when(F.col("is_out"), F.col("value"))), 4).alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CHUNK_TOKENS = 10
+
+
+def chunk_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — chunk-level exact-substring dedup (the scalable stand-in
+    for suffix-array substring dedup, cf. Lee et al. "Deduplicating
+    Training Data Makes Language Models Better"): split each document
+    into consecutive 10-token chunks, hash each chunk, mark chunks
+    whose exact text occurs in ≥2 distinct documents, report per-doc
+    duplicated-span counts and the surviving token count."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("t")
+    ).withColumn("n_chunks", (F.size("t") / CHUNK_TOKENS).cast("int"))
+    # sequence(0, -1) DESCENDS in Spark (it's empty in DuckDB) — guard
+    # zero-chunk docs explicitly so both engines drop them identically.
+    chunks = toks.filter(F.col("n_chunks") > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice("t", i * CHUNK_TOKENS + 1, CHUNK_TOKENS), " ")
+                ),
+            )
+        ).alias("chunk_no", "h"),
+    )
+    dup_set = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = chunks.join(F.broadcast(dup_set.withColumn("dup", F.lit(1))), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.coalesce("dup", F.lit(0))).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_bp", F.expr("(10000 * n_dup_chunks) div n_chunks")
+        )
+        .withColumn(
+            "surviving_tokens",
+            (F.col("n_chunks") - F.col("n_dup_chunks")) * CHUNK_TOKENS,
+        )
+        .orderBy("doc_id")
+    )
+
+
+SAMPLE_PER_STRATUM = 5
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — deterministic stratified sampling: per (lang, source)
+    stratum take the SAMPLE_PER_STRATUM docs with the smallest
+    md5(doc_id) — a seedless, engine-portable reservoir: reproducible
+    across runs, engines, and partitionings (true reservoir sampling
+    is order-dependent and cannot be oracle-checked)."""
+    docs = _documents(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("lang", "source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= SAMPLE_PER_STRATUM)
+        .orderBy("lang", "source", "rnk")
+    )
+
+
+from bigdatamanagement_spark.queries.events import EVENT_TYPES
+
+
+def unpivot_hourly_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — UNPIVOT/melt: the hourly×type pivot matrix back to long
+    form (hour_of_day, event_type, sum_value) including the explicit
+    zero cells the wide form materializes — the wide↔long reshape
+    round-trip over one Expand, no join."""
+    from bigdatamanagement_spark.queries.events import hourly_type_pivot
+
+    wide = hourly_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot("hour_of_day", EVENT_TYPES, "event_type", "sum_value")
+        .orderBy("hour_of_day", "event_type")
+    )
+
+
+PMI_VOCAB = 50
+
+
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — pointwise mutual information over document-level token
+    co-occurrence, vocabulary capped to the top-50 tokens by document
+    frequency (deterministic: df DESC, token ASC). PMI in floored
+    integer micro-nats (the KL-divergence precision convention).
+    ln(N·c_xy/(c_x·c_y)) is evaluated on exact BIGINT ratios on both
+    engines."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower(F.trim("text")), "\\s+")).alias("t")
+    ).localCheckpoint()
+    df_counts = (
+        toks.select("doc_id", F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    top = df_counts.orderBy(F.desc("df"), F.asc("token")).limit(PMI_VOCAB)
+    vocab = [r["token"] for r in top.collect()]
+    vocab_arr = F.array(*[F.lit(v) for v in sorted(vocab)])
+    n_docs = docs.count()
+    kept = toks.select(
+        "doc_id", F.array_sort(F.array_intersect("t", vocab_arr)).alias("s")
+    )
+    pairs = (
+        kept.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "s",
+                        lambda x: F.filter(
+                            F.transform("s", lambda y: F.struct(x.alias("x"), y.alias("y"))),
+                            lambda st: st["x"] < st["y"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.x").alias("tok_a"), F.col("p.y").alias("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    dfs = df_counts.withColumnRenamed("token", "tok").withColumnRenamed("df", "c")
+    return (
+        pairs.join(F.broadcast(dfs.withColumnRenamed("tok", "tok_a").withColumnRenamed("c", "c_x")), "tok_a")
+        .join(F.broadcast(dfs.withColumnRenamed("tok", "tok_b").withColumnRenamed("c", "c_y")), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_xy",
+            F.floor(
+                F.log(F.lit(float(n_docs)) * F.col("c_xy") / (F.col("c_x") * F.col("c_y")))
+                * 1000000.0
+            ).cast("long").alias("pmi_micro"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+QUERIES = {
+    "t18_trailing_hour_value": trailing_hour_value,
+    "t18_value_decile_bands": value_decile_bands,
+    "t18_rolling_7d_active_users": rolling_7d_active_users,
+    "t18_iqr_outlier_summary": iqr_outlier_summary,
+    "ext_chunk_dup_spans": chunk_dup_spans,
+    "ext_stratified_sample": stratified_sample,
+    "ext_unpivot_hourly": unpivot_hourly_matrix,
+    "ext_token_pmi_pairs": token_pmi_pairs,
+}
+
+ORACLE = {
+    "t18_trailing_hour_value": """
+        SELECT user_id, event_id,
+               SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) OVER w AS trailing_hr_micro,
+               COUNT(*) OVER w AS n_trailing
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """,
+    "t18_value_decile_bands": """
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(round(value * 1000000.0, 0) AS BIGINT) AS vmicro,
+                   NTILE(10) OVER w AS decile,
+                   RANK() OVER w AS rnk,
+                   COUNT(*) OVER (PARTITION BY event_type) AS cnt
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        )
+        SELECT event_type, CAST(decile AS INT) AS decile, COUNT(*) AS n,
+               SUM(vmicro) AS sum_micro,
+               MIN((10000 * (rnk - 1)) // (cnt - 1)) AS lo_bp,
+               MAX((10000 * (rnk - 1)) // (cnt - 1)) AS hi_bp
+        FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "t18_rolling_7d_active_users": """
+        WITH acts AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM acts),
+        grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM span),
+        contrib AS (
+            SELECT w_day, COUNT(*) AS n FROM (
+                SELECT DISTINCT unnest(generate_series(day, day + 6, INTERVAL 1 DAY)) AS w_day,
+                       user_id
+                FROM acts
+            ) GROUP BY 1
+        )
+        SELECT CAST(g.day AS DATE) AS day, COALESCE(c.n, 0) AS active_users_7d
+        FROM grid g LEFT JOIN contrib c ON CAST(g.day AS DATE) = CAST(c.w_day AS DATE)
+        ORDER BY day
+    """,
+    "t18_iqr_outlier_summary": """
+        WITH stats AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.75) AS p75
+            FROM events GROUP BY 1
+        ),
+        fenced AS (
+            SELECT e.event_type, e.value, s.p25, s.p75,
+                   (e.value < s.p25 - 1.5 * (s.p75 - s.p25)
+                    OR e.value > s.p75 + 1.5 * (s.p75 - s.p25)) AS is_out
+            FROM events e JOIN stats s USING (event_type)
+        )
+        SELECT event_type, ROUND(ANY_VALUE(p25), 4) AS p25,
+               ROUND(ANY_VALUE(p75), 4) AS p75,
+               COUNT(*) AS n,
+               SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS n_outliers,
+               ROUND(MIN(value) FILTER (is_out), 4) AS min_outlier,
+               ROUND(MAX(value) FILTER (is_out), 4) AS max_outlier
+        FROM fenced GROUP BY 1 ORDER BY 1
+    """,
+    "ext_chunk_dup_spans": """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id, i AS chunk_no,
+                   md5(array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS h
+            FROM toks,
+                 unnest(generate_series(0, CAST(len(t) // 10 AS INT) - 1)) AS g(i)
+        ),
+        dups AS (
+            SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT c.doc_id, COUNT(*) AS n_chunks,
+               SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks,
+               (10000 * SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS dup_bp,
+               (COUNT(*) - SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)) * 10
+                   AS surviving_tokens
+        FROM chunks c LEFT JOIN dups d USING (h)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "ext_stratified_sample": """
+        SELECT lang, source, doc_id, CAST(rnk AS INT) AS rnk FROM (
+            SELECT lang, source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
+            FROM documents
+        ) WHERE rnk <= 5
+        ORDER BY lang, source, rnk
+    """,
+    "ext_unpivot_hourly": """
+        WITH agg AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, event_type,
+                   ROUND(SUM(value), 2) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT DISTINCT a.hour_of_day, t.event_type
+            FROM agg a CROSS JOIN (
+                SELECT unnest(['click','error','purchase','signup','view']) AS event_type
+            ) t
+        )
+        SELECT g.hour_of_day, g.event_type, COALESCE(a.s, 0.0) AS sum_value
+        FROM grid g LEFT JOIN agg a USING (hour_of_day, event_type)
+        ORDER BY 1, 2
+    """,
+    "ext_token_pmi_pairs": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ),
+        dfc AS (
+            SELECT token, COUNT(*) AS df
+            FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+            GROUP BY 1
+        ),
+        top AS (SELECT token FROM dfc ORDER BY df DESC, token ASC LIMIT 50),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        kept AS (
+            SELECT doc_id, token
+            FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+            JOIN top USING (token)
+        ),
+        pairs AS (
+            SELECT k1.token AS tok_a, k2.token AS tok_b, COUNT(*) AS c_xy
+            FROM kept k1 JOIN kept k2
+              ON k1.doc_id = k2.doc_id AND k1.token < k2.token
+            GROUP BY 1, 2
+        )
+        SELECT tok_a, tok_b, c_xy,
+               CAST(floor(ln(n_docs * c_xy / (dx.df * dy.df)) * 1000000.0) AS BIGINT)
+                   AS pmi_micro
+        FROM pairs
+        JOIN dfc dx ON dx.token = tok_a
+        JOIN dfc dy ON dy.token = tok_b
+        CROSS JOIN n
+        ORDER BY tok_a, tok_b
+    """,
+}

@@ -1,0 +1,112 @@
+"""Oracle + semantics tests for the advanced-analytics pack
+(queries/analytics.py): RANGE frames, ntile banding, sliding distinct,
+IQR fences, chunk dedup, stratified sampling, unpivot, PMI."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatamanagement_spark.queries import analytics
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(analytics.ORACLE))
+def test_analytics_oracle(spark, duck, sf_dir, name):
+    df = analytics.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, analytics.ORACLE[name])
+
+
+def test_trailing_hour_includes_self_only_at_gap(spark, sf_dir):
+    """An event ≥1h after its user's previous one counts only itself."""
+    out = analytics.trailing_hour_value(spark, sf_dir)
+    solo = out.filter(F.col("n_trailing") == 1).count()
+    assert solo >= 1  # sparse users exist at every SF
+
+
+def test_decile_bands_cover_and_order(spark, sf_dir):
+    rows = analytics.value_decile_bands(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        assert [r["decile"] for r in rs] == list(range(1, 11)), t
+        # band edges are monotone and the last band reaches 10000 bp
+        for a, b in zip(rs, rs[1:]):
+            assert a["hi_bp"] <= b["lo_bp"]
+        assert rs[-1]["hi_bp"] == 10000
+        # ntile balance: sizes differ by at most 1
+        sizes = [r["n"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_rolling_7d_upper_bounds_daily_active(spark, sf_dir):
+    """Trailing-7d actives ≥ same-day actives, and the grid is dense."""
+    ev = analytics._events(spark, sf_dir)
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    roll = analytics.rolling_7d_active_users(spark, sf_dir)
+    joined = roll.join(daily, "day", "left").collect()
+    days = sorted(r["day"] for r in joined)
+    assert (days[-1] - days[0]).days + 1 == len(days)
+    for r in joined:
+        assert r["active_users_7d"] >= (r["n1"] or 0)
+
+
+def test_chunk_dedup_flags_planted_duplicate(spark, tmp_path):
+    """Two docs sharing an exact 10-token span are both flagged; a doc
+    with unique text is not."""
+    span = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, span + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, span + " one two three four five six seven eight nine ten"),
+        (3, " ".join(f"u{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "documents.parquet")
+    docs.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn(
+        "n_chars", F.length("text")
+    ).write.parquet(p)
+    out = {
+        r["doc_id"]: r
+        for r in analytics.chunk_dup_spans(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_dup_chunks"] == 1 and out[2]["n_dup_chunks"] == 1
+    assert out[3]["n_dup_chunks"] == 0
+    assert out[3]["surviving_tokens"] == 20
+
+
+def test_stratified_sample_bounds_and_determinism(spark, sf_dir):
+    a = analytics.stratified_sample(spark, sf_dir).collect()
+    b = analytics.stratified_sample(spark, sf_dir).collect()
+    assert a == b
+    per = {}
+    for r in a:
+        per[(r["lang"], r["source"])] = per.get((r["lang"], r["source"]), 0) + 1
+    assert all(v <= analytics.SAMPLE_PER_STRATUM for v in per.values())
+
+
+def test_unpivot_roundtrips_pivot_mass(spark, sf_dir):
+    from bigdatamanagement_spark.queries.events import EVENT_TYPES, hourly_type_pivot
+
+    wide = hourly_type_pivot(spark, sf_dir)
+    long = analytics.unpivot_hourly_matrix(spark, sf_dir)
+    wide_sum = wide.select(
+        sum([F.sum(t) for t in EVENT_TYPES], F.lit(0.0)).alias("s")
+    ).collect()[0]["s"]
+    long_sum = long.agg(F.sum("sum_value").alias("s")).collect()[0]["s"]
+    assert abs(wide_sum - long_sum) < 1e-6
+    assert long.count() == wide.count() * len(EVENT_TYPES)
+
+
+def test_pmi_symmetric_input_invariance(spark, sf_dir):
+    """PMI pairs are canonically ordered (tok_a < tok_b) and every
+    pair's counts respect c_xy <= min(df_a, df_b)."""
+    rows = analytics.token_pmi_pairs(spark, sf_dir).collect()
+    assert rows, "top-50 vocabulary should co-occur at every SF"
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
