@@ -40,19 +40,27 @@ def blocked_fuzzy_pairs(
         F.col(block_col).alias("block"),
         F.length(name_col).alias("len"),
     )
-    a, b = s.alias("a"), s.alias("b")
+    # The probe side must be spread across tasks explicitly: a small
+    # single-file scan + broadcast build gives a ONE-task probe stage
+    # (no shuffle for AQE to repartition), serializing the whole
+    # quadratic block loop. Round-robin is deliberate — it parallelizes
+    # perfectly even when one block holds most records.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a, b = s.repartition(n_parts).alias("a"), s.alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"), max_dist)
     return (
         a.join(
             b,
+            # cheap conjuncts FIRST: the id order + length guard reject
+            # over half the block pairs before any DP cell is touched
             (F.col("a.block") == F.col("b.block"))
             & (F.col("a.rec_id") < F.col("b.rec_id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist)
+            & (dist != -1),
         )
         .select(
             F.col("a.rec_id").alias("rec_a"),
             F.col("b.rec_id").alias("rec_b"),
             dist.alias("dist"),
         )
-        .filter(F.col("dist") != -1)
     )

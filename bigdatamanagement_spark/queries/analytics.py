@@ -303,7 +303,131 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_K = 20
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): each doc draws u ∈ (0,1) from a seedless md5 slice and is
+    ranked by ln(u)/weight (monotone in u^(1/w)); the global top-k is
+    an exact weighted sample, reproducible across engines, runs, and
+    partitionings. Distributed form: per-partition top-k then merge —
+    TakeOrderedAndProject, no global sort."""
+    docs = _documents(spark, sf_dir)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    score = F.log(u) / F.col("n_chars")
+    ranked = docs.select(
+        "doc_id", F.col("n_chars").alias("weight"), score.alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id")).limit(WEIGHTED_SAMPLE_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return ranked.select(
+        F.row_number().over(w).alias("rank"), "doc_id", "weight"
+    ).orderBy("rank")
+
+
+def corr_value_vs_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18e — portable Pearson correlation per event_type between the
+    event value (centi-scaled) and the JSON prop k: the five moments
+    are EXACT BIGINT sums (order-proof), the closed form runs on
+    doubles only at the very end. The shape `corr()` compiles to, made
+    cross-engine exact."""
+    ev = _events(spark, sf_dir)
+    x = F.round(F.col("value") * 100.0, 0).cast("long")
+    y = F.get_json_object("props", "$.k").cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n").cast("double") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n").cast("double") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(num.cast("double") / den, 6).alias("pearson_r"),
+    ).orderBy("event_type")
+
+
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — chi-square independence test on the lang × source
+    contingency table (is the language mix uniform across sources?).
+    Expected counts from exact integer marginals; each cell's
+    (O−E)²/E is floored to integer micros BEFORE the sum, so the
+    statistic is aggregation-order-proof. One scan + tiny broadcast
+    marginals."""
+    docs = _documents(spark, sf_dir)
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    cols = cells.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = docs.count()
+    e = F.col("row_tot") * F.col("col_tot") / F.lit(float(n))
+    cell_chi = F.floor((F.col("o") - e) * (F.col("o") - e) / e * 1000000.0).cast("long")
+    joined = cells.join(F.broadcast(rows), "lang").join(F.broadcast(cols), "source")
+    n_langs = rows.count()
+    n_sources = cols.count()
+    return joined.agg(F.sum(cell_chi).alias("chi2_micro")).select(
+        F.lit(n).cast("long").alias("n_docs"),
+        F.lit((n_langs - 1) * (n_sources - 1)).cast("long").alias("dof"),
+        "chi2_micro",
+    )
+
+
+def source_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — pairwise source-level corpus overlap: Jaccard similarity
+    of each source pair's distinct token-BIGRAM sets, in floored basis
+    points (the corpus-drift / source-contamination monitor; unigram
+    vocab is too small to discriminate). One (source, bigram) distinct
+    shuffle; the pair join runs on the bigram key with source sizes
+    broadcast back."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "source", F.split(F.lower(F.trim("text")), "\\s+").alias("t")
+    )
+    bigrams = toks.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    ).distinct()
+    sizes = bigrams.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = bigrams.alias("a"), bigrams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.bg") == F.col("b.bg")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("sz", "sz_a")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("sz", "sz_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("uni"),
+            F.expr("(10000 * inter) div (sz_a + sz_b - inter)").alias("jaccard_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 QUERIES = {
+    "ext_weighted_sample": weighted_sample,
+    "t18_corr_value_prop": corr_value_vs_prop,
+    "ext_chi2_lang_source": chi2_lang_source,
+    "ext_source_bigram_jaccard": source_bigram_jaccard,
     "t18_trailing_hour_value": trailing_hour_value,
     "t18_value_decile_bands": value_decile_bands,
     "t18_rolling_7d_active_users": rolling_7d_active_users,
@@ -315,6 +439,74 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ext_weighted_sample": """
+        WITH scored AS (
+            SELECT doc_id, n_chars AS weight,
+                   ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       + 0.5) / 4294967296.0) / n_chars AS score
+            FROM documents
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+               doc_id, weight
+        FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+    "t18_corr_value_prop": """
+        WITH m AS (
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM (
+                SELECT event_type,
+                       CAST(round(value * 100.0, 0) AS BIGINT) AS x,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+                FROM events
+            ) GROUP BY 1
+        )
+        SELECT event_type, n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                     6) AS pearson_r
+        FROM m ORDER BY event_type
+    """,
+    "ext_chi2_lang_source": """
+        WITH cells AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        rt AS (SELECT lang, SUM(o) AS row_tot FROM cells GROUP BY 1),
+        ct AS (SELECT source, SUM(o) AS col_tot FROM cells GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT ANY_VALUE(n_docs) AS n_docs,
+               CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1)
+                    AS BIGINT) AS dof,
+               SUM(CAST(floor((o - row_tot * col_tot / CAST(n_docs AS DOUBLE))
+                              * (o - row_tot * col_tot / CAST(n_docs AS DOUBLE))
+                              / (row_tot * col_tot / CAST(n_docs AS DOUBLE))
+                              * 1000000.0) AS BIGINT)) AS chi2_micro
+        FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
+    """,
+    "ext_source_bigram_jaccard": """
+        WITH toks AS (
+            SELECT source, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT DISTINCT source, t[i] || ' ' || t[i + 1] AS bg
+            FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        ),
+        sizes AS (SELECT source, COUNT(*) AS sz FROM bigrams GROUP BY 1),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+            FROM bigrams a JOIN bigrams b
+              ON a.bg = b.bg AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, inter,
+               sa.sz + sb.sz - inter AS uni,
+               (10000 * inter) // (sa.sz + sb.sz - inter) AS jaccard_bp
+        FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+        ORDER BY src_a, src_b
+    """,
     "t18_trailing_hour_value": """
         SELECT user_id, event_id,
                SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) OVER w AS trailing_hr_micro,

@@ -98,22 +98,27 @@ def idle_session_finalizer(
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        def emit(start_us: int, last_us: int, n: int, total: float, how: str):
+        def emit_batch(rows: list[tuple[int, int, int, float, str]]):
+            # ONE DataFrame per group invocation: a 1-row frame per
+            # closed session costs ~100k pandas constructions + Arrow
+            # batches per drain at sf0.1 (~25 s); batching makes the
+            # Python crossing O(groups), not O(sessions).
+            starts, ends, ns, totals, hows = zip(*rows)
             return pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "session_start": pd.to_datetime([start_us], unit="us"),
-                    "session_end": pd.to_datetime([last_us], unit="us"),
-                    "n_events": [n],
-                    "total_value": [total],
-                    "closed_by": [how],
+                    "user_id": [key[0]] * len(rows),
+                    "session_start": pd.to_datetime(list(starts), unit="us"),
+                    "session_end": pd.to_datetime(list(ends), unit="us"),
+                    "n_events": list(ns),
+                    "total_value": list(totals),
+                    "closed_by": list(hows),
                 }
             )
 
         if state.hasTimedOut:
             start_us, last_us, n, total = state.get
             state.remove()
-            yield emit(start_us, last_us, n, total, "timer")
+            yield emit_batch([(start_us, last_us, n, total, "timer")])
             return
         evs: list[tuple[int, float]] = []
         for pdf in pdfs:
@@ -121,14 +126,17 @@ def idle_session_finalizer(
             evs.extend(zip(us.tolist(), pdf["value"].astype(float).tolist()))
         evs.sort()
         start_us, last_us, n, total = state.get if state.exists else (None, 0, 0, 0.0)
+        closed: list[tuple[int, int, int, float, str]] = []
         for ts_us, value in evs:
             if start_us is None:
                 start_us, last_us, n, total = ts_us, ts_us, 1, value
             elif ts_us - last_us < gap_us:
                 last_us, n, total = ts_us, n + 1, total + value
             else:
-                yield emit(start_us, last_us, n, total, "gap")
+                closed.append((start_us, last_us, n, total, "gap"))
                 start_us, last_us, n, total = ts_us, ts_us, 1, value
+        if closed:
+            yield emit_batch(closed)
         if start_us is not None:
             state.update((start_us, last_us, n, total))
             state.setTimeoutTimestamp((last_us + gap_us) // 1000)

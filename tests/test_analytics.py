@@ -103,6 +103,36 @@ def test_unpivot_roundtrips_pivot_mass(spark, sf_dir):
     assert long.count() == wide.count() * len(EVENT_TYPES)
 
 
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    """The weighted sample's mean weight exceeds the corpus mean weight
+    (the point of weighting), and ranks are 1..k."""
+    out = analytics.weighted_sample(spark, sf_dir).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    docs = analytics._documents(spark, sf_dir)
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample_mean = sum(r["weight"] for r in out) / len(out)
+    assert sample_mean > corpus_mean
+
+
+def test_corr_bounds(spark, sf_dir):
+    for r in analytics.corr_value_vs_prop(spark, sf_dir).collect():
+        assert -1.0 <= r["pearson_r"] <= 1.0
+
+
+def test_chi2_nonnegative_and_dof(spark, sf_dir):
+    row = analytics.chi2_lang_source(spark, sf_dir).collect()[0]
+    assert row["chi2_micro"] >= 0
+    assert row["dof"] >= 1
+
+
+def test_bigram_jaccard_bounds(spark, sf_dir):
+    rows = analytics.source_bigram_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["jaccard_bp"] <= 10000
+        assert r["inter"] <= r["uni"]
+        assert r["src_a"] < r["src_b"]
+
+
 def test_pmi_symmetric_input_invariance(spark, sf_dir):
     """PMI pairs are canonically ordered (tok_a < tok_b) and every
     pair's counts respect c_xy <= min(df_a, df_b)."""
