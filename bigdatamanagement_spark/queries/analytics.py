@@ -423,7 +423,44 @@ def source_bigram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — per-dimension mean/variance of the embedding column: the
+    feature-health profile of a vector corpus (dead dims, scale drift
+    before ANN indexing). Values are micro-quantized to exact BIGINT
+    moment sums (posexplode is narrow — no shuffle until the 64-key
+    dim aggregate); the sample-variance closed form runs on doubles
+    only at the end, mirrored exactly in SQL."""
+    emb = load_testdata(spark, sf_dir, tables=("embeddings",), register=False)[
+        "embeddings"
+    ]
+    x = F.round(F.col("v") * 1000000.0, 0).cast("long")
+    m = (
+        emb.select(F.posexplode("embedding").alias("dim0", "v"))
+        .select((F.col("dim0") + 1).alias("dim"), x.alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    # Exact-integer end to end: n·Σx² − (Σx)² fits BIGINT through sf0.1
+    # (~1.4e18 at 2000 vectors); at cluster scale switch the moments to
+    # DECIMAL(38,0) — a double formula here is NOT cross-engine stable
+    # (the ~1e10-magnitude variance renders at 6 significant digits,
+    # and a 1-ulp division difference flips the rounding midpoint).
+    return m.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.expr(
+            "CASE WHEN sx >= 0 THEN sx div n ELSE -((-sx + n - 1) div n) END"
+        ).alias("mean_micro_floor"),
+        F.expr("(n * sxx - sx * sx) div (n * (n - 1))").alias("var_micro2_floor"),
+    ).orderBy("dim")
+
+
 QUERIES = {
+    "ext_embedding_dim_variance": embedding_dim_variance,
     "ext_weighted_sample": weighted_sample,
     "t18_corr_value_prop": corr_value_vs_prop,
     "ext_chi2_lang_source": chi2_lang_source,
@@ -439,6 +476,26 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ext_embedding_dim_variance": """
+        WITH flat AS (
+            -- cast to DOUBLE before scaling: DuckDB keeps FLOAT*literal in
+            -- FLOAT precision (215395.4953 -> float 215395.5 -> rounds up),
+            -- Spark promotes to DOUBLE
+            SELECT generate_subscripts(embedding, 1) AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000.0, 0)
+                        AS BIGINT) AS x
+            FROM embeddings
+        ),
+        m AS (
+            SELECT dim, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+            FROM flat GROUP BY 1
+        )
+        SELECT CAST(dim AS BIGINT) AS dim, n,
+               CAST(CASE WHEN sx >= 0 THEN sx // n
+                    ELSE -((-sx + n - 1) // n) END AS BIGINT) AS mean_micro_floor,
+               CAST((n * sxx - sx * sx) // (n * (n - 1)) AS BIGINT) AS var_micro2_floor
+        FROM m ORDER BY dim
+    """,
     "ext_weighted_sample": """
         WITH scored AS (
             SELECT doc_id, n_chars AS weight,
@@ -474,13 +531,13 @@ ORACLE = {
         rt AS (SELECT lang, SUM(o) AS row_tot FROM cells GROUP BY 1),
         ct AS (SELECT source, SUM(o) AS col_tot FROM cells GROUP BY 1),
         n AS (SELECT COUNT(*) AS n_docs FROM documents)
-        SELECT ANY_VALUE(n_docs) AS n_docs,
+        SELECT CAST(ANY_VALUE(n_docs) AS BIGINT) AS n_docs,
                CAST(((SELECT COUNT(*) FROM rt) - 1) * ((SELECT COUNT(*) FROM ct) - 1)
                     AS BIGINT) AS dof,
-               SUM(CAST(floor((o - row_tot * col_tot / CAST(n_docs AS DOUBLE))
+               CAST(SUM(CAST(floor((o - row_tot * col_tot / CAST(n_docs AS DOUBLE))
                               * (o - row_tot * col_tot / CAST(n_docs AS DOUBLE))
                               / (row_tot * col_tot / CAST(n_docs AS DOUBLE))
-                              * 1000000.0) AS BIGINT)) AS chi2_micro
+                              * 1000000.0) AS BIGINT)) AS BIGINT) AS chi2_micro
         FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n
     """,
     "ext_source_bigram_jaccard": """
@@ -509,7 +566,7 @@ ORACLE = {
     """,
     "t18_trailing_hour_value": """
         SELECT user_id, event_id,
-               SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) OVER w AS trailing_hr_micro,
+               CAST(SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) OVER w AS BIGINT) AS trailing_hr_micro,
                COUNT(*) OVER w AS n_trailing
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -527,7 +584,7 @@ ORACLE = {
             WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
         )
         SELECT event_type, CAST(decile AS INT) AS decile, COUNT(*) AS n,
-               SUM(vmicro) AS sum_micro,
+               CAST(SUM(vmicro) AS BIGINT) AS sum_micro,
                MIN((10000 * (rnk - 1)) // (cnt - 1)) AS lo_bp,
                MAX((10000 * (rnk - 1)) // (cnt - 1)) AS hi_bp
         FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
@@ -563,7 +620,7 @@ ORACLE = {
         SELECT event_type, ROUND(ANY_VALUE(p25), 4) AS p25,
                ROUND(ANY_VALUE(p75), 4) AS p75,
                COUNT(*) AS n,
-               SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS n_outliers,
+               CAST(SUM(CASE WHEN is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                ROUND(MIN(value) FILTER (is_out), 4) AS min_outlier,
                ROUND(MAX(value) FILTER (is_out), 4) AS max_outlier
         FROM fenced GROUP BY 1 ORDER BY 1
@@ -583,10 +640,10 @@ ORACLE = {
             SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
         )
         SELECT c.doc_id, COUNT(*) AS n_chunks,
-               SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_chunks,
-               (10000 * SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS dup_bp,
-               (COUNT(*) - SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)) * 10
-                   AS surviving_tokens
+               CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               CAST((10000 * SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS dup_bp,
+               CAST((COUNT(*) - SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)) * 10
+                   AS BIGINT) AS surviving_tokens
         FROM chunks c LEFT JOIN dups d USING (h)
         GROUP BY 1 ORDER BY 1
     """,
