@@ -462,10 +462,10 @@ ORACLE = {
         SELECT event_type, hr,
                CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
                CAST(COALESCE(sum_micro, 0) AS BIGINT) AS sum_value_micro,
-               last_value(sum_micro IGNORE NULLS) OVER (
+               CAST(last_value(sum_micro IGNORE NULLS) OVER (
                    PARTITION BY event_type ORDER BY hr
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS locf_value_micro,
+               ) AS BIGINT) AS locf_value_micro,
                CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS is_gap
         FROM filled ORDER BY event_type, hr
     """,
@@ -509,7 +509,7 @@ ORACLE = {
         WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         cohorts AS (SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY 1),
         sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohorts GROUP BY 1),
-        ret AS (SELECT cohort_day, day - cohort_day AS day_offset, count(*) AS n_active
+        ret AS (SELECT cohort_day, CAST(day - cohort_day AS INTEGER) AS day_offset, count(*) AS n_active
                 FROM acts JOIN cohorts USING (user_id)
                 WHERE day - cohort_day BETWEEN 0 AND 7
                 GROUP BY 1, 2)
@@ -557,7 +557,7 @@ ORACLE = {
             FROM numbered GROUP BY 1, 2
         )
         SELECT n_events, COUNT(*) AS n_sessions,
-               SUM(duration_us) AS total_duration_us
+               CAST(SUM(duration_us) AS BIGINT) AS total_duration_us
         FROM bounds GROUP BY 1 ORDER BY 1
     """,
     "t17_scd2_purchase_history": """

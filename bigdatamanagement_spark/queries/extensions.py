@@ -521,11 +521,11 @@ ORACLE = {
                              AS BIGINT) AS score_micro
             FROM dt JOIN dfreq USING (term), n
         )
-        SELECT doc_id, term, tf, df, score_micro, rank FROM (
+        SELECT doc_id, term, tf, df, score_micro, CAST(rank_i64 AS INTEGER) AS rank FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                       ORDER BY score_micro DESC, term ASC) AS rank
+                       ORDER BY score_micro DESC, term ASC) AS rank_i64
             FROM scored)
-        WHERE rank <= 3
+        WHERE rank_i64 <= 3
         ORDER BY doc_id, rank
     """,
     "ext_bm25_search": f"""
@@ -550,17 +550,17 @@ ORACLE = {
                         AS BIGINT) AS c
             FROM dt JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
         ),
-        scored AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(c) AS score_micro
+        scored AS (SELECT doc_id, COUNT(*) AS n_terms, CAST(SUM(c) AS BIGINT) AS score_micro
                    FROM contrib GROUP BY doc_id)
         SELECT doc_id, n_terms, score_micro, rank FROM (
-            SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+            SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INTEGER) AS rank
             FROM scored)
         WHERE rank <= 10
         ORDER BY rank
     """,
     "ext_fuzzy_name_pairs": """
         SELECT a.c_custkey AS rec_a, b.c_custkey AS rec_b,
-               levenshtein(a.c_name, b.c_name) AS dist
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
         FROM customer a JOIN customer b
           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         WHERE levenshtein(a.c_name, b.c_name) <= 2
@@ -580,7 +580,7 @@ ORACLE = {
                              / (CAST(c_t AS DOUBLE) / total)), 0) AS BIGINT) AS tm
             FROM st JOIN s_tot USING (source) JOIN t_tot USING (term), tot
         )
-        SELECT source, total_s AS n_tokens, SUM(tm) AS kl_micro
+        SELECT source, CAST(total_s AS BIGINT) AS n_tokens, CAST(SUM(tm) AS BIGINT) AS kl_micro
         FROM terms JOIN s_tot USING (source)
         GROUP BY source, total_s
         ORDER BY source
@@ -630,8 +630,8 @@ ORACLE = {
             SELECT doc_id, text, {_TOKS} AS toks, {_HITS} FROM documents
         )
         SELECT doc_id,
-               len(toks) AS token_count,
-               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS bpe_token_count,
+               CAST(len(toks) AS INTEGER) AS token_count,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INTEGER) AS bpe_token_count,
                {_LANG_CASE} AS lang_pred,
                ROUND(0.4 * least(len(toks) / 100.0, 1.0)
                    + 0.4 * (len(list_filter(toks, t -> list_contains({_STOP['en']}, t))) * 1.0
@@ -651,32 +651,32 @@ ORACLE = {
     "ext_profile_documents": """
         WITH p AS (
             SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT doc_id) AS n_distinct,
                    CAST(MIN(doc_id) AS VARCHAR) AS min_value,
                    CAST(MAX(doc_id) AS VARCHAR) AS max_value
             FROM documents
             UNION ALL
             SELECT 'text', COUNT(*),
-                   SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT text),
                    CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR)
             FROM documents
             UNION ALL
             SELECT 'lang', COUNT(*),
-                   SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT lang),
                    CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
             FROM documents
             UNION ALL
             SELECT 'source', COUNT(*),
-                   SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT source),
                    CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
             FROM documents
             UNION ALL
             SELECT 'n_chars', COUNT(*),
-                   SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+                   CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    COUNT(DISTINCT n_chars),
                    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
             FROM documents
@@ -693,8 +693,8 @@ ORACLE = {
                           AS lp_micro
                FROM vocab, total),
         doc AS (
-            SELECT doc_id, SUM(dc) AS n_tokens,
-                   SUM(dc * lp_micro) AS sum_logprob_micro,
+            SELECT doc_id, CAST(SUM(dc) AS BIGINT) AS n_tokens,
+                   CAST(SUM(dc * lp_micro) AS BIGINT) AS sum_logprob_micro,
                    SUM(CASE WHEN c <= 2 THEN dc ELSE 0 END) AS n_rare
             FROM dt JOIN lp USING (tok) GROUP BY doc_id
         )
@@ -735,11 +735,12 @@ ORACLE = {
             FROM e q JOIN e c ON q.vec_id <> c.vec_id
             WHERE q.vec_id < {TOPK_QUERY_IDS}
         )
-        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(rank_i64 AS INTEGER) AS rank FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank_i64
             FROM scored
-        ) WHERE rank <= 10
+        ) WHERE rank_i64 <= 10
         ORDER BY query_id, rank
     """,
 }

@@ -273,7 +273,7 @@ ORACLE = {
     + ","
     + _T09_CTE
     + """
-    SELECT ROW_NUMBER() OVER (ORDER BY user_id, song_id) AS recommendation_id,
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY user_id, song_id) AS INTEGER) AS recommendation_id,
            user_id, song_id,
            TIMESTAMP '2024-09-01 00:00:00' AS recommendation_time
     FROM potential_recs

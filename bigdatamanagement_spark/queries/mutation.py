@@ -111,11 +111,11 @@ ORACLE = {
             UNION ALL SELECT * FROM updates
         )
         SELECT o_orderstatus, COUNT(*) AS n_orders,
-               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         FROM merged GROUP BY 1 ORDER BY 1
     """,
     "mut_delete_survivors": """
-        SELECT COUNT(*) AS n_orders, SUM(o_orderkey) AS key_sum
+        SELECT COUNT(*) AS n_orders, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         FROM orders WHERE o_orderkey % 7 <> 0
     """,
     "mut_corpus_version_diff": """

@@ -473,7 +473,7 @@ ORACLE = {
                     WHEN NOT r.keep THEN 'repetitive'
                     WHEN c.doc_id <> c.cluster_rep THEN 'near_duplicate'
                     ELSE 'kept' END AS verdict,
-               COUNT(*) AS n_docs, SUM(q.n_chars) AS total_chars
+               COUNT(*) AS n_docs, CAST(SUM(q.n_chars) AS BIGINT) AS total_chars
         FROM qdocs q
         JOIN rkeep r ON q.doc_id = r.doc_id
         JOIN clusters c ON q.doc_id = c.doc_id
@@ -491,7 +491,7 @@ ORACLE = {
     + "SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id",
     "ext_dedup_cluster_survivors": _CLUSTERS_CTE
     + """
-        SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_chars) AS chars_kept
+        SELECT d.source, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
         FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
         WHERE c.doc_id = c.cluster_rep
         GROUP BY d.source ORDER BY d.source
@@ -506,11 +506,11 @@ ORACLE = {
         SELECT CASE WHEN (doc_id * {KNUTH}) % 1000 < 900 THEN 'train'
                     WHEN (doc_id * {KNUTH}) % 1000 < 950 THEN 'val'
                     ELSE 'test' END AS split,
-               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY 1
     """,
     "ext_anonymize_tokens": f"""
-        SELECT doc_id, len(toks) AS n_tokens,
+        SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
                md5(array_to_string(
                    list_transform(toks, t -> substring(md5(t), 1, 8)), ' ')) AS anon_hash
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -518,16 +518,16 @@ ORACLE = {
         ORDER BY doc_id
     """,
     "ext_label_centroids": """
-        SELECT label, i.range AS dim,
-               SUM(CAST(floor(CAST(embedding[i.range] AS DOUBLE) * 1000000 + 0.5)
-                   AS BIGINT)) AS dim_sum_micro,
+        SELECT label, CAST(i.range AS INTEGER) AS dim,
+               CAST(SUM(CAST(floor(CAST(embedding[i.range] AS DOUBLE) * 1000000 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS dim_sum_micro,
                COUNT(*) AS n_vecs
         FROM embeddings, range(1, 65) i
         GROUP BY label, i.range ORDER BY label, dim
     """,
     "ext_doc_length_histogram": """
         SELECT (n_chars // 100) * 100 AS char_bucket,
-               COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY 1
     """,
 }

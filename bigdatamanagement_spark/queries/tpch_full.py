@@ -909,7 +909,7 @@ ORACLE = {
     """,
     "tpch_q07_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               EXTRACT(YEAR FROM l.l_shipdate) AS l_year,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
                CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -928,7 +928,7 @@ ORACLE = {
                CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
                  / CAST(SUM(volume) AS DOUBLE) AS mkt_share
         FROM (
-          SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+          SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
                  {_REV_SQL} AS volume,
                  n1.n_name AS supp_nation
           FROM lineitem l
@@ -948,7 +948,7 @@ ORACLE = {
     """,
     "tpch_q09_product_profit": f"""
         SELECT n.n_name AS nation,
-               EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
                CAST(SUM({_REV_SQL}) AS DOUBLE) AS sum_profit
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -973,9 +973,9 @@ ORACLE = {
         LIMIT 20
     """,
     "tpch_q12_late_shipments": """
-        SELECT EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        SELECT CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS ship_year,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY

@@ -154,8 +154,8 @@ ORACLE = {
         )
         SELECT seq_id, COUNT(*) AS n_docs,
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
-               SUM(least(start + n, (seq_id + 1) * {SEQ_LEN})
-                   - greatest(start, seq_id * {SEQ_LEN})) AS n_seq_tokens
+               CAST(SUM(least(start + n, (seq_id + 1) * {SEQ_LEN})
+                   - greatest(start, seq_id * {SEQ_LEN})) AS BIGINT) AS n_seq_tokens
         FROM s GROUP BY seq_id ORDER BY seq_id
     """,
     "ext_chunk_documents": f"""
@@ -166,10 +166,10 @@ ORACLE = {
             FROM t WHERE len(toks) > 0
         )
         SELECT doc_id,
-               chunk_start // {CHUNK_STRIDE} AS chunk_idx,
-               chunk_start,
-               len(toks[chunk_start + 1 : chunk_start + {CHUNK_SIZE}])
-                   AS n_chunk_tokens,
+               CAST(chunk_start // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               CAST(chunk_start AS INTEGER) AS chunk_start,
+               CAST(len(toks[chunk_start + 1 : chunk_start + {CHUNK_SIZE}])
+                   AS INTEGER) AS n_chunk_tokens,
                md5(array_to_string(
                    toks[chunk_start + 1 : chunk_start + {CHUNK_SIZE}], ' '))
                    AS chunk_md5
@@ -185,7 +185,7 @@ ORACLE = {
         ov AS (SELECT cg.doc_id, COUNT(*) AS n
                FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id)
         SELECT d.source, COUNT(*) AS n_docs, COUNT(ov.n) AS n_contaminated,
-               SUM(COALESCE(ov.n, 0)) AS total_overlap_grams
+               CAST(SUM(COALESCE(ov.n, 0)) AS BIGINT) AS total_overlap_grams
         FROM documents d LEFT JOIN ov USING (doc_id)
         WHERE d.doc_id % {BENCH_MOD} <> 0
         GROUP BY d.source ORDER BY d.source
@@ -208,7 +208,7 @@ ORACLE = {
             WHERE (d.doc_id * {KNUTH}) % 10000 < r.sample_rate_bp
         )
         SELECT source, sample_rate_bp, COUNT(*) AS n_sampled,
-               SUM(n_chars) AS chars_sampled
+               CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
         FROM kept GROUP BY source, sample_rate_bp ORDER BY source
     """,
     "ext_shuffle_manifest": f"""
@@ -217,7 +217,7 @@ ORACLE = {
                md5(string_agg(CAST(doc_id AS VARCHAR), ','
                    ORDER BY (doc_id * {PRIME2}) % 2147483648, doc_id))
                    AS order_md5,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY shard ORDER BY shard
     """,
 }
