@@ -459,7 +459,79 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+def ols_value_on_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18f — per-group simple linear regression (value ~ props.k):
+    slope in EXACT integer centi-units ((100·num) div den on BIGINT
+    moments — micro would overflow 64 bits), intercept via a pinned
+    double op sequence mirrored in SQL. The trend-fit companion to the
+    Pearson query, same one-pass moment aggregate."""
+    ev = _events(spark, sf_dir)
+    x = F.get_json_object("props", "$.k").cast("long")
+    y = F.round(F.col("value") * 100.0, 0).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CASE WHEN 100 * (n * sxy - sx * sy) >= 0"
+            " THEN (100 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)"
+            " ELSE -((-(100 * (n * sxy - sx * sy)) + (n * sxx - sx * sx) - 1)"
+            "        div (n * sxx - sx * sx)) END"
+        ).alias("slope_centi_floor"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double"),
+            4,
+        ).alias("intercept_centi"),
+    ).orderBy("event_type")
+
+
+DEBOUNCE_US = 5 * 60 * 1000000
+
+
+def event_debounce_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18g — debounce dedup: an event is kept iff it is the first of
+    its (user, event_type) or arrives > 5 min after the PREVIOUS RAW
+    event of that key (lag-based debounce — the one-window form; a
+    keep-relative-to-last-KEPT throttle is inherently sequential and
+    lives in the stateful streaming operator instead). One key-ordered
+    shuffle, same exchange as the other per-user windows."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    # kept derives from gap in a second select so the lag computes once
+    flagged = ev.select("event_type", gap).withColumn(
+        "kept", F.col("gap_us").isNull() | (F.col("gap_us") > DEBOUNCE_US)
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.min(F.when(~F.col("kept"), F.col("gap_us"))).alias("min_dropped_gap_us"),
+            F.max(F.when(~F.col("kept"), F.col("gap_us"))).alias("max_dropped_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "t18_ols_value_on_prop": ols_value_on_prop,
+    "t18_event_debounce_summary": event_debounce_summary,
     "ext_embedding_dim_variance": embedding_dim_variance,
     "ext_weighted_sample": weighted_sample,
     "t18_corr_value_prop": corr_value_vs_prop,
@@ -476,6 +548,49 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t18_ols_value_on_prop": """
+        WITH m AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+                       CAST(round(value * 100.0, 0) AS BIGINT) AS y
+                FROM events
+            ) GROUP BY 1
+        )
+        SELECT event_type, n,
+               CAST(CASE WHEN 100 * (n * sxy - sx * sy) >= 0
+                    THEN (100 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+                    ELSE -((-(100 * (n * sxy - sx * sy)) + (n * sxx - sx * sx) - 1)
+                           // (n * sxx - sx * sx)) END AS BIGINT)
+                   AS slope_centi_floor,
+               ROUND((CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 4) AS intercept_centi
+        FROM m ORDER BY event_type
+    """,
+    "t18_event_debounce_summary": """
+        WITH g AS (
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC) AS gap_us
+            FROM events
+        ),
+        f AS (SELECT event_type, gap_us,
+                     (gap_us IS NULL OR gap_us > 300000000) AS kept
+              FROM g)
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               MIN(gap_us) FILTER (NOT kept) AS min_dropped_gap_us,
+               MAX(gap_us) FILTER (NOT kept) AS max_dropped_gap_us
+        FROM f GROUP BY 1 ORDER BY 1
+    """,
     "ext_embedding_dim_variance": """
         WITH flat AS (
             -- cast to DOUBLE before scaling: DuckDB keeps FLOAT*literal in

@@ -124,7 +124,44 @@ def pii_masked_users(spark, sf_dir) -> DataFrame:
     )
 
 
+GEO_LAT, GEO_LON, GEO_RADIUS_KM = 40.0, 116.0, 2000.0
+
+
+def geo_radius_counts(spark, sf_dir) -> DataFrame:
+    """T15-ext — geo radius query (the geospatial family none of the
+    reference stores exercise beyond storing lat/lon): per-country
+    count of users within 2000 km of (40N, 116E) by haversine great-
+    circle distance, plus the nearest user's distance in whole km.
+    Pure JVM trig (radians/sin/cos/asin/sqrt) with a pinned op order
+    mirrored in SQL; distances floor to integer km so a shared-ulp
+    wobble cannot flip the rendering (boundary membership at the exact
+    radius is the one theoretically unstable comparison — at km
+    granularity over continental distances it never lands there).
+    At scale this is the pre-filter shape for spatial joins: a cheap
+    bounding-box predicate prunes before trig (here the corpus is one
+    fixture, so the haversine runs directly)."""
+    u = tables(spark)["users"]
+    lat1, lon1 = F.radians(F.lit(GEO_LAT)), F.radians(F.lit(GEO_LON))
+    lat2, lon2 = F.radians(F.col("latitude")), F.radians(F.col("longitude"))
+    h = (
+        F.sin((lat2 - lat1) / 2) * F.sin((lat2 - lat1) / 2)
+        + F.cos(lat1) * F.cos(lat2) * F.sin((lon2 - lon1) / 2) * F.sin((lon2 - lon1) / 2)
+    )
+    dist_km = F.lit(2.0 * 6371.0) * F.asin(F.sqrt(h))
+    return (
+        u.select("country", dist_km.alias("d"))
+        .filter(F.col("d") <= GEO_RADIUS_KM)
+        .groupBy("country")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.floor(F.min("d")).cast("long").alias("nearest_km"),
+        )
+        .orderBy("country")
+    )
+
+
 QUERIES = {
+    "t15_geo_radius_counts": geo_radius_counts,
     "t15_pii_masked_users": pii_masked_users,
     "t15_q1_user_attributes": user_attributes,
     "t15_q2_user_coordinates": user_coordinates,
@@ -134,6 +171,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t15_geo_radius_counts": _V
+    + f"""
+    , d AS (
+        SELECT country,
+               2.0 * 6371.0 * asin(sqrt(
+                   sin((radians(latitude) - radians({GEO_LAT})) / 2)
+                   * sin((radians(latitude) - radians({GEO_LAT})) / 2)
+                   + cos(radians({GEO_LAT})) * cos(radians(latitude))
+                   * sin((radians(longitude) - radians({GEO_LON})) / 2)
+                   * sin((radians(longitude) - radians({GEO_LON})) / 2)
+               )) AS d
+        FROM users
+    )
+    SELECT country, COUNT(*) AS n_users,
+           CAST(floor(MIN(d)) AS BIGINT) AS nearest_km
+    FROM d WHERE d <= {GEO_RADIUS_KM}
+    GROUP BY 1 ORDER BY 1
+    """,
     "t15_pii_masked_users": _V
     + r"""
     SELECT user_key,

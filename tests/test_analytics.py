@@ -133,6 +133,29 @@ def test_bigram_jaccard_bounds(spark, sf_dir):
         assert r["src_a"] < r["src_b"]
 
 
+def test_debounce_keeps_first_and_bounds_gaps(spark, sf_dir):
+    for r in analytics.event_debounce_summary(spark, sf_dir).collect():
+        assert 1 <= r["n_kept"] <= r["n_events"]
+        if r["min_dropped_gap_us"] is not None:
+            assert r["min_dropped_gap_us"] <= analytics.DEBOUNCE_US
+            assert r["max_dropped_gap_us"] <= analytics.DEBOUNCE_US
+
+
+def test_ols_slope_sign_matches_pearson(spark, sf_dir):
+    slopes = {
+        r["event_type"]: r["slope_centi_floor"]
+        for r in analytics.ols_value_on_prop(spark, sf_dir).collect()
+    }
+    rs = {
+        r["event_type"]: r["pearson_r"]
+        for r in analytics.corr_value_vs_prop(spark, sf_dir).collect()
+    }
+    for t, slope in slopes.items():
+        if abs(rs[t]) > 0.01:
+            # floor() shifts negatives down by one — compare loosely at 0
+            assert (slope >= -1) == (rs[t] > 0) or abs(slope) <= 1
+
+
 def test_pmi_symmetric_input_invariance(spark, sf_dir):
     """PMI pairs are canonically ordered (tok_a < tok_b) and every
     pair's counts respect c_xy <= min(df_a, df_b)."""
