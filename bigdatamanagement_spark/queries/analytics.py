@@ -529,7 +529,28 @@ def event_debounce_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 6
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — BPE tokenizer training over the corpus vocabulary: the
+    first 6 merge rounds (operators/bpe.py), each round's winning
+    adjacent-symbol pair chosen by weighted frequency with
+    deterministic ties. The TRAIN side of the tokenizer surface; token
+    counting in operators/text.py is the APPLY side."""
+    from bigdatamanagement_spark.operators.bpe import bpe_train
+
+    docs = _documents(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return bpe_train(vocab, rounds=BPE_ROUNDS)
+
+
 QUERIES = {
+    "ext_bpe_merge_table": bpe_merge_table,
     "t18_ols_value_on_prop": ols_value_on_prop,
     "t18_event_debounce_summary": event_debounce_summary,
     "ext_embedding_dim_variance": embedding_dim_variance,
@@ -547,7 +568,17 @@ QUERIES = {
     "ext_token_pmi_pairs": token_pmi_pairs,
 }
 
+from bigdatamanagement_spark.operators.bpe import bpe_oracle_sql as _bpe_sql
+
+_BPE_VOCAB_SQL = """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+          FROM documents)
+    GROUP BY 1
+"""
+
 ORACLE = {
+    "ext_bpe_merge_table": _bpe_sql(_BPE_VOCAB_SQL, rounds=BPE_ROUNDS),
     "t18_ols_value_on_prop": """
         WITH m AS (
             SELECT event_type, COUNT(*) AS n,

@@ -29,10 +29,22 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return load_testdata(spark, sf_dir, tables=("customer", "orders"), register=False)
 
 
+# The nested views are the reference's STORED MongoDB collections —
+# data materialized at ingest, not per-query intermediates — so they
+# memoize per (session, corpus) like the IVF centroids: build once
+# (two collect_list shuffles), every nested query reads the snapshot.
+_NEST_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def custorders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The nested custorders view (N-01; MongoDB.java:242-301)."""
-    t = _t(spark, sf_dir)
-    return nest(t["customer"], t["orders"], "c_custkey", "o_custkey", "orders")
+    key = (id(spark), sf_dir, "custorders")
+    if key not in _NEST_MEMO:
+        t = _t(spark, sf_dir)
+        _NEST_MEMO[key] = nest(
+            t["customer"], t["orders"], "c_custkey", "o_custkey", "orders"
+        ).localCheckpoint(eager=True)
+    return _NEST_MEMO[key]
 
 
 def customer_name_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,11 +125,16 @@ def custorderitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested into customers — array<struct<..., items array<struct>>>.
     The Dremel repeated-within-repeated shape (one level past the
     reference's custorders)."""
-    t = load_testdata(
-        spark, sf_dir, tables=("customer", "orders", "lineitem"), register=False
-    )
-    o2 = nest(t["orders"], t["lineitem"], "o_orderkey", "l_orderkey", "items")
-    return nest(t["customer"], o2, "c_custkey", "o_custkey", "orders")
+    key = (id(spark), sf_dir, "custorderitems")
+    if key not in _NEST_MEMO:
+        t = load_testdata(
+            spark, sf_dir, tables=("customer", "orders", "lineitem"), register=False
+        )
+        o2 = nest(t["orders"], t["lineitem"], "o_orderkey", "l_orderkey", "items")
+        _NEST_MEMO[key] = nest(
+            t["customer"], o2, "c_custkey", "o_custkey", "orders"
+        ).localCheckpoint(eager=True)
+    return _NEST_MEMO[key]
 
 
 def depth2_quantity_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:

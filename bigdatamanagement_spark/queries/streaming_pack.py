@@ -107,6 +107,31 @@ def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_dedup_self_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (dropDuplicatesWithinWatermark) over
+    a DELIBERATELY duplicated stream: the file source unioned with
+    itself, so every event arrives twice — in different micro-batches
+    under maxFilesPerTrigger=1, i.e. real cross-batch key state, not a
+    within-batch distinct. Deterministic (duplicate rows are identical,
+    so whichever copy wins, the output row is the same) — the oracle is
+    simply the unique event set. State is bounded by the watermark
+    horizon: keys older than max(ts) - delay are evicted, which is the
+    property that makes this run forever at 100 TB/day."""
+    dup = S.stream_events(spark, sf_dir).unionAll(
+        S.stream_events(spark, sf_dir)
+    ).withWatermark("ts", "1 hour")
+    deduped = dup.dropDuplicatesWithinWatermark(["event_id"])
+    with _state_partitions(spark):
+        out = S.run_to_memory(spark, deduped, _uniq("dedup_union"))
+    return out.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("event_id")
+
+
 def streaming_idle_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timer-finalized gap sessions (GroupState + EventTimeTimeout): gap
     closures emit in-batch; idle tails emit when the watermark passes
@@ -299,6 +324,7 @@ QUERIES = {
     "ext_streaming_session_windows": streaming_session_windows,
     "ext_streaming_running_user_totals": streaming_running_user_totals,
     "ext_streaming_idle_sessions": streaming_idle_sessions,
+    "ext_streaming_dedup_self_union": streaming_dedup_self_union,
     "ext_streaming_segment_rollup": streaming_segment_rollup,
     "ext_streaming_click_attribution": streaming_click_attribution,
     "ext_streaming_click_attribution_outer": streaming_click_attribution_outer,
@@ -309,6 +335,10 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ext_streaming_dedup_self_union": """
+        SELECT event_id, ts, user_id, event_type, ROUND(value, 2) AS value
+        FROM events ORDER BY event_id
+    """,
     "ext_streaming_idle_sessions": """
         WITH s AS (
           SELECT user_id, ts, value,

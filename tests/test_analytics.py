@@ -156,6 +156,31 @@ def test_ols_slope_sign_matches_pearson(spark, sf_dir):
             assert (slope >= -1) == (rs[t] > 0) or abs(slope) <= 1
 
 
+def test_bpe_planted_vocab_learns_expected_merges(spark):
+    """'abab'×10 + 'ab'×5: round 1 merges (a,b) [cnt 25], round 2 merges
+    (ab,ab) [cnt 10] — merged symbols must participate in later rounds,
+    and greedy left-to-right must not double-count overlaps."""
+    from bigdatamanagement_spark.operators.bpe import bpe_train
+
+    vocab = spark.createDataFrame(
+        [("abab", 10), ("ab", 5)], "token string, freq long"
+    )
+    rows = bpe_train(vocab, rounds=2).collect()
+    assert (rows[0]["sym_a"], rows[0]["sym_b"], rows[0]["cnt"]) == ("a", "b", 25)
+    assert (rows[1]["sym_a"], rows[1]["sym_b"], rows[1]["cnt"]) == ("ab", "ab", 10)
+
+
+def test_bpe_greedy_nonoverlap(spark):
+    """'aaa'×1: pair (a,a) counts twice pre-merge but merges once
+    (left-to-right greedy) — round 2 sees [aa, a]."""
+    from bigdatamanagement_spark.operators.bpe import bpe_train
+
+    vocab = spark.createDataFrame([("aaa", 1)], "token string, freq long")
+    rows = bpe_train(vocab, rounds=2).collect()
+    assert (rows[0]["sym_a"], rows[0]["sym_b"], rows[0]["cnt"]) == ("a", "a", 2)
+    assert (rows[1]["sym_a"], rows[1]["sym_b"], rows[1]["cnt"]) == ("aa", "a", 1)
+
+
 def test_pmi_symmetric_input_invariance(spark, sf_dir):
     """PMI pairs are canonically ordered (tok_a < tok_b) and every
     pair's counts respect c_xy <= min(df_a, df_b)."""
