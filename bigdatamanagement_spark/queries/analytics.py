@@ -549,7 +549,47 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(vocab, rounds=BPE_ROUNDS)
 
 
+def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — order-independent table integrity digests: per table, the
+    row count plus a bit_xor of 60-bit md5 slices of the canonical row
+    string. XOR aggregation is commutative/associative, so the digest
+    is identical under ANY partitioning, task order, or engine — the
+    primitive for verifying replica/migration equality at 100 TB
+    without moving data (each side computes locally, compares 8
+    bytes). Null-vs-empty disambiguated with a sentinel (the corpus
+    snapshot-diff convention)."""
+    # Canonical row strings use only STRING and BIGINT projections —
+    # double→string and timestamp→string formatting is engine-specific
+    # (trailing zeros, exponent forms), integers are not.
+    docs = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("c1"),
+        F.col("text").alias("c2"),
+        F.col("lang").alias("c3"),
+        F.col("source").alias("c4"),
+        F.col("n_chars").cast("string").alias("c5"),
+    )
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").cast("string").alias("c1"),
+        F.unix_micros(F.col("ts").cast("timestamp")).cast("string").alias("c2"),
+        F.col("user_id").cast("string").alias("c3"),
+        F.col("event_type").alias("c4"),
+        F.round(F.col("value") * 1000000.0, 0).cast("long").cast("string").alias("c5"),
+    )
+
+    def digest(df: DataFrame, name: str) -> DataFrame:
+        canon = F.concat_ws(
+            "|", *[F.coalesce(F.col(c), F.lit("\x00NULL")) for c in df.columns]
+        )
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"), F.bit_xor(h).alias("xor_digest")
+        ).select(F.lit(name).alias("table_name"), "n_rows", "xor_digest")
+
+    return digest(docs, "documents").unionAll(digest(ev, "events")).orderBy("table_name")
+
+
 QUERIES = {
+    "ext_table_checksums": table_checksums,
     "ext_bpe_merge_table": bpe_merge_table,
     "t18_ols_value_on_prop": ols_value_on_prop,
     "t18_event_debounce_summary": event_debounce_summary,
@@ -578,6 +618,34 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "ext_table_checksums": """
+        WITH d AS (
+            SELECT ('0x' || substring(md5(concat_ws('|',
+                       COALESCE(CAST(doc_id AS VARCHAR), chr(0) || 'NULL'),
+                       COALESCE(text, chr(0) || 'NULL'),
+                       COALESCE(lang, chr(0) || 'NULL'),
+                       COALESCE(source, chr(0) || 'NULL'),
+                       COALESCE(CAST(n_chars AS VARCHAR), chr(0) || 'NULL')
+                   )), 1, 15))::BIGINT AS h
+            FROM documents
+        ),
+        e AS (
+            SELECT ('0x' || substring(md5(concat_ws('|',
+                       COALESCE(CAST(event_id AS VARCHAR), chr(0) || 'NULL'),
+                       COALESCE(CAST(epoch_us(ts) AS VARCHAR), chr(0) || 'NULL'),
+                       COALESCE(CAST(user_id AS VARCHAR), chr(0) || 'NULL'),
+                       COALESCE(event_type, chr(0) || 'NULL'),
+                       COALESCE(CAST(CAST(round(value * 1000000.0, 0) AS BIGINT)
+                                     AS VARCHAR), chr(0) || 'NULL')
+                   )), 1, 15))::BIGINT AS h
+            FROM events
+        )
+        SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_digest FROM d
+        UNION ALL
+        SELECT 'events', COUNT(*), CAST(bit_xor(h) AS BIGINT) FROM e
+        ORDER BY table_name
+    """,
     "ext_bpe_merge_table": _bpe_sql(_BPE_VOCAB_SQL, rounds=BPE_ROUNDS),
     "t18_ols_value_on_prop": """
         WITH m AS (

@@ -104,3 +104,30 @@ def test_scores_csv_drops_incomplete(spark, tmp_path):
         ("user:1", 19, "leaderboard:3"),
         ("user:4", 487, "leaderboard:2"),
     ]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Schema evolution on an append corpus: a later batch adds a
+    column; mergeSchema unifies (old rows read NULL), and a pinned
+    .schema() read prunes to the original columns — both directions a
+    long-lived ingest pipeline needs."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("v1").alias("text")
+    ).write.parquet(p)
+    spark.range(3, 5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("v2").alias("text"),
+        F.lit("en").alias("lang"),
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert rows[0]["lang"] is None and rows[4]["lang"] == "en"
+
+    pinned = spark.read.schema("doc_id long, text string").parquet(p)
+    assert pinned.columns == ["doc_id", "text"]
+    assert pinned.count() == 5
