@@ -405,3 +405,234 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al., TPAMI 2011):
+    split the vector into ``m`` contiguous subspaces and k-means each
+    subspace to ``ksub`` centroids. Returns codebooks[m][ksub][dsub].
+
+    ONE Spark job, not m sequential fits: every vector explodes into m
+    (subspace, subvector) rows, one shuffle groups by subspace, and each
+    subspace's Lloyd iterations run as vectorized numpy inside its Arrow
+    task — the m subspaces train in parallel. PQ codebooks train on a
+    bounded SAMPLE by standard practice, so a per-subspace sample fits a
+    task; if a subspace sample ever outgrows one task, fall back to a
+    pyspark.ml fit per subspace (the k-means|| path ivf uses).
+    Deterministic: seeded init on id-sorted rows."""
+    import pandas as pd
+
+    dim = len(corpus.select(_as_double(F.col(vec_col)).alias("v")).first()["v"])
+    dsub = dim // m
+    v = _as_double(F.col(vec_col))
+    sub_rows = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(v, s * dsub + 1, dsub),
+            )
+        ).alias("subspace", "sv"),
+    )
+
+    def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        s = int(pdf["subspace"].iloc[0])
+        x = np.stack(pdf["sv"].to_numpy())
+        rng = np.random.RandomState(seed + s)
+        cent = x[rng.choice(len(x), size=ksub, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(axis=0)
+        return pd.DataFrame(
+            {
+                "subspace": s,
+                "centroid_id": range(ksub),
+                "centroid": [c.tolist() for c in cent],
+            }
+        )
+
+    out = (
+        sub_rows.groupBy("subspace")
+        .applyInPandas(
+            lloyd, "subspace int, centroid_id int, centroid array<double>"
+        )
+        .collect()
+    )
+    books: list[list[list[float]]] = [[None] * ksub for _ in range(m)]
+    for r in out:
+        books[r["subspace"]][r["centroid_id"]] = [float(x) for x in r["centroid"]]
+    return books
+
+
+def _pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
+    """array<int>(m): per-subspace nearest-codeword ids — the PQ encoding,
+    as a pure JVM expression (argmin over ksub squared-L2 distances per
+    subspace). At scale this runs once at write time and the stored
+    corpus carries only the m small ints per vector."""
+    m = len(books)
+    dsub = len(books[0][0])
+    codes = []
+    for s, book in enumerate(books):
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        cands = []
+        for ci, cvec in enumerate(book):
+            lit = F.array(*[F.lit(x) for x in cvec])
+            d2 = F.aggregate(
+                F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cands.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
+        codes.append(F.element_at(F.array_sort(F.array(*cands)), 1)["c"])
+    return F.array(*codes)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, codes array<int>): the PQ-compressed corpus,
+    MATERIALIZED (localCheckpoint). Encoding is at-ingest work — in
+    production the stored table carries these m small ints per vector —
+    and materializing also fences Catalyst from inlining the encode
+    into every consumer join pair (the CollapseProject recompute trap:
+    un-fenced, the ADC cross join re-encodes the corpus once per QUERY
+    row). Arrow-batched numpy, per the dense-vector policy: the
+    all-(sub)centroid distance argmin is one broadcasted tensor op per
+    batch; the JVM-expression twin (_pq_codes) stays for single-vector
+    use and as the equivalence reference."""
+    import pandas as pd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        cent = np.array(codebooks)  # (m, ksub, dsub)
+        for pdf in batches:
+            x = np.stack(pdf["cv"].to_numpy())  # (n, dim)
+            n = len(x)
+            sub = x.reshape(n, m, dsub)  # (n, m, dsub)
+            d2 = ((sub[:, :, None, :] - cent[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2).astype("int32")  # (n, m)
+            yield pd.DataFrame(
+                {"neighbor_id": pdf["neighbor_id"], "codes": list(codes)}
+            )
+
+    return c.mapInPandas(
+        encode, "neighbor_id long, codes array<int>"
+    ).localCheckpoint(eager=True)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 50,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-free PQ-ADC top-k: asymmetric-distance candidate scoring on
+    compressed codes, exact re-rank of the top ``refine``.
+
+    The scale property: the candidate-scoring join ships (id, codes[m])
+    — m small ints per corpus vector, ~32× smaller than the raw floats —
+    and the query side carries its m × ksub ADC lookup table as an array
+    literal. Approximate distance is one zip_with over the codes
+    (element_at into the table); only the ``refine`` survivors per query
+    are joined back to the full vectors for exact cosine. Composes with
+    the IVF cell filter (probe cells first, then ADC inside them)."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, vec_col, m=m, ksub=ksub, seed=seed)
+    dsub = len(codebooks[0][0])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    coded = codes if codes is not None else pq_encode(corpus, codebooks, id_col, vec_col)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    # ADC tables: per subspace, squared L2 from the query SUB-vector to
+    # each codeword — array<array<double>>(m × ksub), built per query row.
+    tables = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(F.col("qv"), s * dsub + 1, dsub)
+        ents = []
+        for cvec in book:
+            lit = F.array(*[F.lit(x) for x in cvec])
+            ents.append(
+                F.aggregate(
+                    F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        tables.append(F.array(*ents))
+    qt = q.select("query_id", "qv", F.array(*tables).alias("adc"))
+
+    approx = (
+        qt.crossJoin(coded)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "qv",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("adc"),
+                    lambda code, table: F.element_at(table, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("approx_d2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"), F.asc("neighbor_id"))
+    shortlist = approx.withColumn("rr", F.row_number().over(wr)).filter(
+        F.col("rr") <= refine
+    )
+    rer = (
+        shortlist.join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

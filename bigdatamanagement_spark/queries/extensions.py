@@ -353,6 +353,41 @@ def ivf_ann_topk(spark, sf_dir) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+_PQ_CODEBOOKS: dict[tuple[int, str], list] = {}
+
+
+def _pq_codebooks(spark, sf_dir, e: DataFrame) -> list:
+    """Per-(session, corpus) trained PQ codebooks — index-build phase,
+    memoized like the IVF coarse quantizer."""
+    key = (id(spark), sf_dir)
+    if key not in _PQ_CODEBOOKS:
+        # Codebooks train on a deterministic 1/4 sample (standard PQ
+        # practice — Jégou et al. train on a subset); each of the m
+        # subspace fits is a Spark job, so the sample + short Lloyd runs
+        # keep index-build bounded while recall is pinned by the test.
+        sample = e.filter(F.col("vec_id") % 4 == 0)
+        books = S.pq_train_codebooks(sample, "embedding", m=8, ksub=16, max_iter=4)
+        # the encoded corpus is part of the index build: store codes too
+        _PQ_CODEBOOKS[key] = (books, S.pq_encode(e, books))
+    return _PQ_CODEBOOKS[key]
+
+
+def pq_ann_topk(spark, sf_dir) -> DataFrame:
+    """Approximate top-10 via product quantization with ADC scoring and
+    exact re-rank of the top-50 shortlist (operators/similarity.pq_topk);
+    rows-only check — k-means codebook training is not SQL-expressible.
+    Recall vs the exact baseline is pinned in tests. The compression
+    path for 100 TB ANN: the scoring join ships 8 small ints per corpus
+    vector instead of 64 floats."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    books, codes = _pq_codebooks(spark, sf_dir, e)
+    return S.pq_topk(
+        e, queries, k=10, m=8, ksub=16, refine=100,
+        codebooks=books, codes=codes,
+    ).orderBy("query_id", "rank")
+
+
 def semdedup_summary(spark, sf_dir) -> DataFrame:
     """SemDeDup semantic dedup over the embedding corpus (per-cluster
     pairwise cosine inside the k-means cells of the shared IVF
@@ -395,6 +430,7 @@ QUERIES = {
     "ext_cosine_topk": cosine_topk,
     "ext_lsh_ann_topk": lsh_ann_topk,
     "ext_ivf_ann_topk": ivf_ann_topk,
+    "ext_pq_ann_topk": pq_ann_topk,
     "ext_semdedup_summary": semdedup_summary,
 }
 

@@ -372,3 +372,46 @@ def test_bloom_one_sided_and_mergeable(spark, sf_dir):
     merged = {r.bit for r in a.union(b).distinct().collect()}
     whole = {r.bit for r in bloom.collect()}
     assert merged == whole
+
+
+def test_pq_ann_recall(spark, sf_dir):
+    """PQ-ADC (m=8, ksub=16, refine=50) + exact re-rank: top-10 must
+    overlap exact top-10 by ≥50% on average, and every query gets a
+    full k=10 (the shortlist is 5× k)."""
+    exact = E.cosine_topk(spark, sf_dir).collect()
+    approx = E.pq_ann_topk(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    ex, ap = defaultdict(set), defaultdict(set)
+    for r in exact:
+        ex[r.query_id].add(r.neighbor_id)
+    for r in approx:
+        ap[r.query_id].add(r.neighbor_id)
+    assert all(len(v) == 10 for v in ap.values())
+    recalls = [len(ex[q] & ap[q]) / len(ex[q]) for q in ex]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, avg
+
+
+def test_pq_encode_twins_agree(spark, sf_dir):
+    """The Arrow/numpy batch encoder and the JVM-expression encoder
+    produce identical codes (same argmin, same tie rule)."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.operators import similarity as S
+
+    e = E._embs(spark, sf_dir)
+    books, codes = E._pq_codebooks(spark, sf_dir, e)
+    sample = e.filter(F.col("vec_id") < 50)
+    jvm = {
+        r["neighbor_id"]: list(r["c"])
+        for r in sample.select(
+            F.col("vec_id").alias("neighbor_id"),
+            S._pq_codes(F.col("embedding").cast("array<double>"), books).alias("c"),
+        ).collect()
+    }
+    arrow = {
+        r["neighbor_id"]: list(r["codes"])
+        for r in codes.filter(F.col("neighbor_id") < 50).collect()
+    }
+    assert jvm == arrow
