@@ -136,3 +136,73 @@ def bpe_oracle_sql(vocab_sql: str, rounds: int = 6) -> str:
         )
     parts.append("\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY round")
     return "\n".join(parts)
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY a trained merge table: encode every whitespace token of
+    ``docs[text_col]`` with the merges (in round order) and add a
+    ``n_pieces`` column — the corpus-side token accounting a trained
+    tokenizer produces.
+
+    The merge chain is built by COLLECTING the merge table (it is the
+    tokenizer model — KBs, broadcast-sized by definition) and folding
+    the same marker-string replace over the per-token symbol strings.
+    One narrow map over the corpus; no shuffle."""
+    rows = merges.orderBy("round").collect()
+    toks = F.split(F.lower(F.trim(text_col)), "\\s+")
+    enc = F.transform(toks, lambda t: F.regexp_replace(t, "(.)", RS + "$1" + US))
+
+    # a closure factory, NOT `lambda s, _r=r`: PySpark reads lambda arity
+    # to pick unary-vs-(element, index) form, so a default arg silently
+    # turns the captured row into the index Column
+    def merge_step(sym_a: str, sym_b: str):
+        return lambda s: F.replace(
+            s,
+            F.lit(RS + sym_a + US + RS + sym_b + US),
+            F.lit(RS + sym_a + sym_b + US),
+        )
+
+    for r in rows:
+        enc = F.transform(enc, merge_step(r["sym_a"], r["sym_b"]))
+    n_pieces = F.aggregate(
+        enc,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(F.length(s) == 0, F.lit(0)).otherwise(
+            F.length(s) - F.length(F.replace(s, F.lit(US), F.lit("")))
+        ),
+    )
+    return docs.withColumn("n_pieces", n_pieces)
+
+
+def bpe_apply_oracle_sql(vocab_sql: str, rounds: int = 6) -> str:
+    """DuckDB mirror of train-then-apply: reuses the training CTE chain
+    (w1..wK winners) and folds the same replaces over every corpus
+    token, summarizing pieces per source."""
+    train = bpe_oracle_sql(vocab_sql, rounds)
+    # keep only the WITH-chain (drop the final merge-table SELECT)
+    chain = train[: train.rindex("\nSELECT 1 AS round")]
+    apply_ctes = [
+        ",e0 AS (SELECT source, regexp_replace(tok, '(.)', "
+        f"'{RS}\\1{US}', 'g') AS s FROM "
+        "(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok"
+        " FROM documents))"
+    ]
+    for r in range(1, rounds + 1):
+        apply_ctes.append(
+            f",e{r} AS (SELECT source,"
+            f" replace(s, '{RS}' || sym_a || '{US}{RS}' || sym_b || '{US}',"
+            f" '{RS}' || sym_a || sym_b || '{US}') AS s"
+            f" FROM e{r - 1}, w{r})"
+        )
+    final = (
+        f"\nSELECT source, COUNT(*) AS n_tokens,"
+        f" CAST(SUM(length(s) - length(replace(s, '{US}', ''))) AS BIGINT)"
+        f" AS total_pieces"
+        f" FROM e{rounds} GROUP BY source ORDER BY source"
+    )
+    return chain + "\n" + "\n".join(apply_ctes) + final

@@ -62,3 +62,44 @@ def quantile_bucket(rank_col: str, n_rows: int, k: int) -> Column:
     return (
         F.lit(1) + F.floor((F.col(rank_col) - 1) * k / F.lit(float(n_rows)))
     ).cast("int")
+
+
+def global_running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_max",
+) -> DataFrame:
+    """Exact global running max of ``value_col`` in ``order_col`` order,
+    distributed — same two-phase shape as global_row_number: range-
+    repartition on the order key, per-partition maxima to the driver
+    (one row per partition), exclusive prefix max broadcast back,
+    within-partition running max + greatest() with the carry-in.
+    A bare ``Window.orderBy`` computes this through ONE task."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    maxima = staged.groupBy("_pid").agg(F.max(value_col).alias("_pmax")).collect()
+    carry, offsets = None, []
+    for row in sorted(maxima, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], carry))
+        carry = row["_pmax"] if carry is None else max(carry, row["_pmax"])
+    vtype = staged.schema[value_col].dataType.simpleString()
+    off = spark.createDataFrame(offsets, schema=f"_pid int, _carry {vtype}")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.join(F.broadcast(off), "_pid")
+        .withColumn(
+            out_col, F.greatest(F.max(value_col).over(w), F.col("_carry"))
+        )
+        .drop("_pid", "_carry")
+    )

@@ -588,7 +588,64 @@ def table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return digest(docs, "documents").unionAll(digest(ev, "events")).orderBy("table_name")
 
 
+def bpe_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — tokenizer APPLY: encode the whole corpus with the 6 merges
+    learned by ext_bpe_merge_table and report per-source token vs piece
+    counts (pieces < chars: the compression the tokenizer buys). The
+    merge table is the model — collected (KBs) and folded as literal
+    replaces in one narrow map; train→apply end-to-end is oracle-checked
+    with the oracle RE-LEARNING the merges in SQL."""
+    from bigdatamanagement_spark.operators.bpe import bpe_apply
+
+    merges = bpe_merge_table(spark, sf_dir)
+    docs = _documents(spark, sf_dir)
+    enc = bpe_apply(docs, merges)
+    return (
+        enc.select(
+            "source",
+            F.size(F.split(F.lower(F.trim("text")), "\\s+")).alias("nt"),
+            "n_pieces",
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+        )
+        .orderBy("source")
+    )
+
+
+LATE_US = 30 * 60 * 1000000
+
+
+def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18h — out-of-orderness profile: per event_type, how far behind
+    the high-water-mark (max event time seen so far in ARRIVAL order,
+    proxied by event_id) each event arrives — the measurement that
+    justifies a streaming watermark delay. The global running max uses
+    the two-phase range-repartition shape (operators/rank.py), never a
+    one-task Window.orderBy."""
+    from bigdatamanagement_spark.operators.rank import global_running_max
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    hwm = global_running_max(ev, "event_id", "us", "hwm_us")
+    late = hwm.withColumn("lateness_us", F.col("hwm_us") - F.col("us"))
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lateness_us") > LATE_US).cast("long")).alias("n_late_30m"),
+            F.max("lateness_us").alias("max_lateness_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "t18_event_lateness_profile": event_lateness_profile,
+    "ext_bpe_encode_summary": bpe_encode_summary,
     "ext_table_checksums": table_checksums,
     "ext_bpe_merge_table": bpe_merge_table,
     "t18_ols_value_on_prop": ols_value_on_prop,
@@ -608,7 +665,10 @@ QUERIES = {
     "ext_token_pmi_pairs": token_pmi_pairs,
 }
 
-from bigdatamanagement_spark.operators.bpe import bpe_oracle_sql as _bpe_sql
+from bigdatamanagement_spark.operators.bpe import (
+    bpe_apply_oracle_sql as _bpe_apply_sql,
+    bpe_oracle_sql as _bpe_sql,
+)
 
 _BPE_VOCAB_SQL = """
     SELECT token, COUNT(*) AS freq
@@ -618,6 +678,20 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "t18_event_lateness_profile": """
+        WITH h AS (
+            SELECT event_type,
+                   MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - epoch_us(ts) AS lateness_us
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN lateness_us > 1800000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late_30m,
+               CAST(MAX(lateness_us) AS BIGINT) AS max_lateness_us
+        FROM h GROUP BY 1 ORDER BY 1
+    """,
     "ext_table_checksums": """
         WITH d AS (
             SELECT ('0x' || substring(md5(concat_ws('|',
@@ -647,6 +721,7 @@ ORACLE = {
         ORDER BY table_name
     """,
     "ext_bpe_merge_table": _bpe_sql(_BPE_VOCAB_SQL, rounds=BPE_ROUNDS),
+    "ext_bpe_encode_summary": _bpe_apply_sql(_BPE_VOCAB_SQL, rounds=BPE_ROUNDS),
     "t18_ols_value_on_prop": """
         WITH m AS (
             SELECT event_type, COUNT(*) AS n,

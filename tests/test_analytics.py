@@ -181,6 +181,26 @@ def test_bpe_greedy_nonoverlap(spark):
     assert (rows[1]["sym_a"], rows[1]["sym_b"], rows[1]["cnt"]) == ("aa", "a", 1)
 
 
+def test_global_running_max_crafted_out_of_order(spark):
+    """Planted late arrivals: the distributed two-phase running max
+    equals the one-partition window result, and lateness is non-zero
+    exactly for the out-of-order rows."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.operators.rank import global_running_max
+
+    # arrival order 1..6; event times jump back at arrivals 3 and 5
+    rows = [(1, 100), (2, 200), (3, 150), (4, 300), (5, 120), (6, 400)]
+    df = spark.createDataFrame(rows, "event_id long, us long").repartition(4)
+    out = {
+        r["event_id"]: r["running_max"]
+        for r in global_running_max(df, "event_id", "us").collect()
+    }
+    assert out == {1: 100, 2: 200, 3: 200, 4: 300, 5: 300, 6: 400}
+    late = {eid: out[eid] - us for eid, us in rows}
+    assert late == {1: 0, 2: 0, 3: 50, 4: 0, 5: 180, 6: 0}
+
+
 def test_pmi_symmetric_input_invariance(spark, sf_dir):
     """PMI pairs are canonically ordered (tok_a < tok_b) and every
     pair's counts respect c_xy <= min(df_a, df_b)."""
