@@ -131,14 +131,43 @@ def lsh_topk(
     ]
 
     def tabled(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        import pandas as pd
+
         src = df.select(
             F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
         )
-        buckets = F.array(*[_bucket(F.col(vec_alias), p) for p in all_planes])
-        # posexplode_outer: a plain explode infers size()>0 and pushes the
-        # whole hyperplane-dot tree into the scan filter (see dedup.py)
-        return src.select(
-            id_alias, vec_alias, F.posexplode_outer(buckets).alias("table", "bucket")
+
+        # All tables' signatures in ONE numpy matmul per Arrow batch —
+        # the JVM-expression form (_bucket) interprets n_tables×n_planes
+        # 64-dim dots per row (~4M element ops on 2k vectors, the
+        # measured hot spot); dense-vector policy says numpy. The
+        # per-table explode stays JVM-side on the returned array.
+        plane_mat = [p for tbl in all_planes for p in tbl]  # (T*B, dim)
+
+        def sig(batches):
+            import numpy as np
+
+            pm = np.array(plane_mat)  # (T*B, dim)
+            weights = 1 << np.arange(n_planes)
+            for pdf in batches:
+                x = np.stack(pdf[vec_alias].to_numpy())
+                bits = (x @ pm.T >= 0).astype("int64")
+                buckets = (
+                    bits.reshape(len(x), n_tables, n_planes) * weights
+                ).sum(axis=2).astype("int32")
+                yield pd.DataFrame(
+                    {
+                        id_alias: pdf[id_alias],
+                        vec_alias: pdf[vec_alias],
+                        "buckets": list(buckets),
+                    }
+                )
+
+        signed = src.mapInPandas(
+            sig, f"{id_alias} long, {vec_alias} array<double>, buckets array<int>"
+        )
+        return signed.select(
+            id_alias, vec_alias, F.posexplode_outer("buckets").alias("table", "bucket")
         )
 
     ct = tabled(corpus, "neighbor_id", "cv")
