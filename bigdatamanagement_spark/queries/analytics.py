@@ -643,7 +643,42 @@ def event_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 1800
+
+
+def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18i — interval-concurrency analytics: how many user sessions
+    (30-min-gap sessionization) are ACTIVE in each hour — the capacity-
+    planning view over session intervals. Each session expands to the
+    hours it covers (fan-out bounded by session duration, not corpus
+    size) and one hour-keyed count aggregates; no global sweep-line
+    ordering needed at hour granularity."""
+    from bigdatamanagement_spark.operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = (
+        sessionize(ev, "user_id", "ts", SESSION_GAP_S, order_tiebreak="event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    hours = sess.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s_start"),
+                F.date_trunc("hour", "s_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hr")
+    )
+    return (
+        hours.groupBy(F.col("hr").cast("timestamp_ntz").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n_active_sessions"))
+        .orderBy("hr")
+    )
+
+
 QUERIES = {
+    "t18_concurrent_sessions_hourly": concurrent_sessions_hourly,
     "t18_event_lateness_profile": event_lateness_profile,
     "ext_bpe_encode_summary": bpe_encode_summary,
     "ext_table_checksums": table_checksums,
@@ -678,6 +713,35 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "t18_concurrent_sessions_hourly": """
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+            FROM s
+        ),
+        bounds AS (
+            SELECT user_id, session_seq,
+                   MIN(ts) AS s_start, MAX(ts) AS s_end
+            FROM numbered GROUP BY 1, 2
+        ),
+        hours AS (
+            SELECT unnest(generate_series(date_trunc('hour', s_start),
+                                          date_trunc('hour', s_end),
+                                          INTERVAL 1 HOUR)) AS hr
+            FROM bounds
+        )
+        SELECT CAST(hr AS TIMESTAMP) AS hr, COUNT(*) AS n_active_sessions
+        FROM hours GROUP BY 1 ORDER BY 1
+    """,
     "t18_event_lateness_profile": """
         WITH h AS (
             SELECT event_type,

@@ -107,6 +107,45 @@ def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def streaming_click_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI stream-stream interval join: the clicks that led to a
+    purchase by the same user within 30 minutes — each matching left
+    row emitted exactly once, no right columns, no null padding. Same
+    two-sided join state and eviction bound as the inner form; the
+    matched set is batch-deterministic, so the oracle is a plain
+    EXISTS."""
+    clicks = (
+        S.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+    )
+    purchases = (
+        S.stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+    )
+    l = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r = purchases.withWatermark("ts", "2 hours").select(
+        F.col("user_id").alias("r_key"), F.col("ts").alias("r_ts")
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes"))
+    )
+    with _state_partitions(spark):
+        out = S.run_to_memory(spark, l.join(r, cond, "left_semi"), _uniq("click_semi"))
+    return out.select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("l_ts").cast("timestamp_ntz").alias("click_ts"),
+    ).orderBy("click_id")
+
+
 def streaming_dedup_self_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup (dropDuplicatesWithinWatermark) over
     a DELIBERATELY duplicated stream: the file source unioned with
@@ -325,6 +364,7 @@ QUERIES = {
     "ext_streaming_running_user_totals": streaming_running_user_totals,
     "ext_streaming_idle_sessions": streaming_idle_sessions,
     "ext_streaming_dedup_self_union": streaming_dedup_self_union,
+    "ext_streaming_click_attribution_semi": streaming_click_attribution_semi,
     "ext_streaming_segment_rollup": streaming_segment_rollup,
     "ext_streaming_click_attribution": streaming_click_attribution,
     "ext_streaming_click_attribution_outer": streaming_click_attribution_outer,
@@ -338,6 +378,15 @@ ORACLE = {
     "ext_streaming_dedup_self_union": """
         SELECT event_id, ts, user_id, event_type, ROUND(value, 2) AS value
         FROM events ORDER BY event_id
+    """,
+    "ext_streaming_click_attribution_semi": """
+        SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+        FROM events c
+        WHERE c.event_type = 'click' AND EXISTS (
+            SELECT 1 FROM events p
+            WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        ORDER BY click_id
     """,
     "ext_streaming_idle_sessions": """
         WITH s AS (
