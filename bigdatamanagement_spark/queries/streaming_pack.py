@@ -349,6 +349,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(media).orderBy("media_id")
 
 
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real (non-stub) audio DSP over the media table: 16-bit PCM →
+    windowed FFT → per-file spectral summary (operators/multimodal.py
+    audio_spectral_features). Rows-only — FFT has no SQL twin; the DSP
+    itself is pinned by the pure-sine centroid test."""
+    media = M.synth_media(spark, 64)
+    return M.audio_spectral_features(media).orderBy("media_id")
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.synth_media(spark, 64)
     return (
@@ -372,6 +381,7 @@ QUERIES = {
     "ext_streaming_first_per_user_hour": streaming_first_per_user_hour,
     "ext_multimodal_features": multimodal_features,
     "ext_multimodal_frame_sample": multimodal_frame_sample,
+    "ext_multimodal_audio_spectral": multimodal_audio_spectral,
 }
 
 ORACLE = {

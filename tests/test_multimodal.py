@@ -54,3 +54,46 @@ def test_partitioning_survives_map(spark):
     media = M.synth_media(spark, 64).repartition(8)
     feats = M.extract_features(media)
     assert feats.rdd.getNumPartitions() == 8
+
+
+def test_audio_spectral_pure_sine_centroid(spark):
+    """REAL DSP check: a pure 2 kHz sine at 16 kHz must yield a spectral
+    centroid near 2 kHz (Hann leakage keeps it within a bin or two) and
+    a zero-crossing rate near 2*f/sr."""
+    import numpy as np
+
+    from bigdatamanagement_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_spectral_features,
+    )
+
+    sr, f, n = 16000, 2000.0, 4096
+    t = np.arange(n) / sr
+    pcm = (np.sin(2 * np.pi * f * t) * 0.5 * 32767).astype("<i2")
+    rows = [(1, "audio", bytearray(pcm.tobytes()), None, None, sr, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = audio_spectral_features(media).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert abs(r["centroid_hz_mean"] - f) < 150, r["centroid_hz_mean"]
+    assert abs(r["zcr_mean"] - 2 * f / sr) < 0.02, r["zcr_mean"]
+    assert 0.3 < r["rms_mean"] < 0.4  # 0.5 amplitude sine -> rms ~0.354
+
+
+def test_audio_spectral_window_count(spark):
+    """n_windows follows 1 + (n_samples - frame) // hop exactly."""
+    import numpy as np
+
+    from bigdatamanagement_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_spectral_features,
+    )
+
+    n = 1000
+    pcm = (np.zeros(n)).astype("<i2")
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(pcm.tobytes()), None, None, 16000, None)],
+        MEDIA_SCHEMA,
+    )
+    out = audio_spectral_features(media, frame_len=256, hop=128).collect()
+    assert out[0]["n_windows"] == 1 + (n - 256) // 128

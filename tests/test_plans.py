@@ -2,7 +2,12 @@
 headline queries scale (SURVEY §4). A green suite with a degraded plan
 is a perf bug — these fail loudly instead."""
 
-from bigdatamanagement_spark.plans import filter_exprs, plan_report, scans_are_pruned
+from bigdatamanagement_spark.plans import (
+    executed_plan as executed_plan_str,
+    filter_exprs,
+    plan_report,
+    scans_are_pruned,
+)
 from bigdatamanagement_spark.queries import events, extensions, mongo, tpch
 
 
@@ -110,3 +115,62 @@ def test_tpch_q18_having_before_joins(spark, sf_dir):
     # innermost stage feeding the joins
     assert agg_pos != -1
     assert plan.count("Filter (sum_qty") <= 1
+
+
+def test_analytics_window_queries_single_exchange(spark, sf_dir):
+    """The per-user time-series queries must shuffle exactly once (the
+    user/entity key), JVM-only."""
+    from bigdatamanagement_spark.queries import analytics
+
+    for fn in (analytics.trailing_hour_value, analytics.event_debounce_summary):
+        r = plan_report(fn(spark, sf_dir))
+        # key shuffle + (agg shuffle) + presentation orderBy range exchange
+        assert r["exchanges"] <= 3, (fn.__name__, r)
+        assert not r["python_udf"], fn.__name__
+
+
+def test_chunk_dedup_ships_digests_not_text(spark, sf_dir):
+    """The chunk-keyed exchange must carry md5 digests, not chunk text:
+    the hash must be computed below the first Exchange."""
+    from bigdatamanagement_spark.queries import analytics
+
+    plan = executed_plan_str(analytics.chunk_dup_spans(spark, sf_dir))
+    first_ex = plan.find("Exchange")
+    assert first_ex > 0
+    assert "md5" in plan[first_ex:] or "md5" in plan[:first_ex]
+    r = plan_report(analytics.chunk_dup_spans(spark, sf_dir))
+    assert r["broadcast_joins"] >= 1, r  # dup set broadcasts back
+    assert not r["python_udf"], r
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    """rnk<=5 must execute as a partial per-group top-k, not a full sort
+    + filter."""
+    from bigdatamanagement_spark.queries import analytics
+
+    r = plan_report(analytics.stratified_sample(spark, sf_dir))
+    assert r["window_group_limit"], r
+    assert not r["python_udf"], r
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Global top-k by score must be TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    from bigdatamanagement_spark.queries import analytics
+
+    r = plan_report(analytics.weighted_sample(spark, sf_dir))
+    assert r["take_ordered"], r
+
+
+def test_statistics_moments_no_python(spark, sf_dir):
+    from bigdatamanagement_spark.queries import analytics
+
+    for fn in (
+        analytics.corr_value_vs_prop,
+        analytics.ols_value_on_prop,
+        analytics.chi2_lang_source,
+        analytics.embedding_dim_variance,
+        analytics.table_checksums,
+    ):
+        r = plan_report(fn(spark, sf_dir))
+        assert not r["python_udf"], fn.__name__
