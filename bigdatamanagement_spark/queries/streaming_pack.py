@@ -146,6 +146,55 @@ def streaming_click_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("click_id")
 
 
+def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup — the composition a production corpus
+    pipeline runs: new documents arrive as a STREAM, and each
+    micro-batch is checked against the standing corpus's at-ingest
+    MinHash band index via foreachBatch (the Structured Streaming
+    pattern for logic richer than single-pass operators: the exact-
+    Jaccard verification join-back is a multi-join aggregate no
+    streaming operator chain expresses). base×base pairs are never
+    enumerated; per-batch cost is batch signatures + one band-keyed
+    join. Deterministic (batch logic per micro-batch), so the oracle is
+    the batch incremental-dedup SQL."""
+    import pyspark.sql.functions as _F
+
+    from bigdatamanagement_spark.operators.dedup import incremental_minhash_pairs
+    from bigdatamanagement_spark.queries.extensions import BATCH_MOD, JACCARD_T, _docs
+
+    base = _docs(spark, sf_dir).filter(
+        _F.col("doc_id") % BATCH_MOD != BATCH_MOD - 1
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .filter(_F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1)
+    )
+    results: list = []
+
+    def check_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pairs = incremental_minhash_pairs(
+            base, batch_df, "doc_id", "text", threshold=JACCARD_T
+        )
+        results.extend(pairs.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(check_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        results, "new_doc bigint, dup_of bigint, jaccard double"
+    ).orderBy("new_doc", "dup_of")
+
+
 def streaming_dedup_self_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup (dropDuplicatesWithinWatermark) over
     a DELIBERATELY duplicated stream: the file source unioned with
@@ -374,6 +423,7 @@ QUERIES = {
     "ext_streaming_idle_sessions": streaming_idle_sessions,
     "ext_streaming_dedup_self_union": streaming_dedup_self_union,
     "ext_streaming_click_attribution_semi": streaming_click_attribution_semi,
+    "ext_streaming_neardup_flags": streaming_neardup_flags,
     "ext_streaming_segment_rollup": streaming_segment_rollup,
     "ext_streaming_click_attribution": streaming_click_attribution,
     "ext_streaming_click_attribution_outer": streaming_click_attribution_outer,
@@ -384,7 +434,12 @@ QUERIES = {
     "ext_multimodal_audio_spectral": multimodal_audio_spectral,
 }
 
+from bigdatamanagement_spark.queries.extensions import ORACLE as _EXT_ORACLE
+
 ORACLE = {
+    # the streaming foreachBatch ingest-dedup runs the same batch logic
+    # per micro-batch, so it shares the batch incremental-dedup oracle
+    "ext_streaming_neardup_flags": _EXT_ORACLE["ext_incremental_neardup"],
     "ext_streaming_dedup_self_union": """
         SELECT event_id, ts, user_id, event_type, ROUND(value, 2) AS value
         FROM events ORDER BY event_id
