@@ -677,7 +677,52 @@ def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18j — market-basket over sessions: support counts of event-TYPE
+    pairs co-occurring within one user session (30-min gap), in floored
+    basis points of all sessions — the association-mining shape
+    (Agrawal/Srikant Apriori's pair level) on behavioral data. Each
+    session reduces to its distinct type SET (≤5 types ⇒ ≤10 pairs per
+    session: bounded fan-out), one session-keyed aggregate + one pair
+    count."""
+    from bigdatamanagement_spark.operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess_types = (
+        sessionize(ev, "user_id", "ts", SESSION_GAP_S, order_tiebreak="event_id")
+        .groupBy("user_id", "session_seq")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    n_sessions = sess_types.count()
+    pairs = (
+        sess_types.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "types",
+                        lambda x: F.filter(
+                            F.transform(
+                                "types", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                            ),
+                            lambda st: st["a"] < st["b"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_sessions_with_pair"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_sessions_with_pair",
+        F.expr(f"(10000 * n_sessions_with_pair) div {n_sessions}").alias("support_bp"),
+    ).orderBy("type_a", "type_b")
+
+
 QUERIES = {
+    "t18_session_basket_pairs": session_basket_pairs,
     "t18_concurrent_sessions_hourly": concurrent_sessions_hourly,
     "t18_event_lateness_profile": event_lateness_profile,
     "ext_bpe_encode_summary": bpe_encode_summary,
@@ -713,6 +758,38 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "t18_session_basket_pairs": """
+        WITH s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        numbered AS (
+            SELECT user_id, event_type,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+            FROM s
+        ),
+        st AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
+        n AS (SELECT COUNT(*) AS n_sessions
+              FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_sessions_with_pair
+            FROM st a JOIN st b
+              ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n_sessions_with_pair,
+               CAST((10000 * n_sessions_with_pair) // n_sessions AS BIGINT)
+                   AS support_bp
+        FROM pairs CROSS JOIN n
+        ORDER BY type_a, type_b
+    """,
     "t18_concurrent_sessions_hourly": """
         WITH s AS (
             SELECT user_id, ts, event_id,
