@@ -1,7 +1,12 @@
 """Advanced-analytics pack (T18/ext): RANGE-interval window frames,
 decile banding (ntile + percent_rank), sliding distinct counts, IQR
 outlier screening, chunk-level exact-substring dedup, deterministic
-stratified sampling, UNPIVOT/melt, and token-pair PMI.
+stratified + weighted (Efraimidis-Spirakis) sampling, UNPIVOT/melt,
+token-pair PMI, portable Pearson/OLS/chi-square from exact BIGINT
+moments, per-dimension embedding variance, debounce dedup, BPE
+tokenizer train+apply, order-independent table checksums, event
+lateness (watermark-sizing) profile, hourly session concurrency, and
+session market-basket pair support.
 
 These extend the reference's aggregation/window vocabulary (SURVEY §2.4,
 §2.5 — Bigtable time-slice reads `Assignment 4/.../Bigtable.java:129-145`,
