@@ -341,6 +341,7 @@ def incremental_minhash_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    base_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs of an incoming BATCH against an existing BASE
     corpus: (new_doc, dup_of, jaccard) with jaccard ≥ threshold —
@@ -362,7 +363,14 @@ def incremental_minhash_pairs(
     never exist: the join is strictly cross-sided.
     """
     rows = num_hashes // bands
-    sig_base = minhash_signatures(base, id_col, text_col, num_hashes, k)
+    # sig_base is the at-ingest index side — callers that hold a
+    # materialized copy (per-session memo, stored table) pass it in so
+    # repeated batches don't re-shingle the standing corpus
+    sig_base = (
+        base_signatures
+        if base_signatures is not None
+        else minhash_signatures(base, id_col, text_col, num_hashes, k)
+    )
     sig_batch = minhash_signatures(batch, id_col, text_col, num_hashes, k)
     cand = (
         _band_hashes(sig_batch, bands, rows)

@@ -215,6 +215,24 @@ def source_kl_divergence(spark, sf_dir) -> DataFrame:
 # --- dedup ----------------------------------------------------------------
 
 
+# The standing corpus's MinHash signatures: the at-ingest index both
+# the batch and streaming incremental-dedup entries probe — built once
+# per (session, corpus), like the IVF centroids and PQ codes.
+_BASE_SIGS: dict[tuple[int, str], DataFrame] = {}
+
+
+def base_minhash_signatures(spark, sf_dir) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _BASE_SIGS:
+        base = _docs(spark, sf_dir).filter(
+            F.col("doc_id") % BATCH_MOD != BATCH_MOD - 1
+        )
+        _BASE_SIGS[key] = D.minhash_signatures(
+            base, "doc_id", "text", 64, 3
+        ).localCheckpoint(eager=True)
+    return _BASE_SIGS[key]
+
+
 def incremental_neardup(spark, sf_dir) -> DataFrame:
     """Near-dup pairs of a simulated incoming snapshot (doc_id ≡ 4 mod 5)
     against the standing corpus (the rest): the incremental-dedup shape —
@@ -225,7 +243,8 @@ def incremental_neardup(spark, sf_dir) -> DataFrame:
     base = d.filter(F.col("doc_id") % BATCH_MOD != BATCH_MOD - 1)
     batch = d.filter(F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1)
     return D.incremental_minhash_pairs(
-        base, batch, "doc_id", "text", threshold=JACCARD_T
+        base, batch, "doc_id", "text", threshold=JACCARD_T,
+        base_signatures=base_minhash_signatures(spark, sf_dir),
     ).orderBy("new_doc", "dup_of")
 
 def dedup_exact_groups(spark, sf_dir) -> DataFrame:

@@ -160,11 +160,17 @@ def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as _F
 
     from bigdatamanagement_spark.operators.dedup import incremental_minhash_pairs
-    from bigdatamanagement_spark.queries.extensions import BATCH_MOD, JACCARD_T, _docs
+    from bigdatamanagement_spark.queries.extensions import (
+        BATCH_MOD,
+        JACCARD_T,
+        _docs,
+        base_minhash_signatures,
+    )
 
     base = _docs(spark, sf_dir).filter(
         _F.col("doc_id") % BATCH_MOD != BATCH_MOD - 1
     )
+    base_sigs = base_minhash_signatures(spark, sf_dir)
     stream = (
         spark.readStream.schema(
             "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -180,7 +186,8 @@ def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_df.isEmpty():
             return
         pairs = incremental_minhash_pairs(
-            base, batch_df, "doc_id", "text", threshold=JACCARD_T
+            base, batch_df, "doc_id", "text", threshold=JACCARD_T,
+            base_signatures=base_sigs,
         )
         results.extend(pairs.collect())
 
