@@ -699,6 +699,11 @@ def session_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
     )
     n_sessions = sess_types.count()
+    singles = (
+        sess_types.select(F.explode("types").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
     pairs = (
         sess_types.select(
             F.explode(
@@ -718,12 +723,29 @@ def session_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
         .agg(F.count(F.lit(1)).alias("n_sessions_with_pair"))
     )
-    return pairs.select(
-        "type_a",
-        "type_b",
-        "n_sessions_with_pair",
-        F.expr(f"(10000 * n_sessions_with_pair) div {n_sessions}").alias("support_bp"),
-    ).orderBy("type_a", "type_b")
+    # support / confidence(a→b) / lift — all exact integer arithmetic
+    return (
+        pairs.join(
+            F.broadcast(singles.withColumnRenamed("t", "type_a").withColumnRenamed("n_t", "n_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("t", "type_b").withColumnRenamed("n_t", "n_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions_with_pair",
+            F.expr(f"(10000 * n_sessions_with_pair) div {n_sessions}").alias("support_bp"),
+            F.expr("(10000 * n_sessions_with_pair) div n_a").alias("confidence_bp"),
+            F.expr(
+                f"(1000000 * cast({n_sessions} as bigint) * n_sessions_with_pair)"
+                " div (n_a * n_b)"
+            ).alias("lift_micro"),
+        )
+        .orderBy("type_a", "type_b")
+    )
 
 
 QUERIES = {
@@ -781,6 +803,7 @@ ORACLE = {
         st AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
         n AS (SELECT COUNT(*) AS n_sessions
               FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+        singles AS (SELECT event_type AS t, COUNT(*) AS n_t FROM st GROUP BY 1),
         pairs AS (
             SELECT a.event_type AS type_a, b.event_type AS type_b,
                    COUNT(*) AS n_sessions_with_pair
@@ -791,8 +814,15 @@ ORACLE = {
         )
         SELECT type_a, type_b, n_sessions_with_pair,
                CAST((10000 * n_sessions_with_pair) // n_sessions AS BIGINT)
-                   AS support_bp
-        FROM pairs CROSS JOIN n
+                   AS support_bp,
+               CAST((10000 * n_sessions_with_pair) // sa.n_t AS BIGINT)
+                   AS confidence_bp,
+               CAST((1000000 * n_sessions * n_sessions_with_pair)
+                    // (sa.n_t * sb.n_t) AS BIGINT) AS lift_micro
+        FROM pairs
+        JOIN singles sa ON sa.t = type_a
+        JOIN singles sb ON sb.t = type_b
+        CROSS JOIN n
         ORDER BY type_a, type_b
     """,
     "t18_concurrent_sessions_hourly": """
