@@ -146,3 +146,49 @@ def bloom_probe(
             .alias("bloom_pass")
         )
     )
+
+
+HLL_M = 64
+HLL_ALPHA_64 = 0.709  # Flajolet et al. 2007, alpha_m for m = 64
+
+
+def portable_hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """HyperLogLog (Flajolet et al. 2007) built from PORTABLE md5
+    slices, so the whole sketch — register assignment, max-rank
+    registers, harmonic estimate, linear-counting correction — has an
+    exact DuckDB mirror (the count-min convention: the sketch itself is
+    cross-engine checkable, not just its accuracy).
+
+    Register index = 32-bit slice mod m; rank = leading-zero count + 1
+    of a second 32-bit slice via the bin()-string bit length (identical
+    in both engines; rank 33 for a zero slice). Registers are MERGEABLE
+    maxes — at 100 TB each partition carries m bytes per group and the
+    combine is elementwise max, the whole point of the sketch. Unseen
+    registers contribute 2^0 each: Σ2^-r is a ≤34-bit dyadic sum,
+    EXACT in double on both engines."""
+    h = F.md5(F.col(key_col).cast("string"))
+    idx = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    rank = F.when(h2 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(h2))
+    )
+    regs = (
+        df.select(*group_cols, idx.alias("reg"), rank.alias("rank"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("r"))
+    )
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_obs"),
+    )
+    v = F.lit(m) - F.col("n_obs")
+    s = F.col("s_obs") + v.cast("double")
+    raw = F.lit(HLL_ALPHA_64 * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return per.select(
+        *group_cols, F.floor(est).cast("long").alias("hll_estimate")
+    )

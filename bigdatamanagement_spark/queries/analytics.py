@@ -748,7 +748,62 @@ def session_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18k — exact weighted median per event_type (weight = props.k):
+    the smallest value whose cumulative weight reaches half the total —
+    one key-ordered window cumsum + a per-group min, all exact BIGINT
+    (2·cum ≥ total avoids halving fractions). The robust-center
+    statistic percentile_cont cannot express with weights."""
+    ev = _events(spark, sf_dir)
+    w = F.get_json_object("props", "$.k").cast("long")
+    rows = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000.0, 0).cast("long").alias("vmicro"),
+        w.alias("wt"),
+    ).filter(F.col("wt") > 0)
+    win = Window.partitionBy("event_type").orderBy(
+        F.col("vmicro").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("event_type")
+    cum = rows.select(
+        "event_type",
+        "vmicro",
+        F.sum("wt").over(win).alias("cum_wt"),
+        F.sum("wt").over(tot).alias("tot_wt"),
+    )
+    return (
+        cum.filter(2 * F.col("cum_wt") >= F.col("tot_wt"))
+        .groupBy("event_type")
+        .agg(
+            F.min("vmicro").alias("wmedian_micro"),
+            F.max("tot_wt").alias("total_weight"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def portable_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — portable HyperLogLog distinct-user estimate per event_type
+    vs the exact count (operators/sketch.portable_hll_distinct): the
+    engine-checkable twin of t17_approx_distinct_users_by_type (whose
+    native HLL++ has no SQL mirror). Error bound pinned in tests."""
+    from bigdatamanagement_spark.operators.sketch import portable_hll_distinct
+
+    ev = _events(spark, sf_dir)
+    est = portable_hll_distinct(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "exact_distinct", "hll_estimate")
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "ext_portable_hll_users": portable_hll_users_by_type,
+    "t18_weighted_median_value": weighted_median_value,
     "t18_session_basket_pairs": session_basket_pairs,
     "t18_concurrent_sessions_hourly": concurrent_sessions_hourly,
     "t18_event_lateness_profile": event_lateness_profile,
@@ -785,6 +840,64 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "ext_portable_hll_users": """
+        WITH hashed AS (
+            SELECT event_type,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 64 AS reg,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT
+                       AS h2
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type, reg,
+                   MAX(CASE WHEN h2 = 0 THEN 33
+                            ELSE 33 - length(bin(h2)) END) AS r
+            FROM hashed GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT event_type, COUNT(*) AS n_obs,
+                   SUM(power(2.0, -r)) AS s_obs
+            FROM regs GROUP BY 1
+        ),
+        est AS (
+            SELECT event_type,
+                   CASE WHEN (0.709 * 64 * 64) / (s_obs + (64 - n_obs)) <= 2.5 * 64
+                             AND (64 - n_obs) > 0
+                        THEN 64.0 * ln(64.0 / (64 - n_obs))
+                        ELSE (0.709 * 64 * 64) / (s_obs + (64 - n_obs)) END AS e
+            FROM per
+        ),
+        exact AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY 1
+        )
+        SELECT x.event_type, x.exact_distinct,
+               CAST(floor(e) AS BIGINT) AS hll_estimate
+        FROM exact x JOIN est USING (event_type)
+        ORDER BY event_type
+    """,
+    "t18_weighted_median_value": """
+        WITH rows_w AS (
+            SELECT event_type,
+                   CAST(round(value * 1000000.0, 0) AS BIGINT) AS vmicro,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS wt
+            FROM events
+            WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+        ),
+        cum AS (
+            SELECT event_type, vmicro,
+                   CAST(SUM(wt) OVER (PARTITION BY event_type ORDER BY vmicro ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_wt,
+                   CAST(SUM(wt) OVER (PARTITION BY event_type) AS BIGINT) AS tot_wt
+            FROM rows_w
+        )
+        SELECT event_type, MIN(vmicro) AS wmedian_micro,
+               CAST(MAX(tot_wt) AS BIGINT) AS total_weight
+        FROM cum WHERE 2 * cum_wt >= tot_wt
+        GROUP BY 1 ORDER BY 1
+    """,
     "t18_session_basket_pairs": """
         WITH s AS (
             SELECT user_id, ts, event_id, event_type,

@@ -201,6 +201,39 @@ def test_global_running_max_crafted_out_of_order(spark):
     assert late == {1: 0, 2: 0, 3: 50, 4: 0, 5: 180, 6: 0}
 
 
+def test_portable_hll_accuracy(spark, sf_dir):
+    """HLL(m=64) standard error is 1.04/√64 ≈ 13%; assert within 25%
+    of exact on every group (linear counting keeps small groups tight)."""
+    for r in analytics.portable_hll_users_by_type(spark, sf_dir).collect():
+        err = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert err <= 0.25, (r, err)
+
+
+def test_weighted_median_is_weighted_center(spark, sf_dir):
+    """At least half the total weight sits at or below the reported
+    weighted median, and strictly less than half below it."""
+    import pyspark.sql.functions as Fn
+
+    ev = analytics._events(spark, sf_dir)
+    w = Fn.get_json_object("props", "$.k").cast("long")
+    rows = ev.select(
+        "event_type",
+        Fn.round(Fn.col("value") * 1000000.0, 0).cast("long").alias("v"),
+        w.alias("wt"),
+    ).filter(Fn.col("wt") > 0)
+    med = {
+        r["event_type"]: r["wmedian_micro"]
+        for r in analytics.weighted_median_value(spark, sf_dir).collect()
+    }
+    for t, m in med.items():
+        sub = rows.filter(Fn.col("event_type") == t)
+        tot = sub.agg(Fn.sum("wt")).collect()[0][0]
+        le = sub.filter(Fn.col("v") <= m).agg(Fn.sum("wt")).collect()[0][0]
+        lt = sub.filter(Fn.col("v") < m).agg(Fn.sum("wt")).collect()[0][0] or 0
+        assert 2 * le >= tot, (t, le, tot)
+        assert 2 * lt < tot, (t, lt, tot)
+
+
 def test_pmi_symmetric_input_invariance(spark, sf_dir):
     """PMI pairs are canonically ordered (tok_a < tok_b) and every
     pair's counts respect c_xy <= min(df_a, df_b)."""
