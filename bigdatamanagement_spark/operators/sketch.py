@@ -168,17 +168,34 @@ def portable_hll_distinct(
     combine is elementwise max, the whole point of the sketch. Unseen
     registers contribute 2^0 each: Σ2^-r is a ≤34-bit dyadic sum,
     EXACT in double on both engines."""
+    return hll_estimate_from_registers(
+        portable_hll_registers(df, key_col, group_cols, m), group_cols, m
+    )
+
+
+def portable_hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], m: int = HLL_M
+) -> DataFrame:
+    """(group_cols..., reg, r): the raw max-rank register table — the
+    mergeable representation. Union of sketches = register-wise MAX,
+    which is exactly another groupBy(max) over concatenated register
+    tables; estimates come from _hll_estimate."""
     h = F.md5(F.col(key_col).cast("string"))
     idx = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
-    rank = F.when(h2 == 0, F.lit(33)).otherwise(
-        F.lit(33) - F.length(F.bin(h2))
-    )
-    regs = (
+    rank = F.when(h2 == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(h2)))
+    return (
         df.select(*group_cols, idx.alias("reg"), rank.alias("rank"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rank").alias("r"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], m: int = HLL_M, out_col: str = "hll_estimate"
+) -> DataFrame:
+    """Harmonic estimate + linear-counting correction over a register
+    table (see portable_hll_distinct for the cross-engine argument)."""
     per = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s_obs"),
@@ -189,6 +206,4 @@ def portable_hll_distinct(
     est = F.when(
         (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
     ).otherwise(raw)
-    return per.select(
-        *group_cols, F.floor(est).cast("long").alias("hll_estimate")
-    )
+    return per.select(*group_cols, F.floor(est).cast("long").alias(out_col))

@@ -801,7 +801,64 @@ def portable_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_setops_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — sketch ALGEBRA: estimate the user overlap between two
+    behaviors without a distinct-join. Union of HLL sketches is
+    register-wise MAX (exactly another groupBy-max over concatenated
+    register tables — the mergeability that lets sketches combine
+    across partitions, days, or datacenters); intersection by
+    inclusion-exclusion on the integer estimates. Exact counts ride
+    along to exhibit the error."""
+    from bigdatamanagement_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        portable_hll_registers,
+    )
+
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ra = portable_hll_registers(clickers, "user_id", [])
+    rb = portable_hll_registers(purchasers, "user_id", [])
+    ru = ra.unionAll(rb).groupBy("reg").agg(F.max("r").alias("r"))
+    ea = hll_estimate_from_registers(ra, [], out_col="est_clickers")
+    eb = hll_estimate_from_registers(rb, [], out_col="est_purchasers")
+    eu = hll_estimate_from_registers(ru, [], out_col="est_union")
+    exact = ev.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_clickers"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchasers"),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), F.col("user_id")
+            )
+        ).alias("exact_union"),
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(exact)
+        .select(
+            "est_clickers",
+            "est_purchasers",
+            "est_union",
+            (
+                F.col("est_clickers") + F.col("est_purchasers") - F.col("est_union")
+            ).alias("est_intersection"),
+            "exact_clickers",
+            "exact_purchasers",
+            "exact_union",
+            (
+                F.col("exact_clickers") + F.col("exact_purchasers") - F.col("exact_union")
+            ).alias("exact_intersection"),
+        )
+    )
+
+
 QUERIES = {
+    "ext_hll_setops_click_purchase": hll_setops_click_purchase,
     "ext_portable_hll_users": portable_hll_users_by_type,
     "t18_weighted_median_value": weighted_median_value,
     "t18_session_basket_pairs": session_basket_pairs,
@@ -840,6 +897,59 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "ext_hll_setops_click_purchase": """
+        WITH hashed AS (
+            SELECT event_type,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 64 AS reg,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT
+                       AS h2
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        ranked AS (
+            SELECT event_type, reg,
+                   CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END AS rnk
+            FROM hashed
+        ),
+        ra AS (SELECT reg, MAX(rnk) AS r FROM ranked
+               WHERE event_type = 'click' GROUP BY 1),
+        rb AS (SELECT reg, MAX(rnk) AS r FROM ranked
+               WHERE event_type = 'purchase' GROUP BY 1),
+        ru AS (SELECT reg, MAX(r) AS r
+               FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+        est AS (
+            SELECT side,
+                   CAST(floor(CASE
+                       WHEN (0.709 * 64 * 64) / (s_obs + (64 - n_obs)) <= 2.5 * 64
+                            AND (64 - n_obs) > 0
+                       THEN 64.0 * ln(64.0 / (64 - n_obs))
+                       ELSE (0.709 * 64 * 64) / (s_obs + (64 - n_obs)) END)
+                       AS BIGINT) AS e
+            FROM (
+                SELECT 'a' AS side, COUNT(*) AS n_obs, SUM(power(2.0, -r)) AS s_obs FROM ra
+                UNION ALL
+                SELECT 'b', COUNT(*), SUM(power(2.0, -r)) FROM rb
+                UNION ALL
+                SELECT 'u', COUNT(*), SUM(power(2.0, -r)) FROM ru
+            )
+        ),
+        exact AS (
+            SELECT COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+                       AS exact_clickers,
+                   COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+                       AS exact_purchasers,
+                   COUNT(DISTINCT user_id) AS exact_union
+            FROM events WHERE event_type IN ('click', 'purchase')
+        )
+        SELECT ea.e AS est_clickers, eb.e AS est_purchasers, eu.e AS est_union,
+               ea.e + eb.e - eu.e AS est_intersection,
+               exact_clickers, exact_purchasers, exact_union,
+               exact_clickers + exact_purchasers - exact_union AS exact_intersection
+        FROM (SELECT e FROM est WHERE side = 'a') ea,
+             (SELECT e FROM est WHERE side = 'b') eb,
+             (SELECT e FROM est WHERE side = 'u') eu,
+             exact
+    """,
     "ext_portable_hll_users": """
         WITH hashed AS (
             SELECT event_type,

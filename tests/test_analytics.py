@@ -234,6 +234,28 @@ def test_weighted_median_is_weighted_center(spark, sf_dir):
         assert 2 * lt < tot, (t, lt, tot)
 
 
+def test_hll_union_on_disjoint_sets(spark):
+    """Planted disjoint key sets: union estimate ≈ |A|+|B| and the
+    merged registers equal a sketch built over the concatenation —
+    mergeability, non-vacuously."""
+    import pyspark.sql.functions as Fn
+
+    from bigdatamanagement_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        portable_hll_registers,
+    )
+
+    a = spark.range(0, 400).select(Fn.col("id").alias("k"))
+    b = spark.range(10000, 10600).select(Fn.col("id").alias("k"))
+    ra = portable_hll_registers(a, "k", [])
+    rb = portable_hll_registers(b, "k", [])
+    merged = ra.unionAll(rb).groupBy("reg").agg(Fn.max("r").alias("r"))
+    direct = portable_hll_registers(a.unionAll(b), "k", [])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est = hll_estimate_from_registers(merged, []).collect()[0][0]
+    assert abs(est - 1000) / 1000 < 0.30, est
+
+
 def test_pmi_symmetric_input_invariance(spark, sf_dir):
     """PMI pairs are canonically ordered (tok_a < tok_b) and every
     pair's counts respect c_xy <= min(df_a, df_b)."""
