@@ -857,7 +857,49 @@ def hll_setops_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_7d_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — the SKETCH path for sliding COUNT(DISTINCT): per-day HLL
+    register tables (the at-ingest daily materialization — m rows/day)
+    union register-wise across each trailing-7-day window, then
+    estimate. Exact expansion (t18_rolling_7d_active_users) re-shuffles
+    (user, day) activity; this shuffles m-row register tables — the
+    90-day version costs the same per window-end. Fully oracle-checked
+    because the sketch is the portable construction."""
+    from bigdatamanagement_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        portable_hll_registers,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = portable_hll_registers(
+        ev.select(F.to_date("ts").alias("day"), "user_id"), "user_id", ["day"]
+    )
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    grid = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    win_regs = (
+        daily.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("w_day"),
+            "reg",
+            "r",
+        )
+        .groupBy("w_day", "reg")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate_from_registers(win_regs, ["w_day"], out_col="hll_active_7d")
+    return (
+        grid.join(est, grid.day == est.w_day, "left")
+        .select(
+            grid.day.alias("day"),
+            F.coalesce("hll_active_7d", F.lit(0)).alias("hll_active_7d"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = {
+    "ext_rolling_7d_hll_users": rolling_7d_hll_users,
     "ext_hll_setops_click_purchase": hll_setops_click_purchase,
     "ext_portable_hll_users": portable_hll_users_by_type,
     "t18_weighted_median_value": weighted_median_value,
@@ -897,6 +939,50 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "ext_rolling_7d_hll_users": """
+        WITH hashed AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 64 AS reg,
+                   ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 9, 8))::BIGINT
+                       AS h2
+            FROM events
+        ),
+        daily AS (
+            SELECT day, reg,
+                   MAX(CASE WHEN h2 = 0 THEN 33
+                            ELSE 33 - length(bin(h2)) END) AS r
+            FROM hashed GROUP BY 1, 2
+        ),
+        win_regs AS (
+            SELECT w_day, reg, MAX(r) AS r
+            FROM (SELECT CAST(unnest(generate_series(day, day + 6, INTERVAL 1 DAY))
+                              AS DATE) AS w_day, reg, r
+                  FROM daily)
+            GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT w_day, COUNT(*) AS n_obs, SUM(power(2.0, -r)) AS s_obs
+            FROM win_regs GROUP BY 1
+        ),
+        est AS (
+            SELECT w_day,
+                   CAST(floor(CASE
+                       WHEN (0.709 * 64 * 64) / (s_obs + (64 - n_obs)) <= 2.5 * 64
+                            AND (64 - n_obs) > 0
+                       THEN 64.0 * ln(64.0 / (64 - n_obs))
+                       ELSE (0.709 * 64 * 64) / (s_obs + (64 - n_obs)) END)
+                       AS BIGINT) AS hll_active_7d
+            FROM per
+        ),
+        span AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+                 FROM events),
+        grid AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                     AS day FROM span)
+        SELECT g.day, COALESCE(e.hll_active_7d, 0) AS hll_active_7d
+        FROM grid g LEFT JOIN est e ON g.day = e.w_day
+        ORDER BY g.day
+    """,
     "ext_hll_setops_click_purchase": """
         WITH hashed AS (
             SELECT event_type,

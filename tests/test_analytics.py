@@ -256,6 +256,22 @@ def test_hll_union_on_disjoint_sets(spark):
     assert abs(est - 1000) / 1000 < 0.30, est
 
 
+def test_rolling_hll_tracks_exact(spark, sf_dir):
+    """The sketch path stays within HLL error of the exact expansion on
+    every window-end day."""
+    ex = {
+        r["day"]: r["active_users_7d"]
+        for r in analytics.rolling_7d_active_users(spark, sf_dir).collect()
+    }
+    ap = {
+        r["day"]: r["hll_active_7d"]
+        for r in analytics.rolling_7d_hll_users(spark, sf_dir).collect()
+    }
+    assert set(ex) == set(ap)
+    for d, v in ex.items():
+        assert abs(ap[d] - v) <= max(0.25 * v, 3), (d, v, ap[d])
+
+
 def test_pmi_symmetric_input_invariance(spark, sf_dir):
     """PMI pairs are canonically ordered (tok_a < tok_b) and every
     pair's counts respect c_xy <= min(df_a, df_b)."""
