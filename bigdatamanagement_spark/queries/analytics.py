@@ -898,7 +898,38 @@ def rolling_7d_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18l — time-weighted average value per event_type (the TWAP /
+    LOCF-integral staple): each event's value holds until the type's
+    next event; the average weights by holding duration, not by event
+    count. Exact integers end-to-end: centi-value × micro-duration sums
+    are bounded by value_range × TOTAL SPAN (≈1.5e17 here), independent
+    of event count — the overflow analysis that makes the BIGINT form
+    safe at any arrival rate. One type-keyed window (lead) + one
+    aggregate."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    rows = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("vc"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").alias("total_us"),
+            F.expr("sum(vc * dur_us) div sum(dur_us)").alias("twap_centi"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "t18_twap_by_type": twap_by_type,
     "ext_rolling_7d_hll_users": rolling_7d_hll_users,
     "ext_hll_setops_click_purchase": hll_setops_click_purchase,
     "ext_portable_hll_users": portable_hll_users_by_type,
@@ -939,6 +970,20 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "t18_twap_by_type": """
+        WITH r AS (
+            SELECT event_type,
+                   CAST(round(value * 100.0, 0) AS BIGINT) AS vc,
+                   lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                       ORDER BY ts ASC, event_id ASC) - epoch_us(ts) AS dur_us
+            FROM events
+        )
+        SELECT event_type, COUNT(*) AS n_intervals,
+               CAST(SUM(dur_us) AS BIGINT) AS total_us,
+               CAST(SUM(vc * dur_us) // SUM(dur_us) AS BIGINT) AS twap_centi
+        FROM r WHERE dur_us IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """,
     "ext_rolling_7d_hll_users": """
         WITH hashed AS (
             SELECT CAST(ts AS DATE) AS day,
