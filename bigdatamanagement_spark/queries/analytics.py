@@ -928,7 +928,37 @@ def twap_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18m — path mining one step past the Markov matrix: the top-20
+    3-step event-type paths (A→B→C) across user journeys, with each
+    path's share of all trigrams in floored basis points. Two lag
+    columns over the SAME user-keyed window — one shuffle, same
+    exchange as the whole behavioral family."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    tri = (
+        ev.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = tri.agg(F.sum("n")).collect()[0][0]
+    return (
+        tri.select(
+            "t1", "t2", "t3", "n",
+            F.expr(f"(10000 * n) div {total}").alias("share_bp"),
+        )
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "t18_top_event_trigrams": top_event_trigrams,
     "t18_twap_by_type": twap_by_type,
     "ext_rolling_7d_hll_users": rolling_7d_hll_users,
     "ext_hll_setops_click_purchase": hll_setops_click_purchase,
@@ -970,6 +1000,22 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "t18_top_event_trigrams": """
+        WITH tri AS (
+            SELECT t1, t2, t3, COUNT(*) AS n FROM (
+                SELECT lag(event_type, 2) OVER w AS t1,
+                       lag(event_type, 1) OVER w AS t2,
+                       event_type AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ) WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT SUM(n) AS total FROM tri)
+        SELECT t1, t2, t3, n,
+               CAST((10000 * n) // total AS BIGINT) AS share_bp
+        FROM tri CROSS JOIN tot
+        ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """,
     "t18_twap_by_type": """
         WITH r AS (
             SELECT event_type,
