@@ -1,0 +1,93 @@
+"""Logic-level property tests (pure Python, no Spark session): the
+cross-engine idioms the oracle contract leans on, checked against
+straightforward reference implementations over random inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigdatamanagement_spark.operators.bpe import RS, US
+
+
+def _wrap(symbols: list[str]) -> str:
+    return "".join(RS + s + US for s in symbols)
+
+
+def _merge_via_replace(s: str, a: str, b: str) -> str:
+    """The engine's merge primitive: plain string replace."""
+    return s.replace(RS + a + US + RS + b + US, RS + a + b + US)
+
+
+def _merge_reference(symbols: list[str], a: str, b: str) -> list[str]:
+    """Reference BPE greedy left-to-right non-overlapping merge."""
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]), max_size=12),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c", "ab", "bc"]),
+        st.sampled_from(["a", "b", "c", "ab", "bc"]),
+    ),
+)
+def test_marker_replace_equals_reference_bpe_merge(syms, pair):
+    """String replace over per-symbol markers IS greedy BPE merge, for
+    any symbol sequence and any pair — including multi-char symbols and
+    back-to-back merge sites."""
+    a, b = pair
+    got = _merge_via_replace(_wrap(syms), a, b)
+    want = _wrap(_merge_reference(syms, a, b))
+    assert got == want, (syms, pair, got, want)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sx=st.integers(-(10**15), 10**15), n=st.integers(1, 10**6))
+def test_portable_floor_division_case(sx, n):
+    """The CASE WHEN sx >= 0 THEN sx div n ELSE -((-sx + n - 1) div n)
+    idiom (truncating div on non-negatives) equals Python floor
+    division for every sign."""
+
+    def trunc_div(a: int, b: int) -> int:
+        return a // b  # operands kept non-negative below
+
+    got = trunc_div(sx, n) if sx >= 0 else -trunc_div(-sx + n - 1, n)
+    assert got == sx // n, (sx, n)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    weights=st.lists(st.integers(1, 50), min_size=1, max_size=30),
+    values=st.lists(st.integers(-1000, 1000), min_size=30, max_size=30),
+)
+def test_weighted_median_crossing_rule(weights, values):
+    """min{v : 2·cumweight(≤v) ≥ total} is order-independent and sits
+    at the weighted center (reference: scan the sorted multiset)."""
+    pairs = sorted(zip(values[: len(weights)], weights))
+    total = sum(w for _, w in pairs)
+    cum = 0
+    want = None
+    for v, w in pairs:
+        cum += w
+        if 2 * cum >= total:
+            want = v
+            break
+    # engine rule: filter rows where 2*cum >= total, take min value
+    cum2, selected = 0, []
+    for v, w in pairs:
+        cum2 += w
+        if 2 * cum2 >= total:
+            selected.append(v)
+    assert min(selected) == want
+    le = sum(w for v, w in pairs if v <= want)
+    lt = sum(w for v, w in pairs if v < want)
+    assert 2 * le >= total and 2 * lt < total
