@@ -330,9 +330,85 @@ def multi_signal_dedup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def training_set_manifest(spark, sf_dir) -> DataFrame:
+    """The FULL raw-corpus → packed-training-set pipeline as one plan,
+    reported per source: curation survivors (quality → repetition →
+    near-dup, the ext_curation_funnel verdicts) → benchmark
+    decontamination (survivors sharing any 3-gram with the benchmark
+    slice drop; the benchmark slice itself never trains) → fixed-window
+    chunking → training-token accounting. The number every pretraining
+    run starts from, with per-stage attrition visible.
+
+    Scale: every stage reuses this session's memoized intermediates
+    (pair graph, cluster labels, repetition metrics) or broadcasts a
+    sublinear set (benchmark grams); the chunker is the narrow
+    zero-shuffle posexplode. Four source-keyed aggregates join at the
+    end — all O(|sources|)."""
+    from bigdatamanagement_spark.operators.text import quality_score
+    from bigdatamanagement_spark.operators.traindata import (
+        chunk_documents,
+        contamination_overlap,
+    )
+    from bigdatamanagement_spark.queries.traindata import (
+        BENCH_MOD,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    docs = _docs(spark, sf_dir)
+    clusters = _cluster_labels(spark, sf_dir).select("doc_id", "cluster_rep")
+    rep_keep = (
+        (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
+        & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
+        & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
+    )
+    rep = _repetition(spark, sf_dir).select("doc_id", rep_keep.alias("rep_keep"))
+    survivors = (
+        docs.select("doc_id", "source", "text", quality_score(F.col("text")).alias("q"))
+        .join(rep, "doc_id")
+        .join(clusters, "doc_id")
+        .filter(
+            (F.col("q") >= QUALITY_MIN)
+            & F.col("rep_keep")
+            & (F.col("doc_id") == F.col("cluster_rep"))
+        )
+        .select("doc_id", "source", "text")
+    )
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    nonbench = survivors.where(F.col("doc_id") % BENCH_MOD != 0)
+    contaminated = contamination_overlap(nonbench, bench, "doc_id", "text", k=3)
+    clean = nonbench.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    chunks = chunk_documents(
+        clean, "doc_id", "text", size=CHUNK_SIZE, stride=CHUNK_STRIDE
+    ).join(clean.select("doc_id", "source"), "doc_id")
+
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    k = survivors.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    c = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_clean"))
+    ch = chunks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("train_tokens"),
+    )
+    return (
+        raw.join(k, "source", "left")
+        .join(c, "source", "left")
+        .join(ch, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("train_tokens", F.lit(0)).alias("train_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "ext_multi_signal_dedup": multi_signal_dedup_pairs,
     "ext_curation_funnel": curation_funnel,
+    "ext_training_set_manifest": training_set_manifest,
     "ext_repetition_filter": repetition_filter,
     "ext_dedup_clusters": dedup_clusters,
     "ext_dedup_cluster_survivors": dedup_cluster_survivors,
@@ -420,6 +496,12 @@ _REP_CTE = f"""
         )
 """
 
+from bigdatamanagement_spark.queries.traindata import (
+    BENCH_MOD as _TD_BENCH_MOD,
+    CHUNK_SIZE as _TD_CHUNK_SIZE,
+    CHUNK_STRIDE as _TD_CHUNK_STRIDE,
+)
+
 _QUALITY_CTE = f"""
         qdocs AS (
           SELECT doc_id, source, n_chars,
@@ -461,6 +543,62 @@ ORACLE = {
                     ELSE 'embedding' END AS method
         FROM lex l FULL OUTER JOIN emb m ON l.a = m.a AND l.b = m.b
         ORDER BY doc_a, doc_b
+    """,
+    "ext_training_set_manifest": _CLUSTERS_CTE
+    + ", "
+    + _REP_CTE
+    + ", "
+    + _QUALITY_CTE
+    + f""",
+        survivors AS (
+            SELECT q.doc_id, q.source
+            FROM qdocs q
+            JOIN rkeep r ON q.doc_id = r.doc_id
+            JOIN clusters c ON q.doc_id = c.doc_id
+            WHERE q.quality >= {QUALITY_MIN} AND r.keep
+              AND c.doc_id = c.cluster_rep
+        ),
+        toks2 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh2 AS (SELECT doc_id, {_SHINGLES} AS sh FROM toks2),
+        bg2 AS (SELECT DISTINCT unnest(sh) AS gram FROM sh2
+                WHERE doc_id % {_TD_BENCH_MOD} = 0),
+        nonbench AS (SELECT * FROM survivors
+                     WHERE doc_id % {_TD_BENCH_MOD} <> 0),
+        cont AS (
+            SELECT DISTINCT g.doc_id
+            FROM (SELECT doc_id, unnest(sh) AS gram FROM sh2) g
+            JOIN bg2 USING (gram)
+            JOIN nonbench nb ON nb.doc_id = g.doc_id
+        ),
+        clean AS (
+            SELECT nb.* FROM nonbench nb
+            LEFT JOIN cont ON nb.doc_id = cont.doc_id
+            WHERE cont.doc_id IS NULL
+        ),
+        chx AS (
+            SELECT cl.source,
+                   len(cl.toks[cl.cs + 1 : cl.cs + {_TD_CHUNK_SIZE}]) AS n
+            FROM (SELECT cl0.doc_id, cl0.source, t0.toks,
+                         unnest(range(0, len(t0.toks), {_TD_CHUNK_STRIDE})) AS cs
+                  FROM clean cl0 JOIN toks2 t0 USING (doc_id)
+                  WHERE len(t0.toks) > 0) AS cl
+        ),
+        rawc AS (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+        kc AS (SELECT source, COUNT(*) AS n_kept FROM survivors GROUP BY 1),
+        cc AS (SELECT source, COUNT(*) AS n_clean FROM clean GROUP BY 1),
+        chc AS (SELECT source, COUNT(*) AS n_chunks,
+                       CAST(SUM(n) AS BIGINT) AS train_tokens
+                FROM chx GROUP BY 1)
+        SELECT r.source, r.n_raw,
+               COALESCE(kc.n_kept, 0) AS n_kept,
+               COALESCE(cc.n_clean, 0) AS n_clean,
+               COALESCE(chc.n_chunks, 0) AS n_chunks,
+               CAST(COALESCE(chc.train_tokens, 0) AS BIGINT) AS train_tokens
+        FROM rawc r
+        LEFT JOIN kc USING (source)
+        LEFT JOIN cc USING (source)
+        LEFT JOIN chc USING (source)
+        ORDER BY r.source
     """,
     "ext_curation_funnel": _CLUSTERS_CTE
     + ", "

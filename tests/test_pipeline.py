@@ -151,3 +151,14 @@ def test_repetition_metrics_property(spark, docs):
     }
     want = {i: _py_repetition(toks) for i, toks in enumerate(docs)}
     assert got == want
+
+
+def test_training_set_manifest_monotone_attrition(spark, sf_dir):
+    """Each stage only removes documents: n_raw >= n_kept >= n_clean,
+    and every clean doc yields at least one chunk."""
+    from bigdatamanagement_spark.queries.pipeline import training_set_manifest
+
+    for r in training_set_manifest(spark, sf_dir).collect():
+        assert r["n_raw"] >= r["n_kept"] >= r["n_clean"] >= 0, r
+        assert r["n_chunks"] >= r["n_clean"], r
+        assert r["train_tokens"] >= r["n_chunks"], r  # chunks are non-empty
