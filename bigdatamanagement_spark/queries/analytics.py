@@ -957,7 +957,78 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HASH_DIM = 64
+KNUTH32 = 2654435761
+
+
+def hashed_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — APPLY a linear text classifier over hashed bag-of-words
+    features (the fastText/VW hashing-trick shape): tokens hash into 64
+    md5 buckets, the doc score is Σ count(bucket)·w(bucket), positive
+    iff score > 0. The weight vector is a deterministic STUB model
+    (Knuth-mixed bucket index → [-1000, 1000]) — training lives
+    offline; the engine-side contract is the featurize+score plan,
+    which is one explode + one doc-keyed aggregate with the model as a
+    64-literal broadcast. Fully integer, fully oracle-checked."""
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("t")
+    ).filter(F.col("t") != "")
+    bucket = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % HASH_DIM
+    weight = (bucket * KNUTH32) % 2001 - 1000
+    scored = (
+        tok.select("doc_id", "source", (weight).alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("score"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("score") > 0).cast("long")).alias("n_positive"),
+            F.sum("score").alias("sum_score"),
+        )
+        .orderBy("source")
+    )
+
+
+def weekly_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18n — period-over-period: weekly value totals per event_type
+    with week-over-week delta in exact integer micros and floored
+    basis points vs the prior week — the BI trend primitive, one
+    type-keyed lag window over the weekly aggregate."""
+    ev = _events(spark, sf_dir)
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("timestamp_ntz").alias("week_ts")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias("sum_micro")
+    )
+    w = Window.partitionBy("event_type").orderBy("week_ts")
+    return wk.select(
+        "event_type",
+        "week_ts",
+        "sum_micro",
+        (F.col("sum_micro") - F.lag("sum_micro").over(w)).alias("wow_delta_micro"),
+        F.expr(
+            "CASE WHEN lag(sum_micro) OVER (PARTITION BY event_type ORDER BY week_ts)"
+            " IS NULL THEN NULL ELSE"
+            " CASE WHEN 10000 * (sum_micro - lag(sum_micro) OVER"
+            "   (PARTITION BY event_type ORDER BY week_ts)) >= 0"
+            " THEN (10000 * (sum_micro - lag(sum_micro) OVER"
+            "   (PARTITION BY event_type ORDER BY week_ts)))"
+            "   div (lag(sum_micro) OVER (PARTITION BY event_type ORDER BY week_ts))"
+            " ELSE -((-(10000 * (sum_micro - lag(sum_micro) OVER"
+            "   (PARTITION BY event_type ORDER BY week_ts)))"
+            "   + (lag(sum_micro) OVER (PARTITION BY event_type ORDER BY week_ts)) - 1)"
+            "   div (lag(sum_micro) OVER (PARTITION BY event_type ORDER BY week_ts)))"
+            " END END"
+        ).alias("wow_delta_bp"),
+    ).orderBy("event_type", "week_ts")
+
+
 QUERIES = {
+    "ext_hashed_classifier_scores": hashed_classifier_scores,
+    "t18_weekly_value_deltas": weekly_value_deltas,
     "t18_top_event_trigrams": top_event_trigrams,
     "t18_twap_by_type": twap_by_type,
     "ext_rolling_7d_hll_users": rolling_7d_hll_users,
@@ -1000,6 +1071,46 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "ext_hashed_classifier_scores": """
+        WITH tok AS (
+            SELECT doc_id, source,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, source,
+                   CAST(SUM((('0x' || substring(md5(t), 1, 8))::BIGINT % 64)
+                            * 2654435761 % 2001 - 1000) AS BIGINT) AS score
+            FROM tok WHERE t <> '' GROUP BY 1, 2
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_positive,
+               CAST(SUM(score) AS BIGINT) AS sum_score
+        FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    "t18_weekly_value_deltas": """
+        WITH wk AS (
+            SELECT event_type, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_ts,
+                   CAST(SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                       AS sum_micro
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, week_ts, sum_micro,
+                   lag(sum_micro) OVER (PARTITION BY event_type
+                       ORDER BY week_ts) AS prev
+            FROM wk
+        )
+        SELECT event_type, week_ts, sum_micro,
+               sum_micro - prev AS wow_delta_micro,
+               CASE WHEN prev IS NULL THEN NULL
+                    WHEN 10000 * (sum_micro - prev) >= 0
+                    THEN CAST((10000 * (sum_micro - prev)) // prev AS BIGINT)
+                    ELSE CAST(-((-(10000 * (sum_micro - prev)) + prev - 1) // prev)
+                              AS BIGINT) END AS wow_delta_bp
+        FROM lagged ORDER BY event_type, week_ts
+    """,
     "t18_top_event_trigrams": """
         WITH tri AS (
             SELECT t1, t2, t3, COUNT(*) AS n FROM (
