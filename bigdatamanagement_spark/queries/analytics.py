@@ -1026,7 +1026,63 @@ def weekly_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "week_ts")
 
 
+HIST_BUCKETS = 256
+HIST_MAX_MICRO = 600 * 1000000  # value domain [0, 600) — fixed a priori
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — quantiles from a MERGEABLE fixed-width histogram sketch:
+    256 equi-width buckets over the known value domain, per-type
+    counts, then p50/p90/p99 read off the cumulative histogram as the
+    LOWER BOUND of the first bucket whose cumulative count crosses the
+    rank (integer end-to-end — no interpolation float). The bucket
+    table is 256 ints per group and merges by cell-wise sum, so the
+    sketch combines across partitions/days like count-min; error is
+    bounded by bucket width (600/256 ≈ 2.34), exhibited against the
+    exact quantiles. This is the oracle-CHECKED face of quantiles at
+    scale; the native approx_percentile (t-digest) entry stays
+    rows-only."""
+    ev = _events(spark, sf_dir)
+    hist = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"least({HIST_BUCKETS - 1},"
+                f" (cast(round(value * 1000000.0, 0) as bigint) * {HIST_BUCKETS})"
+                f" div {HIST_MAX_MICRO})"
+            ).alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "b",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(tot).alias("total"),
+    )
+    width = HIST_MAX_MICRO // HIST_BUCKETS
+
+    def q_lb(p_num: int, p_den: int, name: str):
+        crossing = cum.filter(
+            F.col("cum") * p_den >= F.col("total") * p_num
+        ).groupBy("event_type").agg((F.min("b") * width).alias(name))
+        return crossing
+
+    return (
+        q_lb(1, 2, "p50_lb_micro")
+        .join(q_lb(9, 10, "p90_lb_micro"), "event_type")
+        .join(q_lb(99, 100, "p99_lb_micro"), "event_type")
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
+    "ext_histogram_quantiles": histogram_quantiles,
     "ext_hashed_classifier_scores": hashed_classifier_scores,
     "t18_weekly_value_deltas": weekly_value_deltas,
     "t18_top_event_trigrams": top_event_trigrams,
@@ -1071,6 +1127,32 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "ext_histogram_quantiles": """
+        WITH hist AS (
+            SELECT event_type,
+                   least(255, (CAST(round(value * 1000000.0, 0) AS BIGINT) * 256)
+                              // 600000000) AS b,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, b,
+                   CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                   CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+            FROM hist
+        ),
+        p50 AS (SELECT event_type, CAST(MIN(b) * 2343750 AS BIGINT) AS p50_lb_micro
+                FROM cum WHERE cum * 2 >= total * 1 GROUP BY 1),
+        p90 AS (SELECT event_type, CAST(MIN(b) * 2343750 AS BIGINT) AS p90_lb_micro
+                FROM cum WHERE cum * 10 >= total * 9 GROUP BY 1),
+        p99 AS (SELECT event_type, CAST(MIN(b) * 2343750 AS BIGINT) AS p99_lb_micro
+                FROM cum WHERE cum * 100 >= total * 99 GROUP BY 1)
+        SELECT event_type, p50_lb_micro, p90_lb_micro, p99_lb_micro
+        FROM p50 JOIN p90 USING (event_type) JOIN p99 USING (event_type)
+        ORDER BY event_type
+    """,
     "ext_hashed_classifier_scores": """
         WITH tok AS (
             SELECT doc_id, source,

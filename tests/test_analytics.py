@@ -272,6 +272,35 @@ def test_rolling_hll_tracks_exact(spark, sf_dir):
         assert abs(ap[d] - v) <= max(0.25 * v, 3), (d, v, ap[d])
 
 
+def test_histogram_quantile_error_bounded_by_bucket_width(spark, sf_dir):
+    """The histogram lower bound brackets the SAME-RANK order statistic
+    (smallest v with cum·den ≥ n·num — the discrete rank rule the
+    sketch discretizes): lb ≤ v_rank < lb + bucket width. Comparing to
+    interpolated quantiles instead is wrong at small n, where disc and
+    cont ranks straddle a tail gap."""
+    width = analytics.HIST_MAX_MICRO / analytics.HIST_BUCKETS / 1e6
+    vals: dict[str, list[float]] = {}
+    for r in analytics._events(spark, sf_dir).select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    approx = {
+        r["event_type"]: (
+            r["p50_lb_micro"] / 1e6,
+            r["p90_lb_micro"] / 1e6,
+            r["p99_lb_micro"] / 1e6,
+        )
+        for r in analytics.histogram_quantiles(spark, sf_dir).collect()
+    }
+    for t, vs in vals.items():
+        vs.sort()
+        n = len(vs)
+        for (num, den), a in zip([(1, 2), (9, 10), (99, 100)], approx[t]):
+            # smallest 1-based rank r with r*den >= n*num
+            r = (n * num + den - 1) // den
+            ref = vs[r - 1]
+            assert a <= ref + 1e-9, (t, num, den, ref, a)
+            assert ref - a <= width + 1e-9, (t, num, den, ref, a)
+
+
 def test_pmi_symmetric_input_invariance(spark, sf_dir):
     """PMI pairs are canonically ordered (tok_a < tok_b) and every
     pair's counts respect c_xy <= min(df_a, df_b)."""
