@@ -1081,7 +1081,28 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_users_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18o — dense_rank top-k WITH ties: the top-3 per-user total-value
+    ranks per event_type, keeping ALL users on a tied total (row_number
+    and rank would silently drop or gap co-winners — the leaderboard
+    semantics difference this query pins). Totals in exact micros so
+    ties are exact, not float-accidental."""
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 1000000.0, 0).cast("long")).alias("total_micro")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_micro"))
+    return (
+        totals.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= 3)
+        .select("event_type", F.col("dr").cast("int").alias("value_rank"),
+                "user_id", "total_micro")
+        .orderBy("event_type", "value_rank", "user_id")
+    )
+
+
 QUERIES = {
+    "t18_top_users_with_ties": top_users_with_ties,
     "ext_histogram_quantiles": histogram_quantiles,
     "ext_hashed_classifier_scores": hashed_classifier_scores,
     "t18_weekly_value_deltas": weekly_value_deltas,
@@ -1127,6 +1148,19 @@ _BPE_VOCAB_SQL = """
 """
 
 ORACLE = {
+    "t18_top_users_with_ties": """
+        WITH totals AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                       AS total_micro
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(dr AS INT) AS value_rank, user_id, total_micro
+        FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY event_type
+                  ORDER BY total_micro DESC) AS dr FROM totals)
+        WHERE dr <= 3
+        ORDER BY event_type, value_rank, user_id
+    """,
     "ext_histogram_quantiles": """
         WITH hist AS (
             SELECT event_type,
