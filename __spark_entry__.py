@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bigdatamanagement_spark.queries import (
     analytics,
+    analytics2,
     events,
     extensions,
     kv,
@@ -51,6 +52,7 @@ _PACKS = [
     traindata,
     quality,
     analytics,
+    analytics2,
 ]
 
 

@@ -103,3 +103,43 @@ def global_running_max(
         )
         .drop("_pid", "_carry")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Exact global running SUM of ``value_col`` in ``order_exprs``
+    order, distributed — same two-phase shape as global_row_number:
+    range-repartition + in-partition sort (pinned with localCheckpoint),
+    per-partition sums to the driver (one row per partition), exclusive
+    prefix-sum broadcast back, within-partition cumsum + carry-in.
+    Requires an integral value column (the carry is exact BIGINT).
+    Ties: include a unique tiebreak in ``order_exprs`` or the prefix is
+    partition-placement-dependent."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = staged.groupBy("_pid").agg(F.sum(value_col).alias("_psum")).collect()
+    acc, offsets = 0, []
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_psum"] or 0
+    off = spark.createDataFrame(offsets, schema="_pid int, _poff bigint")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.join(F.broadcast(off), "_pid")
+        .withColumn(out_col, (F.sum(value_col).over(w) + F.col("_poff")).cast("long"))
+        .drop("_pid", "_poff")
+    )
