@@ -467,18 +467,29 @@ def trigram_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the gate result compact (the raw pair set is cluster-
     quadratic on duplicate-heavy catalogs).
 
-    Scale: candidates come ONLY from pairs sharing a token in both
-    sides' frequency-ordered prefixes — the O(n²) all-pairs compare
-    never runs (the DuckDB oracle runs exactly that brute force, so
-    the gate doubles as a prefix-completeness proof). Token frequency
-    table is vocabulary-sized and broadcast; verification intersects
-    the two (short) trigram arrays inside codegen."""
+    Scale (dedup-first AllPairs): the similarity join runs over
+    DISTINCT name fingerprints — duplicate-heavy catalogs (this
+    testdata: 64 distinct names across 20k parts) never enter the
+    candidate join at row cardinality. Over the distinct sets,
+    candidates come ONLY from pairs sharing a token in both sides'
+    frequency-ordered prefixes (AllPairs), so diverse catalogs stay
+    subquadratic too. The pair-level checksums are then recovered
+    WITHOUT materializing the (quadratic) row-pair set: for each
+    similar name pair, group members merge-rank by partkey and each
+    key contributes key x (#partner keys above/below it) — sum_pa/
+    sum_pb/n_pairs fall out of one windowed aggregate over
+    |members|-sized partitions. The DuckDB oracle runs the true
+    brute-force row-pair join, so the gate is a completeness AND
+    rank-algebra proof."""
     p = load_testdata(spark, sf_dir, tables=("part",), register=False)["part"]
-    tri = p.select(
-        F.col("p_partkey").alias("k"),
+    pk = p.select(F.lower(F.col("p_name")).alias("nm"), F.col("p_partkey").alias("k"))
+    nd = pk.groupBy("nm").agg(F.count(F.lit(1)).alias("c"))
+    tri = nd.select(
+        "nm",
+        "c",
         F.expr(
-            "array_distinct(transform(sequence(1, length(lower(p_name)) - 2), "
-            "i -> substring(lower(p_name), i, 3)))"
+            "array_distinct(transform(sequence(1, length(nm) - 2), "
+            "i -> substring(nm, i, 3)))"
         ).alias("s"),
     )
     tokf = (
@@ -486,48 +497,89 @@ def trigram_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    wtok = Window.partitionBy("k").orderBy("df", "tok")
+    wtok = Window.partitionBy("nm").orderBy("df", "tok")
     pref = (
-        tri.select("k", F.size("s").alias("sz"), F.explode("s").alias("tok"))
+        tri.select("nm", F.size("s").alias("sz"), F.explode("s").alias("tok"))
         .join(F.broadcast(tokf), "tok")
         .select(
-            "k",
+            "nm",
             "tok",
             F.row_number().over(wtok).alias("pos"),
             F.expr(f"sz - ceil({_TRI_NUM} * sz / {_TRI_DEN}) + 1").alias("plen"),
         )
         .filter(F.col("pos") <= F.col("plen"))
-        .select("tok", "k")
+        .select("tok", "nm")
     )
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "tok")
-        .filter(F.col("a.k") < F.col("b.k"))
-        .select(F.col("a.k").alias("ka"), F.col("b.k").alias("kb"))
+        .filter(F.col("a.nm") < F.col("b.nm"))
+        .select(F.col("a.nm").alias("na"), F.col("b.nm").alias("nb"))
         .distinct()
     )
-    verified = (
-        cand.join(tri.select(F.col("k").alias("ka"), F.col("s").alias("sa")), "ka")
-        .join(tri.select(F.col("k").alias("kb"), F.col("s").alias("sb")), "kb")
+    sim = (
+        cand.join(tri.select(F.col("nm").alias("na"), F.col("s").alias("sa")), "na")
+        .join(tri.select(F.col("nm").alias("nb"), F.col("s").alias("sb")), "nb")
         .select(
-            "ka",
-            "kb",
+            "na",
+            "nb",
             F.size(F.expr("array_intersect(sa, sb)")).alias("inter"),
             (F.size("sa") + F.size("sb")).alias("ab"),
         )
         .filter(F.col("inter") * (_TRI_DEN + _TRI_NUM) >= _TRI_NUM * F.col("ab"))
+        .select("na", "nb", F.expr("(10000 * inter) div (ab - inter)").alias("jacc_bp"))
+    )
+    # identical names pair among themselves at J = 1 (sets equal, nonempty)
+    ident = nd.filter(F.col("c") >= 2).select(
+        F.col("nm").alias("na"), F.col("nm").alias("nb"), F.lit(10000).alias("jacc_bp")
+    )
+    pairs = sim.unionByName(ident)
+    # expand each similar name pair to its member keys (side 0 = na's
+    # parts, side 1 = nb's; identity pairs are single-sided)
+    rows = pk.join(F.broadcast(pairs), pk["nm"] == pairs["na"]).select(
+        "na", "nb", "jacc_bp", "k", F.lit(0).alias("side")
+    ).unionByName(
+        pk.join(
+            F.broadcast(pairs.filter(F.col("na") != F.col("nb"))),
+            pk["nm"] == pairs["nb"],
+        ).select("na", "nb", "jacc_bp", "k", F.lit(1).alias("side"))
+    )
+    w_cum = (
+        Window.partitionBy("na", "nb")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("na", "nb")
+    ranked = (
+        rows.withColumn("cum0", F.sum(1 - F.col("side")).over(w_cum))
+        .withColumn("cum1", F.sum("side").over(w_cum))
+        .withColumn("tot0", F.sum(1 - F.col("side")).over(w_all))
+        .withColumn("tot1", F.sum("side").over(w_all))
         .select(
-            "ka",
-            "kb",
-            F.expr("(10000 * inter) div (ab - inter)").alias("jacc_bp"),
+            "na",
+            "nb",
+            "jacc_bp",
+            "k",
+            # partner keys strictly below / above this key (partkeys
+            # are unique, so inclusive cum counts are strict-below)
+            F.when(F.col("na") == F.col("nb"), F.col("cum0") - 1)
+            .when(F.col("side") == 0, F.col("cum1"))
+            .otherwise(F.col("cum0"))
+            .alias("below"),
+            F.when(F.col("na") == F.col("nb"), F.col("tot0") - F.col("cum0"))
+            .when(F.col("side") == 0, F.col("tot1") - F.col("cum1"))
+            .otherwise(F.col("tot0") - F.col("cum0"))
+            .alias("above"),
         )
     )
+    # each unordered pair contributes its min key once (counted from
+    # the min element's `above`) and its max key once (`below`)
     return (
-        verified.groupBy("jacc_bp")
+        ranked.groupBy("jacc_bp")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("ka").alias("sum_pa"),
-            F.sum("kb").alias("sum_pb"),
+            F.sum("below").cast("long").alias("n_pairs"),
+            F.sum(F.col("k") * F.col("above")).cast("long").alias("sum_pa"),
+            F.sum(F.col("k") * F.col("below")).cast("long").alias("sum_pb"),
         )
         .orderBy("jacc_bp")
     )
