@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bigdatamanagement_spark.queries import (
     analytics,
     analytics2,
+    analytics3,
     events,
     extensions,
     kv,
@@ -53,6 +54,7 @@ _PACKS = [
     quality,
     analytics,
     analytics2,
+    analytics3,
 ]
 
 

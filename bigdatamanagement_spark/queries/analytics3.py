@@ -1,0 +1,483 @@
+"""Advanced-analytics pack 3 (T20/ext): iterative graph traversal
+(BFS shortest hops over the co-purchase graph), the recursive-CTE SQL
+surface (Spark 4 ``WITH RECURSIVE``), warehouse temporal semantics
+(SCD2 point-in-time lookup), ML data-management ops (group-aware
+train/test split with a leakage proof, Johnson-Lindenstrauss random
+projection of embeddings).
+
+Reference anchors (SURVEY §2): the graph/recursion entries generalize
+the reference's join vocabulary (`Assignment 6/src/AmazonRedshift.java:465-535`
+snowflake joins; `Assignment 1/...ipynb:1470-1546` self-join
+recommendation graph) to multi-hop reachability; the SCD2 lookup is
+the temporal completion of the stock history queries
+(`Assignment 3/Assignment3_Database/src/SQLonRDS.java:246-264` — price
+as of a date); split/projection serve the §7.8 training-data charter.
+
+Scale notes (100 TB):
+- BFS: Pregel-style min-plus iteration — each round is one
+  frontier⋈edges join plus a min-aggregate, both keyed on vertex id
+  (the canonical distributed formulation; rounds bounded by the
+  diameter cap). No driver loop state beyond the fixed unroll count;
+  at deeper unrolls add a localCheckpoint per round to cut lineage.
+- recursive CTE: the month spine is driver-tiny (one row per month)
+  while the fact side stays distributed; the LEFT JOIN keys on the
+  truncated month so Catalyst plans a broadcast of the spine.
+- SCD2 lookup: validity intervals come from one key-partitioned lead
+  window (built once, reusable); the as-of probe is a filter, not a
+  join, because the probe instant is a scalar.
+- group split: the split is a pure hash of the GROUP key — no
+  shuffle to assign, deterministic under any partitioning, and the
+  leakage check is a per-group distinct-count (one aggregate).
+- JL projection: the 64×16 sign matrix is built once and broadcast;
+  the per-(vector, out-dim) partial sums flow through one aggregate
+  keyed by (vec_id, out_dim). Components are MILLI-quantized so the
+  squared-projection sums stay within BIGINT for corpus sizes up to
+  ~1e9 vectors (|proj| ≤ 64·3e3·~5 ⇒ proj² ≤ ~4e12 per row).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bigdatamanagement_spark.catalog import load_testdata
+
+_BFS_HOPS = 4
+_JL_OUT = 16
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, tables=("events",), register=False)["events"]
+
+
+# --- BFS shortest hops over the co-purchase graph -------------------------
+
+
+def copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20a — breadth-first shortest hop distance from the smallest
+    vertex of the part co-purchase graph (edges = part pairs bought
+    together in ≥2 distinct orders, undirected), bounded to 4 hops:
+    (hops, n_nodes, sum_nodes). The reach profile around a seed
+    product — the 'customers also bought, transitively' signal.
+
+    Scale: Pregel min-plus — round k joins the reached set with the
+    symmetrized edge list (vertex-keyed) and folds with min(dist), so
+    each round is one shuffle on the vertex id; work per round is
+    |frontier|·avg-degree, never |V|². The support-≥2 prune shrinks
+    the edge list before any traversal."""
+    li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("a", "b")
+    )
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seed = sym.agg(F.min("src").alias("v"))
+    reached = seed.select("v", F.lit(0).alias("d"))
+    for k in range(1, _BFS_HOPS + 1):
+        nbr = (
+            reached.join(sym, reached["v"] == sym["src"])
+            .select(F.col("dst").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        reached = (
+            reached.unionByName(nbr).groupBy("v").agg(F.min("d").alias("d"))
+        )
+    return (
+        reached.groupBy(F.col("d").cast("int").alias("hops"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("v").cast("long").alias("sum_nodes"),
+        )
+        .orderBy("hops")
+    )
+
+
+# --- native recursive CTE (Spark 4 WITH RECURSIVE) ------------------------
+
+
+def recursive_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20b — monthly order counts and revenue over a month spine
+    generated with a NATIVE ``WITH RECURSIVE`` CTE (Spark 4 SQL
+    surface): months with zero orders appear with zeros — the
+    gap-free calendar a reporting layer needs (the recursion-based
+    twin of the sequence()-explode gap-fill in operators/gapfill.py).
+
+    Scale: the recursion materializes one row per month (driver-tiny
+    spine); the fact scan aggregates once per month key and the spine
+    side broadcasts into the join."""
+    o = load_testdata(spark, sf_dir, tables=("orders",), register=False)["orders"]
+    o.createOrReplaceTempView("t20_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, hi) AS (
+            SELECT trunc(CAST(min(o_orderdate) AS DATE), 'MM'),
+                   trunc(CAST(max(o_orderdate) AS DATE), 'MM')
+            FROM t20_orders
+            UNION ALL
+            SELECT add_months(m, 1), hi FROM months WHERE m < hi
+        )
+        SELECT months.m AS month,
+               count(o.o_orderkey) AS n_orders,
+               coalesce(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0)
+                   AS revenue_cents
+        FROM months LEFT JOIN t20_orders o
+          ON trunc(CAST(o.o_orderdate AS DATE), 'MM') = months.m
+        GROUP BY months.m
+        ORDER BY month
+        """
+    )
+
+
+# --- SCD2 point-in-time lookup --------------------------------------------
+
+
+def scd2_value_asof_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20c — point-in-time dimension lookup against the SCD2 purchase
+    history (operators/merge.scd2_from_events): the value each user
+    (< 50) held AS OF the midpoint instant of the purchase stream:
+    (user_id, value_r2, since_micros). The 'what did the dimension say
+    at time T' query every type-2 warehouse table exists to answer.
+
+    Scale: history intervals come from one user-keyed lead window; the
+    probe instant is a scalar (1-row aggregate broadcast), so the
+    lookup is a filter on the history — no join fan-out. All instant
+    comparisons in exact unix micros."""
+    from bigdatamanagement_spark.operators.merge import scd2_from_events
+
+    ev = _events(spark, sf_dir).where(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    )
+    hist = scd2_from_events(
+        ev.withColumn("value", F.round("value", 2)),
+        "user_id",
+        "ts",
+        value_cols=["value"],
+        order_tiebreak="event_id",
+    )
+    mid = ev.agg(
+        ((F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+         + F.max(F.unix_micros(F.col("ts").cast("timestamp")))) / F.lit(2))
+        .cast("long")
+        .alias("t_us")
+    )
+    return (
+        hist.join(F.broadcast(mid))
+        .filter(
+            (F.unix_micros(F.col("valid_from").cast("timestamp")) <= F.col("t_us"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.unix_micros(F.col("valid_to").cast("timestamp")) > F.col("t_us"))
+            )
+        )
+        .select(
+            "user_id",
+            F.col("value").alias("value_r2"),
+            F.unix_micros(F.col("valid_from").cast("timestamp")).alias("since_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- group-aware train/test split with leakage proof ----------------------
+
+
+def group_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — group-aware (per-user) train/test split of the event log
+    by deterministic hash (md5 of the GROUP key, 80/20), with the
+    leakage audit a training pipeline must run: one row with user and
+    event counts per split, the number of users observed in BOTH
+    splits (0 — the GroupKFold guarantee, computed honestly from the
+    event-level assignment, not assumed), and the purchase-rate of
+    each split in basis points (the class-balance check that catches
+    a skewed split).
+
+    Scale: the split is a pure function of the group key — no state,
+    no shuffle to assign, reproducible on any engine/partitioning.
+    The audit folds into one user-keyed aggregate plus one global
+    aggregate."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+            < 80,
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_purchase"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.first("split").alias("split"),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum("is_purchase").alias("n_pur"),
+    )
+    tr = F.col("split") == "train"
+    return per_user.agg(
+        F.sum(F.when(tr, 1).otherwise(0)).cast("long").alias("n_train_users"),
+        F.sum(F.when(~tr, 1).otherwise(0)).cast("long").alias("n_test_users"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaky_users"),
+        F.sum(F.when(tr, F.col("n_ev")).otherwise(0)).cast("long").alias("train_events"),
+        F.sum(F.when(~tr, F.col("n_ev")).otherwise(0)).cast("long").alias("test_events"),
+        F.expr(
+            "(10000 * sum(CASE WHEN split = 'train' THEN n_pur ELSE 0 END)) div "
+            "sum(CASE WHEN split = 'train' THEN n_ev ELSE 0 END)"
+        ).alias("train_purchase_bp"),
+        F.expr(
+            "(10000 * sum(CASE WHEN split = 'test' THEN n_pur ELSE 0 END)) div "
+            "sum(CASE WHEN split = 'test' THEN n_ev ELSE 0 END)"
+        ).alias("test_purchase_bp"),
+    )
+
+
+# --- Johnson-Lindenstrauss random projection ------------------------------
+
+
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — Johnson-Lindenstrauss random projection of the 64-dim
+    embeddings to 16 dims with a portable ±1 sign matrix (md5 parity
+    of 'j:i' — the database-friendly Achlioptas construction), and the
+    per-output-dim health profile of the projected space: (out_dim,
+    n_vecs, sum_proj, sumsq_proj, mean_milli, var_milli2). The cheap
+    dimensionality-reduction step before ANN indexing — JL guarantees
+    pairwise distances survive within (1±ε).
+
+    Scale: the 64×16 sign matrix is data-independent, built once,
+    broadcast; projection partials flow through ONE aggregate keyed by
+    (vec_id, out_dim) with map-side combine. Components are
+    MILLI-quantized so every sum (incl. n·sumsq − sum² in the variance)
+    is exact BIGINT arithmetic to ~1e9 vectors."""
+    e = load_testdata(spark, sf_dir, tables=("embeddings",), register=False)[
+        "embeddings"
+    ]
+    signs = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(spark.range(_JL_OUT).select(F.col("id").cast("int").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                % 2
+                == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    comp = e.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))"
+            )
+        ).alias("i", "q"),
+    )
+    proj = (
+        comp.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("q")).alias("p"))
+    )
+    return (
+        proj.groupBy(F.col("j").alias("out_dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("p").cast("long").alias("sum_proj"),
+            F.sum(F.col("p") * F.col("p")).cast("long").alias("sumsq_proj"),
+        )
+        .select(
+            "out_dim",
+            "n_vecs",
+            "sum_proj",
+            "sumsq_proj",
+            F.expr("sum_proj div n_vecs").alias("mean_milli"),
+            F.expr(
+                "(n_vecs * sumsq_proj - sum_proj * sum_proj) div (n_vecs * n_vecs)"
+            ).alias("var_milli2"),
+        )
+        .orderBy("out_dim")
+    )
+
+
+QUERIES = {
+    "t20_copurchase_bfs": copurchase_bfs,
+    "t20_recursive_month_revenue": recursive_month_revenue,
+    "t20_scd2_value_asof_midpoint": scd2_value_asof_midpoint,
+    "ext_group_split_leakage": group_split_leakage,
+    "ext_embedding_jl_projection": embedding_jl_projection,
+}
+
+ORACLE = {
+    "t20_copurchase_bfs": f"""
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        pr AS (
+            SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM op a JOIN op b USING (l_orderkey)
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        edges AS (SELECT a, b FROM pr GROUP BY a, b HAVING count(*) >= 2),
+        sym AS (
+            SELECT a AS src, b AS dst FROM edges
+            UNION ALL SELECT b, a FROM edges
+        ),
+        walk(v, d) AS (
+            SELECT (SELECT min(src) FROM sym), 0
+            UNION
+            SELECT sym.dst, walk.d + 1
+            FROM walk JOIN sym ON sym.src = walk.v
+            WHERE walk.d < {_BFS_HOPS}
+        )
+        SELECT CAST(d AS INT) AS hops, count(*) AS n_nodes,
+               CAST(sum(v) AS BIGINT) AS sum_nodes
+        FROM (SELECT v, min(d) AS d FROM walk GROUP BY v)
+        GROUP BY d ORDER BY hops
+    """,
+    "t20_recursive_month_revenue": """
+        WITH RECURSIVE months(m, hi) AS (
+            SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+                   CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+            FROM orders
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi
+            FROM months WHERE m < hi
+        )
+        SELECT months.m AS month,
+               count(o.o_orderkey) AS n_orders,
+               coalesce(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)), 0)
+                   AS revenue_cents
+        FROM months LEFT JOIN orders o
+          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+        GROUP BY months.m
+        ORDER BY month
+    """,
+    "t20_scd2_value_asof_midpoint": """
+        WITH ev AS (
+            SELECT user_id, ts, event_id, round(value, 2) AS value
+            FROM events WHERE event_type = 'purchase' AND user_id < 50
+        ),
+        hist AS (
+            SELECT user_id, value,
+                   epoch_us(ts) AS from_us,
+                   epoch_us(lead(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC)) AS to_us
+            FROM ev
+        ),
+        mid AS (
+            SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS BIGINT)
+                AS t_us
+            FROM ev
+        )
+        SELECT user_id, value AS value_r2, from_us AS since_micros
+        FROM hist, mid
+        WHERE from_us <= t_us AND (to_us IS NULL OR to_us > t_us)
+        ORDER BY user_id
+    """,
+    "ext_group_split_leakage": """
+        WITH ev AS (
+            SELECT user_id,
+                   CASE WHEN (('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                       1, 8))::BIGINT % 100) < 80 THEN 'train' ELSE 'test' END
+                       AS split,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS is_purchase
+            FROM events
+        ),
+        pu AS (
+            SELECT user_id, count(DISTINCT split) AS n_splits,
+                   min(split) AS split, count(*) AS n_ev,
+                   sum(is_purchase) AS n_pur
+            FROM ev GROUP BY user_id
+        )
+        SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train_users,
+               CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test_users,
+               CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_leaky_users,
+               CAST(sum(CASE WHEN split = 'train' THEN n_ev ELSE 0 END) AS BIGINT)
+                   AS train_events,
+               CAST(sum(CASE WHEN split = 'test' THEN n_ev ELSE 0 END) AS BIGINT)
+                   AS test_events,
+               (10000 * sum(CASE WHEN split = 'train' THEN n_pur ELSE 0 END))
+                   // sum(CASE WHEN split = 'train' THEN n_ev ELSE 0 END)
+                   AS train_purchase_bp,
+               (10000 * sum(CASE WHEN split = 'test' THEN n_pur ELSE 0 END))
+                   // sum(CASE WHEN split = 'test' THEN n_ev ELSE 0 END)
+                   AS test_purchase_bp
+        FROM pu
+    """,
+    "ext_embedding_jl_projection": f"""
+        WITH signs AS (
+            SELECT i.i, j.j,
+                   CASE WHEN (('0x' || substring(md5(CAST(j.j AS VARCHAR) || ':'
+                       || CAST(i.i AS VARCHAR)), 1, 8))::BIGINT % 2) = 0
+                       THEN 1 ELSE -1 END AS s
+            FROM (SELECT unnest(range(64)) AS i) i,
+                 (SELECT unnest(range({_JL_OUT})) AS j) j
+        ),
+        comp AS (
+            SELECT vec_id,
+                   unnest(range(64)) AS i,
+                   unnest(list_transform(embedding, x ->
+                       CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)))
+                       AS q
+            FROM embeddings
+        ),
+        proj AS (
+            SELECT comp.vec_id, signs.j, sum(signs.s * comp.q) AS p
+            FROM comp JOIN signs ON signs.i = comp.i
+            GROUP BY comp.vec_id, signs.j
+        ),
+        stats AS (
+            SELECT j AS out_dim, CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(p) AS BIGINT) AS sum_proj,
+                   CAST(sum(p * p) AS BIGINT) AS sumsq_proj
+            FROM proj GROUP BY j
+        )
+        SELECT CAST(out_dim AS INT) AS out_dim, n_vecs, sum_proj, sumsq_proj,
+               sum_proj // n_vecs AS mean_milli,
+               (n_vecs * sumsq_proj - sum_proj * sum_proj) // (n_vecs * n_vecs)
+                   AS var_milli2
+        FROM stats ORDER BY out_dim
+    """,
+}

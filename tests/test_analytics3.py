@@ -1,0 +1,117 @@
+"""Oracle + semantics tests for the advanced-analytics pack 3
+(queries/analytics3.py): BFS shortest hops, native recursive CTE,
+SCD2 point-in-time lookup, group-split leakage audit, JL projection."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdatamanagement_spark.queries import analytics3
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(analytics3.ORACLE))
+def test_analytics3_oracle(spark, duck, sf_dir, name):
+    df = analytics3.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, analytics3.ORACLE[name])
+
+
+def test_bfs_hops_start_at_zero_and_expand_monotonically(spark, sf_dir):
+    """Hop 0 is exactly the seed; every later hop is a set of NEW nodes
+    (min-dist fold), and a nonempty hop k>1 implies hop k-1 nonempty."""
+    rows = analytics3.copurchase_bfs(spark, sf_dir).collect()
+    by_hop = {r["hops"]: r for r in rows}
+    assert by_hop[0]["n_nodes"] == 1
+    seen = sorted(by_hop)
+    assert seen == list(range(len(seen)))  # contiguous frontier levels
+
+
+def test_bfs_crafted_path_graph(spark):
+    """A 5-node path graph seeded at its smallest vertex yields exactly
+    one node per hop — pins min-dist semantics (no revisits)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], schema="a int, b int"
+    )
+    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seed = sym.agg(F.min("src").alias("v"))
+    reached = seed.select("v", F.lit(0).alias("d"))
+    for _ in range(1, analytics3._BFS_HOPS + 1):
+        nbr = reached.join(sym, reached["v"] == sym["src"]).select(
+            F.col("dst").alias("v"), (F.col("d") + 1).alias("d")
+        )
+        reached = reached.unionByName(nbr).groupBy("v").agg(F.min("d").alias("d"))
+    got = {r["v"]: r["d"] for r in reached.collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_recursive_month_spine_is_gap_free(spark, sf_dir):
+    rows = analytics3.recursive_month_revenue(spark, sf_dir).collect()
+    months = [r["month"] for r in rows]
+    assert months == sorted(months)
+    for prev, cur in zip(months, months[1:]):
+        assert (cur.year - prev.year) * 12 + (cur.month - prev.month) == 1
+    # conservation: spine totals equal the plain aggregate
+    o = analytics3.load_testdata(spark, sf_dir, tables=("orders",), register=False)[
+        "orders"
+    ]
+    assert sum(r["n_orders"] for r in rows) == o.count()
+
+
+def test_scd2_asof_one_row_per_active_user(spark, sf_dir):
+    """The as-of snapshot has at most one interval per user (validity
+    intervals partition each user's timeline), and every returned value
+    matches some purchase of that user."""
+    rows = analytics3.scd2_value_asof_midpoint(spark, sf_dir).collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))
+    assert rows, "midpoint snapshot should be non-empty at test SFs"
+    ev = (
+        analytics3._events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & (F.col("user_id") < 50))
+        .select("user_id", F.round("value", 2).alias("v"))
+    )
+    have = {(r["user_id"], r["v"]) for r in ev.collect()}
+    for r in rows:
+        assert (r["user_id"], r["value_r2"]) in have
+
+
+def test_group_split_is_leak_free_and_hash_faithful(spark, sf_dir):
+    row = analytics3.group_split_leakage(spark, sf_dir).first()
+    assert row["n_leaky_users"] == 0
+    # python re-derivation of one side of the 80/20 hash split
+    ev = analytics3._events(spark, sf_dir).select("user_id").distinct().collect()
+    n_train = sum(
+        1
+        for r in ev
+        if int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:8], 16) % 100 < 80
+    )
+    assert row["n_train_users"] == n_train
+    assert row["n_train_users"] + row["n_test_users"] == len(ev)
+
+
+def test_jl_projection_preserves_scaled_norms_on_average(spark, sf_dir):
+    """E[‖proj‖²] = d_in/d_out · E[‖x‖²] for ±1 JL matrices — check the
+    aggregate variance mass is within 2× of that expectation (loose
+    band; the identity is exact only in expectation)."""
+    out = {r["out_dim"]: r for r in analytics3.embedding_jl_projection(
+        spark, sf_dir
+    ).collect()}
+    assert sorted(out) == list(range(analytics3._JL_OUT))
+    e = analytics3.load_testdata(
+        spark, sf_dir, tables=("embeddings",), register=False
+    )["embeddings"]
+    raw_ss = e.select(
+        F.expr(
+            "aggregate(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+            " * 1000.0, 0) AS BIGINT)), 0L, (a, x) -> a + x * x)"
+        ).alias("ss")
+    ).agg(F.sum("ss").alias("t")).first()["t"]
+    proj_ss = sum(r["sumsq_proj"] for r in out.values())
+    # Σ_j E[p_j²] per vector = Σ_i q_i² · d_out  ⇒ totals ratio ≈ d_out
+    ratio = proj_ss / (raw_ss * analytics3._JL_OUT)
+    assert 0.5 < ratio < 2.0, ratio
