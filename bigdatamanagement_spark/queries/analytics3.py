@@ -328,6 +328,8 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vecs",
             "sum_proj",
             "sumsq_proj",
+            # Spark `div` and DuckDB `//` both truncate toward zero, so the
+            # (possibly negative) mean is cross-engine exact as-is
             F.expr("sum_proj div n_vecs").alias("mean_milli"),
             F.expr(
                 "(n_vecs * sumsq_proj - sum_proj * sum_proj) div (n_vecs * n_vecs)"
