@@ -339,7 +339,140 @@ def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-means (Lloyd) fixed-iteration clustering ---------------------------
+
+_KM_K = 4
+_KM_ITERS = 2
+_MILLI_VEC = (
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))"
+)
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — k-means (Lloyd) over the embeddings, K=4, exactly 2
+    (assign → update) iterations, ENTIRELY in integer arithmetic:
+    components milli-quantized, distances exact BIGINT squared-L2,
+    centroid components truncated integer means, argmin tie-broken by
+    cluster id. Init = the K vectors with smallest md5(vec_id) rank
+    (deterministic, engine-portable — the 'k-means‖'-style seedless
+    init a distributed pipeline wants). Output per cluster: size,
+    inertia, centroid checksum. Because every step is integer and
+    deterministic, the DuckDB oracle (same construction, iterations
+    unrolled as chained CTEs) reproduces the clustering BIT-FOR-BIT —
+    the cross-engine-exact face of iterative ML on the engine.
+
+    Scale: each iteration is one broadcast of the K×64 centroid table
+    against the vector scan (K-row fan-out, map-side argmin via
+    min(struct)) plus one (cluster, dim)-keyed mean aggregate —
+    the canonical distributed Lloyd step; rounds are a fixed unroll,
+    no driver-side convergence loop."""
+    e = load_testdata(spark, sf_dir, tables=("embeddings",), register=False)[
+        "embeddings"
+    ].select("vec_id", F.expr(_MILLI_VEC).alias("q"))
+    rnk = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("rnk")
+    )
+    seeds = e.select("vec_id", "q", rnk).orderBy("rnk", "vec_id").limit(_KM_K)
+    cents = seeds.select(
+        (
+            F.row_number().over(Window.orderBy("rnk", "vec_id")) - 1
+        ).cast("int").alias("cluster"),
+        F.col("q").alias("cv"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x)"
+    )
+    assigned = None
+    for _ in range(_KM_ITERS):
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "q", "cluster", dist.alias("dist")
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("dist", "cluster")).alias("m"),
+                F.first("q").alias("q"),
+            )
+            .select(
+                "vec_id", "q", F.col("m.cluster").alias("cluster"), F.col("m.dist").alias("dist")
+            )
+        )
+        cents = (
+            assigned.select("cluster", F.posexplode("q").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.expr("sum(x) div count(1)").alias("comp"))
+            .groupBy("cluster")
+            .agg(
+                F.expr(
+                    "transform(sort_array(collect_list(struct(i, comp))), s -> s.comp)"
+                ).alias("cv")
+            )
+        )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("dist").cast("long").alias("inertia_milli2"),
+        )
+        .join(
+            cents.select(
+                "cluster",
+                F.expr("aggregate(cv, 0L, (a, x) -> a + x)").alias("cent_checksum"),
+            ),
+            "cluster",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    parts = [
+        "WITH iv AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS q"
+        " FROM embeddings),",
+        "sd AS (SELECT vec_id, q,"
+        " ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS rnk"
+        " FROM iv),",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY rnk, vec_id) - 1 AS INT)"
+        f" AS cluster, q AS cv FROM (SELECT * FROM sd ORDER BY rnk, vec_id"
+        f" LIMIT {k})),",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"s{t} AS (SELECT iv.vec_id, iv.q, c.cluster,"
+            " CAST(list_sum(list_transform(range(1, 65),"
+            " j -> (iv.q[j] - c.cv[j]) * (iv.q[j] - c.cv[j]))) AS BIGINT) AS dist"
+            f" FROM iv CROSS JOIN c{t - 1} c),"
+        )
+        parts.append(
+            f"a{t} AS (SELECT vec_id, q, cluster, dist FROM"
+            f" (SELECT *, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cluster) AS rn FROM s{t}) WHERE rn = 1),"
+        )
+        parts.append(
+            f"cx{t} AS (SELECT cluster, unnest(range(64)) AS i, unnest(q) AS x"
+            f" FROM a{t}),"
+        )
+        parts.append(
+            f"c{t} AS (SELECT cluster, list(comp ORDER BY i) AS cv FROM"
+            f" (SELECT cluster, i, CAST(sum(x) // count(*) AS BIGINT) AS comp"
+            f" FROM cx{t} GROUP BY cluster, i) GROUP BY cluster),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_vecs,"
+        f" CAST(sum(a.dist) AS BIGINT) AS inertia_milli2,"
+        f" CAST(list_sum(any_value(c.cv)) AS BIGINT) AS cent_checksum"
+        f" FROM a{iters} a JOIN c{iters} c USING (cluster)"
+        f" GROUP BY a.cluster ORDER BY a.cluster"
+    )
+    return "\n".join(parts)
+
+
 QUERIES = {
+    "ext_kmeans_clusters": kmeans_clusters,
     "t20_copurchase_bfs": copurchase_bfs,
     "t20_recursive_month_revenue": recursive_month_revenue,
     "t20_scd2_value_asof_midpoint": scd2_value_asof_midpoint,
@@ -348,6 +481,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ext_kmeans_clusters": _kmeans_oracle_sql(),
     "t20_copurchase_bfs": f"""
         WITH RECURSIVE op AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -94,6 +94,54 @@ def test_group_split_is_leak_free_and_hash_faithful(spark, sf_dir):
     assert row["n_train_users"] + row["n_test_users"] == len(ev)
 
 
+def test_kmeans_partitions_all_vectors_into_at_most_k_clusters(spark, sf_dir):
+    rows = analytics3.kmeans_clusters(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= analytics3._KM_K
+    e = analytics3.load_testdata(
+        spark, sf_dir, tables=("embeddings",), register=False
+    )["embeddings"]
+    assert sum(r["n_vecs"] for r in rows) == e.count()
+    for r in rows:
+        assert r["inertia_milli2"] >= 0
+        assert 0 <= r["cluster"] < analytics3._KM_K
+
+
+def test_kmeans_beats_single_cluster_inertia(spark, sf_dir):
+    """K=4 Lloyd inertia must be well below the 1-cluster (global
+    integer-mean centroid) inertia — the sanity floor that catches a
+    broken assignment step."""
+    import pyspark.sql.functions as F
+
+    rows = analytics3.kmeans_clusters(spark, sf_dir).collect()
+    km_inertia = sum(r["inertia_milli2"] for r in rows)
+    e = analytics3.load_testdata(
+        spark, sf_dir, tables=("embeddings",), register=False
+    )["embeddings"].select(F.expr(analytics3._MILLI_VEC).alias("q"))
+    cent = (
+        e.select(F.posexplode("q").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.expr("sum(x) div count(1)").alias("comp"))
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(i, comp))), s -> s.comp)"
+            ).alias("cv")
+        )
+    )
+    one = (
+        e.crossJoin(F.broadcast(cent))
+        .select(
+            F.expr(
+                "aggregate(zip_with(q, cv, (x, y) -> (x - y) * (x - y)),"
+                " 0L, (a, x) -> a + x)"
+            ).alias("d")
+        )
+        .agg(F.sum("d").alias("t"))
+        .first()["t"]
+    )
+    assert km_inertia < one
+
+
 def test_jl_projection_preserves_scaled_norms_on_average(spark, sf_dir):
     """E[‖proj‖²] = d_in/d_out · E[‖x‖²] for ±1 JL matrices — check the
     aggregate variance mass is within 2× of that expectation (loose
