@@ -471,7 +471,94 @@ def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
     return "\n".join(parts)
 
 
+# --- exact classifier evaluation: AUC + calibration -----------------------
+
+
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — exact ROC-AUC of `value` as a predictor of the purchase
+    label, one row (n_pos, n_neg, auc_micro): the Mann-Whitney U form
+    AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with TIE-AVERAGED ranks, kept
+    integer end-to-end by carrying 2×rank (ties make average ranks
+    half-integers). The eval every quality-filter model needs before
+    its threshold is trusted.
+
+    Scale: ranks never materialize per row — scores collapse to one
+    (score → count, pos_count) aggregate, the exclusive prefix sum
+    over ordered distinct scores runs through the two-phase
+    distributed operator (operators/rank.global_running_sum — range
+    repartition + carry-in broadcast, never a one-task global window),
+    and the tie-group contribution c⁺·(2·cum_before + c + 1) folds in
+    one aggregate. Overflow bound: T ≤ n⁺·(2n+1), so micro-scaling is
+    exact to ~1e6 positives × 1e9 rows; beyond that, pre-bucket scores
+    (the histogram-sketch path)."""
+    from bigdatamanagement_spark.operators.rank import global_running_sum
+
+    ev = _events(spark, sf_dir).select(
+        F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+    )
+    ps = ev.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("p").alias("c_pos")
+    )
+    cum = global_running_sum(ps, [F.col("s")], "c_all", "cum_incl")
+    return (
+        cum.select(
+            "c_all",
+            "c_pos",
+            (F.col("cum_incl") - F.col("c_all")).alias("cb"),
+        )
+        .agg(
+            F.sum(F.expr("c_pos * (2 * cb + c_all + 1)")).alias("t"),
+            F.sum("c_pos").alias("np"),
+            F.sum("c_all").alias("na"),
+        )
+        .select(
+            F.col("np").cast("long").alias("n_pos"),
+            (F.col("na") - F.col("np")).cast("long").alias("n_neg"),
+            F.expr(
+                "(1000000 * (t - np * (np + 1))) div (2 * np * (na - np))"
+            ).alias("auc_micro"),
+        )
+    )
+
+
+def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20d — reliability table of `value` vs the purchase label: rows
+    ranked by (score, event_id) split into 10 equal-count bands, each
+    reporting size, positives, positive rate (bp) and the band's exact
+    mean score in micros. Monotone-ish positive rate across bands =
+    a calibratable score; flat = no signal. The companion diagnostic
+    to the AUC scalar.
+
+    Scale: banding needs a GLOBAL rank — via the two-phase distributed
+    row_number (operators/rank.global_row_number), with event_id as
+    the deterministic tiebreak so band membership is engine-exact."""
+    from bigdatamanagement_spark.operators.rank import global_row_number
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+    )
+    ranked, n = global_row_number(ev, [F.col("s"), F.col("event_id")], "rn")
+    return (
+        ranked.select(
+            F.expr(f"CAST((rn - 1) * 10 div {n} AS INT)").alias("band"), "s", "p"
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("long").alias("n_pos"),
+            F.expr("(10000 * sum(p)) div count(1)").alias("pos_bp"),
+            F.expr("sum(s) div count(1)").alias("mean_score_micro"),
+        )
+        .orderBy("band")
+    )
+
+
 QUERIES = {
+    "ext_classifier_auc": classifier_auc,
+    "t20_score_calibration": score_calibration,
     "ext_kmeans_clusters": kmeans_clusters,
     "t20_copurchase_bfs": copurchase_bfs,
     "t20_recursive_month_revenue": recursive_month_revenue,
@@ -481,6 +568,49 @@ QUERIES = {
 }
 
 ORACLE = {
+    "ext_classifier_auc": """
+        WITH ev AS (
+            SELECT CAST(round(value * 1000000.0, 0) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+            FROM events
+        ),
+        ps AS (SELECT s, count(*) AS c_all, sum(p) AS c_pos FROM ev GROUP BY s),
+        cs AS (
+            SELECT c_all, c_pos,
+                   sum(c_all) OVER (ORDER BY s) - c_all AS cb
+            FROM ps
+        ),
+        ag AS (
+            SELECT CAST(sum(c_pos * (2 * cb + c_all + 1)) AS BIGINT) AS t,
+                   CAST(sum(c_pos) AS BIGINT) AS np,
+                   CAST(sum(c_all) AS BIGINT) AS na
+            FROM cs
+        )
+        SELECT np AS n_pos, na - np AS n_neg,
+               (1000000 * (t - np * (np + 1))) // (2 * np * (na - np))
+                   AS auc_micro
+        FROM ag
+    """,
+    "t20_score_calibration": """
+        WITH ev AS (
+            SELECT event_id,
+                   CAST(round(value * 1000000.0, 0) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+            FROM events
+        ),
+        r AS (
+            SELECT s, p,
+                   row_number() OVER (ORDER BY s, event_id) AS rn,
+                   count(*) OVER () AS n
+            FROM ev
+        )
+        SELECT CAST((rn - 1) * 10 // n AS INT) AS band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p) AS BIGINT) AS n_pos,
+               (10000 * sum(p)) // count(*) AS pos_bp,
+               CAST(sum(s) AS BIGINT) // count(*) AS mean_score_micro
+        FROM r GROUP BY 1 ORDER BY band
+    """,
     "ext_kmeans_clusters": _kmeans_oracle_sql(),
     "t20_copurchase_bfs": f"""
         WITH RECURSIVE op AS (

@@ -142,6 +142,43 @@ def test_kmeans_beats_single_cluster_inertia(spark, sf_dir):
     assert km_inertia < one
 
 
+def test_auc_matches_python_tie_averaged_recompute(spark, sf_dir):
+    row = analytics3.classifier_auc(spark, sf_dir).first()
+    assert 0 <= row["auc_micro"] <= 1_000_000
+    ev = analytics3._events(spark, sf_dir).select(
+        F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("s"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+    ).collect()
+    scored = sorted((r["s"], r["p"]) for r in ev)
+    # tie-averaged 2×ranks
+    t2 = 0
+    i = 0
+    while i < len(scored):
+        j = i
+        while j < len(scored) and scored[j][0] == scored[i][0]:
+            j += 1
+        avg2 = (i + 1) + j  # 2 * average rank of the tie group [i+1 .. j]
+        t2 += sum(avg2 for k in range(i, j) if scored[k][1] == 1)
+        i = j
+    n_pos = sum(p for _, p in scored)
+    n_neg = len(scored) - n_pos
+    expect = (1_000_000 * (t2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg)
+    assert row["auc_micro"] == expect
+    assert (row["n_pos"], row["n_neg"]) == (n_pos, n_neg)
+
+
+def test_calibration_bands_are_balanced_and_cover_all_rows(spark, sf_dir):
+    rows = analytics3.score_calibration(spark, sf_dir).collect()
+    assert [r["band"] for r in rows] == list(range(10))
+    sizes = [r["n"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # equal-count bands
+    total = analytics3._events(spark, sf_dir).count()
+    assert sum(sizes) == total
+    # mean score must be non-decreasing across rank bands
+    means = [r["mean_score_micro"] for r in rows]
+    assert means == sorted(means)
+
+
 def test_jl_projection_preserves_scaled_norms_on_average(spark, sf_dir):
     """E[‖proj‖²] = d_in/d_out · E[‖x‖²] for ±1 JL matrices — check the
     aggregate variance mass is within 2× of that expectation (loose
