@@ -124,6 +124,79 @@ def pii_masked_users(spark, sf_dir) -> DataFrame:
     )
 
 
+def zinter_recent_top10(spark, sf_dir) -> DataFrame:
+    """T15-z1 — ZINTERSTORE … WEIGHTS 1 0 + ZREVRANGE analog: intersect
+    the `leaderboard:2` sorted set with a DERIVED sorted set of
+    recently-active users (last_login epoch ≥ the corpus midpoint,
+    scored by login time but weighted 0 — the classic Redis pattern of
+    filtering one leaderboard by membership in another), then top-10
+    by the surviving score with country enrich. The server-side set
+    algebra `redis_client.py` stores sets for but never queries —
+    engine upgrade of the §2 sorted-set model.
+
+    Scale: intersection = one equi-join member-keyed (the activity set
+    projects to (member) after its threshold filter); top-k is bounded
+    (TakeOrderedAndProject)."""
+    t = tables(spark)
+    mid = t["users"].agg(
+        (
+            (
+                F.min(F.col("last_login").cast("long"))
+                + F.max(F.col("last_login").cast("long"))
+            )
+            / F.lit(2)
+        )
+        .cast("long")
+        .alias("m")
+    )
+    recent = (
+        t["users"]
+        .join(F.broadcast(mid))
+        .filter(F.col("last_login").cast("long") >= F.col("m"))
+        .select(F.col("user_key").alias("user_id"), "country")
+    )
+    top = (
+        t["scores"]
+        .filter(F.col("leaderboard") == "leaderboard:2")
+        .join(recent, "user_id")
+        .select("user_id", F.col("score").cast("long").alias("zscore"), "country")
+        .orderBy(F.desc("zscore"), F.asc("user_id"))
+        .limit(10)
+    )
+    return top.orderBy(F.desc("zscore"), F.asc("user_id"))
+
+
+def zunion_weighted_stats(spark, sf_dir) -> DataFrame:
+    """T15-z2 — ZUNIONSTORE WEIGHTS 2 1 AGGREGATE MAX analog, profiled
+    by membership class: every member of either leaderboard gets
+    combined score max(2·s₂, 1·s₃); output per class ('both',
+    'only:2', 'only:3') the member count and total combined score.
+    Same single member-keyed aggregate — conditional maxes stand in
+    for the weighted union, so set algebra costs one shuffle."""
+    s = tables(spark)["scores"]
+    agg = s.groupBy("user_id").agg(
+        F.max(F.when(F.col("leaderboard") == "leaderboard:2", 2 * F.col("score"))).alias("w2"),
+        F.max(F.when(F.col("leaderboard") == "leaderboard:3", F.col("score"))).alias("w3"),
+    )
+    return (
+        agg.select(
+            F.when(F.col("w2").isNotNull() & F.col("w3").isNotNull(), "both")
+            .when(F.col("w2").isNotNull(), "only:2")
+            .otherwise("only:3")
+            .alias("membership"),
+            F.greatest(F.coalesce("w2", F.lit(0)), F.coalesce("w3", F.lit(0)))
+            .cast("long")
+            .alias("zmax"),
+        )
+        .groupBy("membership")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("zmax").cast("long").alias("sum_score"),
+        )
+        .orderBy("membership")
+    )
+
+
 GEO_LAT, GEO_LON, GEO_RADIUS_KM = 40.0, 116.0, 2000.0
 
 
@@ -168,6 +241,8 @@ QUERIES = {
     "t15_q3_even_prefix_users": even_prefix_users,
     "t15_q4_female_china_russia": female_china_russia,
     "t15_q5_top10_leaderboard_emails": top10_leaderboard_emails,
+    "t15_zinter_recent_top10": zinter_recent_top10,
+    "t15_zunion_weighted_stats": zunion_weighted_stats,
 }
 
 ORACLE = {
@@ -229,5 +304,39 @@ ORACLE = {
           ORDER BY score DESC, user_id ASC LIMIT 10) s
     LEFT JOIN users u ON s.user_id = u.user_key
     ORDER BY s.score DESC, s.user_id ASC
+    """,
+    "t15_zinter_recent_top10": _V
+    + """
+    , mid AS (
+        SELECT CAST((min(CAST(last_login AS BIGINT))
+                   + max(CAST(last_login AS BIGINT))) / 2 AS BIGINT) AS m
+        FROM users
+    ),
+    recent AS (
+        SELECT user_key AS user_id, country
+        FROM users, mid WHERE CAST(last_login AS BIGINT) >= mid.m
+    )
+    SELECT s.user_id, CAST(s.score AS BIGINT) AS zscore, r.country
+    FROM scores s JOIN recent r USING (user_id)
+    WHERE s.leaderboard = 'leaderboard:2'
+    ORDER BY zscore DESC, s.user_id ASC LIMIT 10
+    """,
+    "t15_zunion_weighted_stats": _V
+    + """
+    , agg AS (
+        SELECT user_id,
+               max(CASE WHEN leaderboard = 'leaderboard:2'
+                   THEN 2 * score END) AS w2,
+               max(CASE WHEN leaderboard = 'leaderboard:3'
+                   THEN score END) AS w3
+        FROM scores GROUP BY user_id
+    )
+    SELECT CASE WHEN w2 IS NOT NULL AND w3 IS NOT NULL THEN 'both'
+                WHEN w2 IS NOT NULL THEN 'only:2' ELSE 'only:3' END
+               AS membership,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(greatest(coalesce(w2, 0), coalesce(w3, 0))) AS BIGINT)
+               AS sum_score
+    FROM agg GROUP BY 1 ORDER BY membership
     """,
 }
