@@ -85,8 +85,12 @@ def copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("a", "b")
     )
-    sym = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # materialize the (small, pruned) edge list once — each BFS round's
+    # lineage would otherwise re-run the basket explode + support count
+    sym = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
     )
     seed = sym.agg(F.min("src").alias("v"))
     reached = seed.select("v", F.lit(0).alias("d"))
@@ -556,8 +560,73 @@ def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dyadic EWMA control chart --------------------------------------------
+
+_EWMA_W = 16
+
+
+def ewma_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20e — EWMA control chart on daily event volume per type: a day
+    flags when its count exceeds 2× the exponentially-weighted moving
+    average of the trailing 16 days (half-life 1 day — weight 2^(k−i)
+    on the i-th-back day). Weights are EXACT powers of two, so the
+    whole chart is integer: S = Horner fold (acc·2 + x) over the
+    ordered trailing window list, weights sum to 2^len − 1, and the
+    flag is v·(2^len − 1) > 2·S — no float anywhere (the EWMA twin of
+    the variance-based z-score chart, reacting faster to level
+    shifts). Calendar gaps are densified to zero-count days first.
+
+    Scale: daily counts are a tiny (type, day) aggregate; the window
+    list is ≤16 longs per row over |types|·|days| rows."""
+    ev = _events(spark, sf_dir).select("event_type", F.to_date("ts").alias("day"))
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    span = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = ev.select("event_type").distinct()
+    grid = types.join(F.broadcast(span)).select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_EWMA_W, -1)
+    )
+    scored = dense.select(
+        "event_type",
+        "x",
+        F.collect_list("x").over(w).alias("hist"),
+    ).select(
+        "event_type",
+        "x",
+        F.size("hist").alias("hl"),
+        # hist is oldest→newest; Horner over the REVERSE gives the newest
+        # previous day weight 2^(len−1), the oldest weight 2^0
+        F.expr("aggregate(reverse(hist), 0L, (a, v) -> 2 * a + v)").alias("s"),
+    )
+    return (
+        scored.filter(F.col("hl") > 0)
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN x * (shiftleft(1L, hl) - 1) > 2 * s THEN 1 ELSE 0 END"
+            ).alias("flag"),
+            F.expr("x * (shiftleft(1L, hl) - 1) - 2 * s").alias("excess"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("flag").cast("long").alias("n_anomalies"),
+            F.max("excess").cast("long").alias("max_excess"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ext_classifier_auc": classifier_auc,
+    "t20_ewma_volume_anomalies": ewma_volume_anomalies,
     "t20_score_calibration": score_calibration,
     "ext_kmeans_clusters": kmeans_clusters,
     "t20_copurchase_bfs": copurchase_bfs,
@@ -568,6 +637,48 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t20_ewma_volume_anomalies": f"""
+        WITH ev AS (
+            SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        ),
+        daily AS (
+            SELECT event_type, day, count(*) AS x FROM ev GROUP BY 1, 2
+        ),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        grid AS (
+            SELECT t.event_type,
+                   CAST(unnest(generate_series(span.lo, span.hi,
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM (SELECT DISTINCT event_type FROM ev) t, span
+        ),
+        dense AS (
+            SELECT g.event_type, g.day, coalesce(d.x, 0) AS x
+            FROM grid g LEFT JOIN daily d
+              ON d.event_type = g.event_type AND d.day = g.day
+        ),
+        hw AS (
+            SELECT event_type, x,
+                   list(x) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN {_EWMA_W} PRECEDING AND 1 PRECEDING)
+                       AS hist
+            FROM dense
+        ),
+        sc AS (
+            SELECT event_type, x, len(hist) AS hl,
+                   CAST(coalesce(list_sum(list_transform(
+                       range(1, len(hist) + 1),
+                       i -> hist[i] * (1::BIGINT << (i - 1)))), 0) AS BIGINT)
+                       AS s
+            FROM hw WHERE len(hist) > 0
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(CASE WHEN x * ((1::BIGINT << hl) - 1) > 2 * s
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+               CAST(max(x * ((1::BIGINT << hl) - 1) - 2 * s) AS BIGINT)
+                   AS max_excess
+        FROM sc GROUP BY event_type ORDER BY event_type
+    """,
     "ext_classifier_auc": """
         WITH ev AS (
             SELECT CAST(round(value * 1000000.0, 0) AS BIGINT) AS s,

@@ -179,6 +179,33 @@ def test_calibration_bands_are_balanced_and_cover_all_rows(spark, sf_dir):
     assert means == sorted(means)
 
 
+def test_ewma_planted_spike_flags(spark):
+    """A flat series with one 10× spike must flag exactly that day —
+    pins the Horner weight direction (newest previous day heaviest)."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1) + dt.timedelta(days=i, hours=1), "t")
+        for i in range(20)
+        for _ in range(100 if i != 15 else 1000)
+    ]
+    ev = spark.createDataFrame(rows, schema="ts timestamp_ntz, event_type string")
+    import bigdatamanagement_spark.queries.analytics3 as a3
+
+    orig = a3._events
+    try:
+        a3._events = lambda s, d: ev
+        out = a3.ewma_volume_anomalies(spark, "ignored").collect()
+    finally:
+        a3._events = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_anomalies"] == 1
+    # spike day (index 15) has 15 days of history: excess =
+    # 1000·(2^15−1) − 2·100·(2^15−1) = 800·(2^15−1)
+    assert r["max_excess"] == 800 * (2**15 - 1)
+
+
 def test_jl_projection_preserves_scaled_norms_on_average(spark, sf_dir):
     """E[‖proj‖²] = d_in/d_out · E[‖x‖²] for ±1 JL matrices — check the
     aggregate variance mass is within 2× of that expectation (loose
