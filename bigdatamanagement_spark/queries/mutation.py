@@ -93,13 +93,79 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUT-4 — ordered CDC changelog apply with tombstones (the
+    Debezium-ingest MERGE pattern): the event log is read as a change
+    stream for a per-user state table — signup/purchase/click/view
+    upsert the state to the event's value, `error` is a DELETE
+    tombstone. Latest op wins per user, ordered (ts, event_id); users
+    whose final op is a tombstone leave the table. Output: live/
+    tombstoned counts and exact micro checksums of the surviving
+    state.
+
+    Scale: apply = ONE user-keyed argmax (max_by over the full change
+    history — with map-side partials, no sort) + a filter; the
+    changelog never joins against itself. Generalizes S-08's
+    delete-as-filter (`SQLonRDS.java:229-236`) to full CDC semantics."""
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)["events"]
+    latest = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.col("event_type"),
+                F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("v"),
+            ).alias("op"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("op").alias("op"))
+        .select(
+            "user_id",
+            F.col("op.event_type").alias("last_op"),
+            F.col("op.v").alias("state_micro"),
+        )
+    )
+    return latest.agg(
+        F.sum(F.when(F.col("last_op") != "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_live"),
+        F.sum(F.when(F.col("last_op") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_tombstoned"),
+        F.sum(F.when(F.col("last_op") != "error", F.col("state_micro")).otherwise(0))
+        .cast("long")
+        .alias("state_sum_micro"),
+        F.max(F.when(F.col("last_op") != "error", F.col("state_micro")))
+        .cast("long")
+        .alias("max_state_micro"),
+    )
+
+
 QUERIES = {
     "mut_upsert_orders_summary": upsert_orders_summary,
     "mut_delete_survivors": delete_merge_roundtrip,
     "mut_corpus_version_diff": corpus_version_diff,
+    "mut_cdc_apply_changelog": cdc_apply_changelog,
 }
 
 ORACLE = {
+    "mut_cdc_apply_changelog": """
+        WITH r AS (
+            SELECT user_id, event_type,
+                   CAST(round(value * 1000000.0, 0) AS BIGINT) AS v,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_live,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_tombstoned,
+               CAST(sum(CASE WHEN event_type <> 'error' THEN v ELSE 0 END)
+                   AS BIGINT) AS state_sum_micro,
+               CAST(max(CASE WHEN event_type <> 'error' THEN v END)
+                   AS BIGINT) AS max_state_micro
+        FROM r WHERE rn = 1
+    """,
     "mut_upsert_orders_summary": """
         WITH updates AS (
             SELECT * REPLACE (o_totalprice * 1.1 AS o_totalprice,

@@ -173,3 +173,16 @@ def test_snapshot_diff_classification(spark):
         5: "unchanged",
         6: "added",
     }
+
+
+def test_cdc_apply_covers_every_user(spark, sf_dir):
+    """n_live + n_tombstoned = distinct users in the changelog (every
+    key resolves to exactly one final state or tombstone)."""
+    from bigdatamanagement_spark.queries.mutation import cdc_apply_changelog
+    from bigdatamanagement_spark.catalog import load_testdata
+
+    row = cdc_apply_changelog(spark, sf_dir).first()
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)["events"]
+    n_users = ev.select("user_id").distinct().count()
+    assert row["n_live"] + row["n_tombstoned"] == n_users
+    assert row["n_tombstoned"] > 0  # 'error' finality occurs at test SFs
