@@ -624,9 +624,178 @@ def ewma_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- quantile normalization across groups ---------------------------------
+
+
+def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20f — quantile normalization of per-type value distributions
+    onto the pooled corpus (the bioinformatics / feature-scaling
+    classic): each value's within-type rank maps to the pooled value
+    at the proportional global rank, so every type ends up with the
+    SAME marginal distribution. Output per type: n, exact micro sum
+    and max of the normalized values — checksums that detect any
+    rank-mapping slip.
+
+    Scale: within-type ranks ride type-keyed windows (types are the
+    parallelism unit); the pooled reference order uses the two-phase
+    global row_number, and the lookup is an equi-join on the computed
+    position — rank algebra, no per-row search. All ties broken by
+    event_id so both engines agree exactly."""
+    from bigdatamanagement_spark.operators.rank import global_row_number
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("v"),
+    )
+    pooled, n_all = global_row_number(ev, [F.col("v"), F.col("event_id")], "gr")
+    wt = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    pos = ev.select(
+        "event_type",
+        F.row_number().over(wt).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("ng"),
+    ).select(
+        "event_type",
+        # ceil(r·N / ng) as pure integer arithmetic
+        F.expr(f"(r * {n_all} + ng - 1) div ng").alias("gr"),
+    )
+    return (
+        pos.join(pooled.select("gr", F.col("v").alias("nv")), "gr")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("nv").cast("long").alias("sum_norm_micro"),
+            F.max("nv").cast("long").alias("max_norm_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- rolling-origin (expanding window) time-series CV splits --------------
+
+_CV_FOLDS = 4
+
+
+def rolling_origin_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — rolling-origin backtest folds (time-series cross-
+    validation): the event span splits into 5 equal micro-intervals;
+    fold k trains on everything before cutoff_k = lo + k·step and
+    tests on the next interval. Per fold: sizes, purchase rate of each
+    side in bp, and the train/test boundary instants — the temporal
+    counterpart of the group-hash split (no future leaks into any
+    train side by construction, and the emitted boundaries prove it).
+
+    Scale: fold membership is arithmetic on the event timestamp
+    against a broadcast 1-row span — the fold × event expansion is a
+    4-row broadcast join, one scan total."""
+    ev = _events(spark, sf_dir).select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        (F.col("event_type") == "purchase").cast("long").alias("p"),
+    )
+    span = ev.agg(
+        F.min("us").alias("lo"),
+        # integer division: double-then-cast would round differently
+        # across engines at exact-boundary events
+        F.expr("(max(us) - min(us)) div 5").alias("step"),
+    )
+    folds = spark.range(1, _CV_FOLDS + 1).select(F.col("id").cast("int").alias("fold"))
+    tagged = ev.join(F.broadcast(span)).join(
+        F.broadcast(folds),
+        F.col("us") < (F.col("lo") + (F.col("fold") + 1) * F.col("step")),
+    )
+    cut = F.col("lo") + F.col("fold") * F.col("step")
+    side = F.when(F.col("us") < cut, "train").otherwise("test")
+    return (
+        tagged.select("fold", side.alias("side"), "us", "p")
+        .groupBy("fold")
+        .agg(
+            F.sum(F.when(F.col("side") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("side") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+            F.expr(
+                "(10000 * sum(CASE WHEN side = 'train' THEN p ELSE 0 END)) div "
+                "sum(CASE WHEN side = 'train' THEN 1 ELSE 0 END)"
+            ).alias("train_purchase_bp"),
+            F.expr(
+                "(10000 * sum(CASE WHEN side = 'test' THEN p ELSE 0 END)) div "
+                "sum(CASE WHEN side = 'test' THEN 1 ELSE 0 END)"
+            ).alias("test_purchase_bp"),
+            F.max(F.when(F.col("side") == "train", F.col("us")))
+            .cast("long")
+            .alias("train_last_us"),
+            F.min(F.when(F.col("side") == "test", F.col("us")))
+            .cast("long")
+            .alias("test_first_us"),
+        )
+        .orderBy("fold")
+    )
+
+
+# --- winsorized robust mean ------------------------------------------------
+
+
+def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20g — 5%-winsorized mean of value per event type: the p5/p95
+    order statistics (exact rank crossings, no interpolation) become
+    clamps — outliers are PULLED IN, not dropped (the robust-mean
+    variant that keeps n constant, unlike the IQR/MAD screens that
+    exclude). All arithmetic integer micro.
+
+    Scale: fences come from the same type-keyed sorted pass the other
+    robust screens share; the clamp + mean is one more aggregate over
+    the same exchange."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("v"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(wt).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # k-th order statistic with k = ceil(q·n): first rank where r ≥ k
+    fences = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.expr("r * 20 <= n"), F.col("v"))).alias("lo_raw"),
+        F.min(F.when(F.expr("r * 20 >= 19 * n"), F.col("v"))).alias("hi"),
+        F.min("v").alias("vmin"),
+    )
+    fences = fences.select(
+        "event_type",
+        F.coalesce("lo_raw", "vmin").alias("lo"),
+        "hi",
+    )
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .select(
+            "event_type",
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))).alias("w"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("w").cast("long").alias("wsum_micro"),
+            F.expr(
+                "CASE WHEN sum(w) >= 0 THEN sum(w) div count(1) "
+                "ELSE -((-sum(w) + count(1) - 1) div count(1)) END"
+            ).alias("wmean_floor_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "ext_classifier_auc": classifier_auc,
     "t20_ewma_volume_anomalies": ewma_volume_anomalies,
+    "t20_quantile_normalize_values": quantile_normalize_values,
+    "ext_rolling_origin_splits": rolling_origin_splits,
+    "t20_winsorized_mean_by_type": winsorized_mean_by_type,
     "t20_score_calibration": score_calibration,
     "ext_kmeans_clusters": kmeans_clusters,
     "t20_copurchase_bfs": copurchase_bfs,
@@ -637,6 +806,98 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t20_quantile_normalize_values": """
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 1000000.0, 0) AS BIGINT) AS v
+            FROM events
+        ),
+        pooled AS (
+            SELECT v AS nv,
+                   row_number() OVER (ORDER BY v, event_id) AS gr
+            FROM ev
+        ),
+        pos AS (
+            SELECT event_type,
+                   (row_number() OVER (PARTITION BY event_type
+                        ORDER BY v, event_id) * (SELECT count(*) FROM ev)
+                    + count(*) OVER (PARTITION BY event_type) - 1)
+                   // count(*) OVER (PARTITION BY event_type) AS gr
+            FROM ev
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(nv) AS BIGINT) AS sum_norm_micro,
+               CAST(max(nv) AS BIGINT) AS max_norm_micro
+        FROM pos JOIN pooled USING (gr)
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "ext_rolling_origin_splits": f"""
+        WITH ev AS (
+            SELECT epoch_us(ts) AS us,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+            FROM events
+        ),
+        span AS (
+            SELECT min(us) AS lo,
+                   (max(us) - min(us)) // 5 AS step
+            FROM ev
+        ),
+        folds AS (SELECT unnest(range(1, {_CV_FOLDS + 1})) AS fold),
+        tagged AS (
+            SELECT f.fold, ev.us, ev.p,
+                   CASE WHEN ev.us < span.lo + f.fold * span.step
+                       THEN 'train' ELSE 'test' END AS side
+            FROM ev, span, folds f
+            WHERE ev.us < span.lo + (f.fold + 1) * span.step
+        )
+        SELECT CAST(fold AS INT) AS fold,
+               CAST(sum(CASE WHEN side = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_train,
+               CAST(sum(CASE WHEN side = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test,
+               (10000 * sum(CASE WHEN side = 'train' THEN p ELSE 0 END))
+                   // sum(CASE WHEN side = 'train' THEN 1 ELSE 0 END)
+                   AS train_purchase_bp,
+               (10000 * sum(CASE WHEN side = 'test' THEN p ELSE 0 END))
+                   // sum(CASE WHEN side = 'test' THEN 1 ELSE 0 END)
+                   AS test_purchase_bp,
+               CAST(max(CASE WHEN side = 'train' THEN us END) AS BIGINT)
+                   AS train_last_us,
+               CAST(min(CASE WHEN side = 'test' THEN us END) AS BIGINT)
+                   AS test_first_us
+        FROM tagged GROUP BY fold ORDER BY fold
+    """,
+    "t20_winsorized_mean_by_type": """
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(round(value * 1000000.0, 0) AS BIGINT) AS v
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY v) AS r,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM ev
+        ),
+        fences AS (
+            SELECT event_type,
+                   coalesce(max(CASE WHEN r * 20 <= n THEN v END), min(v))
+                       AS lo,
+                   min(CASE WHEN r * 20 >= 19 * n THEN v END) AS hi
+            FROM ranked GROUP BY event_type
+        ),
+        cl AS (
+            SELECT ev.event_type,
+                   greatest(f.lo, least(f.hi, ev.v)) AS w
+            FROM ev JOIN fences f USING (event_type)
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(w) AS BIGINT) AS wsum_micro,
+               CASE WHEN sum(w) >= 0 THEN sum(w) // count(*)
+                    ELSE -((-sum(w) + count(*) - 1) // count(*)) END
+                   AS wmean_floor_micro
+        FROM cl GROUP BY event_type ORDER BY event_type
+    """,
     "t20_ewma_volume_anomalies": f"""
         WITH ev AS (
             SELECT event_type, CAST(ts AS DATE) AS day FROM events

@@ -227,3 +227,50 @@ def test_jl_projection_preserves_scaled_norms_on_average(spark, sf_dir):
     # Σ_j E[p_j²] per vector = Σ_i q_i² · d_out  ⇒ totals ratio ≈ d_out
     ratio = proj_ss / (raw_ss * analytics3._JL_OUT)
     assert 0.5 < ratio < 2.0, ratio
+
+
+def test_quantile_normalization_equalizes_marginals(spark, sf_dir):
+    """After normalization every type's mean must sit near the pooled
+    mean (the whole point of quantile normalization), and the max
+    normalized value of the largest-rank type equals the pooled max."""
+    rows = analytics3.quantile_normalize_values(spark, sf_dir).collect()
+    assert rows
+    means = [r["sum_norm_micro"] / r["n"] for r in rows]
+    spread = max(means) - min(means)
+    ev = analytics3._events(spark, sf_dir).select(
+        F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("v")
+    )
+    agg = ev.agg(
+        F.mean("v").alias("m"), F.stddev("v").alias("s"), F.max("v").alias("mx")
+    ).first()
+    # equal marginals ⇒ per-type means within a small fraction of σ
+    assert spread < 0.1 * agg["s"], (spread, agg["s"])
+    assert max(r["max_norm_micro"] for r in rows) == agg["mx"]
+
+
+def test_rolling_origin_never_leaks_future_into_train(spark, sf_dir):
+    rows = analytics3.rolling_origin_splits(spark, sf_dir).collect()
+    assert [r["fold"] for r in rows] == list(range(1, analytics3._CV_FOLDS + 1))
+    for r in rows:
+        assert r["train_last_us"] < r["test_first_us"]  # temporal boundary
+        assert r["n_train"] > 0 and r["n_test"] > 0
+    # expanding window: train grows monotonically
+    trains = [r["n_train"] for r in rows]
+    assert trains == sorted(trains) and trains[0] < trains[-1]
+
+
+def test_winsorized_mean_is_bounded_by_fences_and_robust(spark, sf_dir):
+    rows = {r["event_type"]: r for r in
+            analytics3.winsorized_mean_by_type(spark, sf_dir).collect()}
+    ev = analytics3._events(spark, sf_dir).select(
+        "event_type", F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("v")
+    )
+    raw = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    for t, r in rows.items():
+        assert r["n"] == raw[t]["n"]  # winsorization keeps every row
+        assert raw[t]["lo"] <= r["wmean_floor_micro"] <= raw[t]["hi"]
