@@ -174,3 +174,37 @@ def test_statistics_moments_no_python(spark, sf_dir):
     ):
         r = plan_report(fn(spark, sf_dir))
         assert not r["python_udf"], fn.__name__
+
+
+def test_analytics3_jl_projection_broadcasts_sign_matrix(spark, sf_dir):
+    from bigdatamanagement_spark.queries import analytics3
+
+    r = plan_report(analytics3.embedding_jl_projection(spark, sf_dir))
+    assert r["broadcast_joins"] >= 1, r  # 64×16 sign matrix never shuffles vectors
+    assert r["sortmerge_joins"] == 0, r
+    assert not r["python_udf"], r
+
+
+def test_analytics3_auc_stays_jvm_side_with_bounded_exchanges(spark, sf_dir):
+    from bigdatamanagement_spark.queries import analytics3
+
+    r = plan_report(analytics3.classifier_auc(spark, sf_dir))
+    assert not r["python_udf"], r
+    assert r["sortmerge_joins"] == 0, r  # prefix-sum offsets join is broadcast
+
+
+def test_analytics3_kmeans_broadcasts_centroids(spark, sf_dir):
+    from bigdatamanagement_spark.queries import analytics3
+
+    plan = executed_plan_str(analytics3.kmeans_clusters(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_analytics3_winsorized_broadcasts_fences(spark, sf_dir):
+    from bigdatamanagement_spark.queries import analytics3
+
+    r = plan_report(analytics3.winsorized_mean_by_type(spark, sf_dir))
+    assert r["broadcast_joins"] >= 1, r  # 5-row fence table
+    assert r["sortmerge_joins"] == 0, r
+    assert not r["python_udf"], r
