@@ -17,6 +17,7 @@ from bigdatamanagement_spark.queries import (
     analytics,
     analytics2,
     analytics3,
+    analytics4,
     events,
     extensions,
     kv,
@@ -55,6 +56,7 @@ _PACKS = [
     analytics,
     analytics2,
     analytics3,
+    analytics4,
 ]
 
 
