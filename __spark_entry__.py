@@ -18,6 +18,7 @@ from bigdatamanagement_spark.queries import (
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
     events,
     extensions,
     kv,
@@ -57,6 +58,7 @@ _PACKS = [
     analytics2,
     analytics3,
     analytics4,
+    analytics5,
 ]
 
 

@@ -1,0 +1,179 @@
+"""Schema-discovery & BI-rollup pack (T22): functional-dependency
+profiling (the schema-inference op a data catalog runs over unknown
+tables) and hierarchical percent-of-parent revenue shares (the BI
+drill-down classic).
+
+Reference anchors (SURVEY §2): the reference DECLARES its dependencies
+in DDL (`Assignment 6/src/AmazonRedshift.java:119-206` PKs/FKs,
+`Assignment 3/.../SQLonRDS.java:116-137` composite PK + FK) but never
+verifies or discovers them; the FD profiler turns that declared-only
+metadata into measured structure. The share rollup generalizes the
+grouped SUM + ORDER BY family (`AmazonRedshift.java:499-509`).
+
+Scale notes (100 TB):
+- FD profile: each candidate FD costs one determinant-keyed aggregate
+  (count_distinct of the dependent with map-side partials); the
+  candidates run as a union of tiny (1-row) summaries — no row ever
+  leaves its aggregate. At catalog scale you'd run the same shape per
+  column pair from a sampled prefix first, then confirm survivors
+  exactly.
+- hierarchy shares: the region→nation→customer rollup reuses ONE
+  bottom-level aggregate; parent totals derive from it (never a
+  second fact scan) and join back broadcast (|nations| rows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdatamanagement_spark.catalog import load_testdata
+
+_FD_CANDIDATES = (
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_orderkey", "l_shipdate"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+)
+
+
+def fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22a — functional-dependency profile: for each candidate FD
+    det → dep, the determinant-key count, how many keys VIOLATE the
+    dependency (map to >1 dependent value), the violation share in bp,
+    and the worst key's dependent-value count. o_orderkey →
+    o_orderstatus must hold exactly (PK); the rest measure how far
+    real data is from the dependencies a schema designer might assume
+    — the discovery side of the DDL the reference only declares.
+
+    Scale: one determinant-keyed count_distinct aggregate per
+    candidate, folded to a 1-row summary each; the union is
+    |candidates| rows."""
+    tables = load_testdata(
+        spark, sf_dir, tables=("lineitem", "orders"), register=False
+    )
+    outs = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        per_key = (
+            tables[tbl]
+            .groupBy(det)
+            .agg(F.count_distinct(dep).alias("nd"))
+        )
+        outs.append(
+            per_key.agg(
+                F.lit(f"{tbl}.{det}->{dep}").alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.expr(
+                    "(10000 * sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)) div count(1)"
+                ).alias("viol_bp"),
+                F.max("nd").cast("long").alias("max_dep_values"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("fd")
+
+
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22b — percent-of-parent revenue rollup over the geography
+    hierarchy: per nation, its revenue (exact cents), its share of its
+    region (bp) and of the world (bp), plus region totals carried on
+    the row — the drill-down table a BI layer materializes once and
+    slices everywhere.
+
+    Scale: ONE fact aggregate at the finest grain (nation); region and
+    world totals re-aggregate the nation-level output, never the fact table;
+    dimension joins broadcast."""
+    t = load_testdata(
+        spark, sf_dir, tables=("orders", "customer", "nation", "region"), register=False
+    )
+    cents = F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+    nat = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum(cents).alias("rev_cents"))
+        .join(
+            F.broadcast(
+                t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("r_name", "n_name", "rev_cents")
+    )
+    reg = nat.groupBy("r_name").agg(F.sum("rev_cents").alias("region_cents"))
+    world = nat.agg(F.sum("rev_cents").alias("world_cents"))
+    return (
+        nat.join(F.broadcast(reg), "r_name")
+        .join(F.broadcast(world))
+        .select(
+            "r_name",
+            "n_name",
+            "rev_cents",
+            "region_cents",
+            F.expr("(10000 * rev_cents) div region_cents").alias("region_share_bp"),
+            F.expr("(10000 * rev_cents) div world_cents").alias("world_share_bp"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+QUERIES = {
+    "t22_fd_profile": fd_profile,
+    "t22_revenue_share_hierarchy": revenue_share_hierarchy,
+}
+
+_FD_ORACLE_PARTS = [
+    f"""
+        SELECT '{tbl}.{det}->{dep}' AS fd,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               (10000 * sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)) // count(*)
+                   AS viol_bp,
+               CAST(max(nd) AS BIGINT) AS max_dep_values
+        FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+              FROM {tbl} GROUP BY {det})
+    """
+    for tbl, det, dep in _FD_CANDIDATES
+]
+
+ORACLE = {
+    "t22_fd_profile": "SELECT * FROM ("
+    + " UNION ALL ".join(_FD_ORACLE_PARTS)
+    + ") ORDER BY fd",
+    "t22_revenue_share_hierarchy": """
+        WITH nat AS (
+            SELECT r.r_name, n.n_name,
+                   CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                       AS BIGINT) AS rev_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        ),
+        reg AS (
+            SELECT r_name, CAST(sum(rev_cents) AS BIGINT) AS region_cents
+            FROM nat GROUP BY 1
+        ),
+        world AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS world_cents FROM nat)
+        SELECT nat.r_name, nat.n_name, nat.rev_cents, reg.region_cents,
+               (10000 * nat.rev_cents) // reg.region_cents AS region_share_bp,
+               (10000 * nat.rev_cents) // world.world_cents AS world_share_bp
+        FROM nat JOIN reg USING (r_name), world
+        ORDER BY nat.r_name, nat.n_name
+    """,
+}

@@ -1,0 +1,43 @@
+"""Oracle + semantics tests for the schema-discovery/BI pack
+(queries/analytics5.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatamanagement_spark.queries import analytics5
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(analytics5.ORACLE))
+def test_analytics5_oracle(spark, duck, sf_dir, name):
+    df = analytics5.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, analytics5.ORACLE[name])
+
+
+def test_fd_pk_holds_and_profile_is_complete(spark, sf_dir):
+    rows = {r["fd"]: r for r in analytics5.fd_profile(spark, sf_dir).collect()}
+    assert len(rows) == len(analytics5._FD_CANDIDATES)
+    pk = rows["orders.o_orderkey->o_orderstatus"]
+    assert pk["n_violating"] == 0 and pk["max_dep_values"] == 1  # PK ⇒ FD holds
+    multi = rows["lineitem.l_orderkey->l_shipdate"]
+    assert multi["max_dep_values"] >= 1
+    for r in rows.values():
+        assert 0 <= r["viol_bp"] <= 10000
+        assert r["n_violating"] <= r["n_keys"]
+
+
+def test_revenue_shares_sum_to_parent(spark, sf_dir):
+    rows = analytics5.revenue_share_hierarchy(spark, sf_dir).collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    world = sum(r["rev_cents"] for r in rows)
+    for reg, rs in by_region.items():
+        region_total = rs[0]["region_cents"]
+        assert sum(r["rev_cents"] for r in rs) == region_total  # exact conservation
+        # floored shares sum into (10000 − |children|, 10000]
+        s = sum(r["region_share_bp"] for r in rs)
+        assert 10000 - len(rs) < s <= 10000
+    assert sum(r["world_share_bp"] for r in rows) <= 10000
+    assert world > 0
