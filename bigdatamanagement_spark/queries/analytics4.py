@@ -249,8 +249,59 @@ def cart_abandonment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- time-decay multi-touch attribution -------------------------------------
+
+
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21e — time-decay multi-touch attribution: every purchase
+    distributes credit over the (up to) 8 user events preceding it —
+    a click/view touch at distance i from the conversion earns
+    1e6 div 2^(i−1) micro-credits (halving per step back, the dyadic
+    weights that stay EXACT integers; non-touch events occupy their
+    slot but earn nothing). Per channel: touches credited and total
+    credit — the multi-touch companion to last-touch attribution
+    (t19), which gives the nearest touch everything.
+
+    Scale: one user-keyed window (the shared behavioral exchange)
+    collecting ≤8-element type lists; the explode is bounded by 8× the
+    purchase count, not the event count."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    hist = ev.withColumn("hist", F.collect_list("event_type").over(w)).filter(
+        F.col("event_type") == "purchase"
+    )
+    credits = hist.select(
+        F.explode(
+            # reverse → index 0 is the nearest preceding event
+            F.expr(
+                "transform(reverse(hist), (t, i) -> "
+                "struct(t AS ch, CAST(1000000 div shiftleft(1L, i) AS BIGINT)"
+                " AS credit))"
+            )
+        ).alias("c")
+    ).filter(F.col("c.ch").isin("click", "view"))
+    return (
+        credits.groupBy(F.col("c.ch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("c.credit").cast("long").alias("credit_micro"),
+        )
+        .orderBy("channel")
+    )
+
+
 QUERIES = {
     "t21_spearman_value_vs_prop": spearman_value_vs_prop,
+    "t21_time_decay_attribution": time_decay_attribution,
     "ext_benford_first_digit_audit": benford_first_digit_audit,
     "t21_partkey_join_cost_profile": partkey_join_cost_profile,
     "t21_segment_spend_percentiles": segment_spend_percentiles,
@@ -258,6 +309,31 @@ QUERIES = {
 }
 
 ORACLE = {
+    "t21_time_decay_attribution": """
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        h AS (
+            SELECT event_type,
+                   list(event_type) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS hist
+            FROM ev
+        ),
+        x AS (
+            SELECT unnest(hist) AS ch,
+                   unnest(range(1, len(hist) + 1)) AS i,
+                   len(hist) AS hl
+            FROM h WHERE event_type = 'purchase'
+        )
+        SELECT ch AS channel,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(1000000 // (1::BIGINT << (hl - i))) AS BIGINT)
+                   AS credit_micro
+        FROM x WHERE ch IN ('click', 'view')
+        GROUP BY ch ORDER BY channel
+    """,
     "t21_spearman_value_vs_prop": """
         WITH ev AS (
             SELECT CAST(round(value * 1000000.0, 0) AS BIGINT) AS x,

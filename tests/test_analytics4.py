@@ -111,3 +111,32 @@ def test_cart_abandonment_covers_every_session(spark, sf_dir):
         assert r["n_sessions"] > 0
         assert r["mean_dur_us"] >= 0
         assert r["mean_events_centi"] >= 100  # every session has ≥1 event
+
+
+def test_time_decay_credits_halve_with_distance(spark):
+    """Crafted user: click, view, click, purchase — distances from the
+    conversion are 3, 2, 1, so credits are 250000, 500000, 1000000."""
+    import datetime as dt
+    import bigdatamanagement_spark.queries.analytics4 as a4
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "click", base),
+            (1, 2, "view", base + dt.timedelta(minutes=1)),
+            (1, 3, "click", base + dt.timedelta(minutes=2)),
+            (1, 4, "purchase", base + dt.timedelta(minutes=3)),
+        ],
+        schema="user_id bigint, event_id bigint, event_type string, ts timestamp_ntz",
+    )
+    orig = a4._events
+    try:
+        a4._events = lambda s, d: ev
+        rows = {r["channel"]: r for r in
+                a4.time_decay_attribution(spark, "ignored").collect()}
+    finally:
+        a4._events = orig
+    # click@distance1 (1e6) + click@distance3 (250000); view@distance2 (500000)
+    assert rows["click"]["credit_micro"] == 1_250_000
+    assert rows["view"]["credit_micro"] == 500_000
+    assert rows["click"]["n_touches"] == 2 and rows["view"]["n_touches"] == 1
