@@ -9,7 +9,7 @@ run. Exact `stock` fixture (fixtures/stock_*.parquet).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bigdatamanagement_spark.fixtures import ensure_fixtures, fixture_path
 
@@ -97,13 +97,103 @@ def resilient_companies(spark, sf_dir) -> DataFrame:
     )
 
 
+def max_drawdown(spark, sf_dir) -> DataFrame:
+    """T13-ext — maximum drawdown per company: the deepest peak-to-
+    trough fall of the close price (in exact cents) over the surviving
+    price history, plus the running-peak on the worst day. The risk
+    statistic every stock screen adds to the reference's min/max/avg
+    vocabulary (`SQLonRDS.java:246-255`), built from a per-company
+    running max window (company is the parallelism unit — at scale
+    this is the partitioned form of operators/rank.global_running_max).
+    """
+    sp = tables(spark)["stockprice"]
+    cents = F.expr("CAST(round(close * 100, 0) AS BIGINT)")
+    w = (
+        Window.partitionBy("company_id")
+        .orderBy("price_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = sp.select(
+        "company_id",
+        "price_date",
+        cents.alias("c"),
+    ).select(
+        "company_id",
+        (F.max("c").over(w) - F.col("c")).alias("dd_cents"),
+        F.max("c").over(w).alias("peak_cents"),
+    )
+    return (
+        dd.groupBy("company_id")
+        .agg(
+            F.max("dd_cents").cast("long").alias("max_drawdown_cents"),
+            F.max("peak_cents").cast("long").alias("peak_cents"),
+        )
+        .orderBy("company_id")
+    )
+
+
+def weekly_ohlc(spark, sf_dir) -> DataFrame:
+    """T13-ext — OHLC resample: daily bars roll up to weekly candles
+    per company — open = first trading day's open, close = last day's
+    close (both via min_by/max_by on the date), high/low = extrema,
+    volume summed. The downsample idiom of the Bigtable hourly
+    first-reading rule (S-02) applied to the stock domain at week
+    grain; one (company, week)-keyed aggregate, no window."""
+    sp = tables(spark)["stockprice"]
+    return (
+        sp.groupBy(
+            "company_id",
+            F.weekofyear("price_date").cast("int").alias("week"),
+        )
+        .agg(
+            F.expr("min_by(open, price_date)").alias("w_open"),
+            F.max("high").alias("w_high"),
+            F.min("low").alias("w_low"),
+            F.expr("max_by(close, price_date)").alias("w_close"),
+            F.sum("volume").cast("long").alias("w_volume"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .orderBy("company_id", "week")
+    )
+
+
 QUERIES = {
+    "t13_max_drawdown": max_drawdown,
+    "t13_weekly_ohlc": weekly_ohlc,
     "t13_q1_big_or_small_companies": big_or_small_companies,
     "t13_q2_weekly_stats": weekly_stats,
     "t13_q3_resilient_companies": resilient_companies,
 }
 
 ORACLE = {
+    "t13_max_drawdown": _V
+    + """
+    , dd AS (
+        SELECT company_id,
+               max(CAST(round(close * 100, 0) AS BIGINT)) OVER (
+                   PARTITION BY company_id ORDER BY price_date
+                   ROWS UNBOUNDED PRECEDING) AS peak,
+               CAST(round(close * 100, 0) AS BIGINT) AS c
+        FROM stockprice
+    )
+    SELECT company_id,
+           CAST(max(peak - c) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents
+    FROM dd GROUP BY company_id ORDER BY company_id
+    """,
+    "t13_weekly_ohlc": _V
+    + """
+    SELECT company_id,
+           CAST(weekofyear(price_date) AS INT) AS week,
+           min_by(open, price_date) AS w_open,
+           max(high) AS w_high,
+           min(low) AS w_low,
+           max_by(close, price_date) AS w_close,
+           CAST(sum(volume) AS BIGINT) AS w_volume,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM stockprice
+    GROUP BY 1, 2 ORDER BY company_id, week
+    """,
     "t13_q1_big_or_small_companies": _V
     + """
     SELECT name, annual_revenue, num_employees

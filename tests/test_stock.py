@@ -36,3 +36,25 @@ def test_q3_golden(spark, sf_dir):
     rows = stock.resilient_companies(spark, sf_dir).collect()
     assert sorted(r.name for r in rows) == ["Handy Repair", "StartUp"]
     assert all(r.closing_price_aug30 is None for r in rows)
+
+
+def test_max_drawdown_is_nonnegative_and_bounded_by_peak(spark, sf_dir):
+    from bigdatamanagement_spark.queries.stock import max_drawdown
+
+    rows = max_drawdown(spark, sf_dir).collect()
+    assert rows  # survivors exist after the S-08 delete
+    for r in rows:
+        assert 0 <= r["max_drawdown_cents"] <= r["peak_cents"]
+        assert r["company_id"] != 2  # deleted company never reappears
+
+
+def test_weekly_ohlc_bars_are_consistent(spark, sf_dir):
+    from bigdatamanagement_spark.queries.stock import weekly_ohlc
+
+    rows = weekly_ohlc(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["w_low"] <= r["w_high"]
+        assert r["w_low"] <= r["w_open"] <= r["w_high"]
+        assert r["w_low"] <= r["w_close"] <= r["w_high"]
+        assert 1 <= r["n_days"] <= 7
