@@ -130,9 +130,92 @@ def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22c — backtest of the seasonal-naive forecaster (predict each
+    day's event volume per type as the SAME WEEKDAY's volume one week
+    earlier): per type the evaluated days, exact mean absolute error,
+    and mean signed bias (both floor-divided). The baseline every real
+    forecaster must beat — if a model can't out-predict lag-7, it
+    ships nothing. Dense day grid so calendar gaps are forecast (as
+    zero) and scored like any other day.
+
+    Scale: daily counts are a tiny (type, day) aggregate; lag-7 rides
+    the type-keyed window over |types|·|days| rows."""
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ].select("event_type", F.to_date("ts").alias("day"))
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    span = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .join(F.broadcast(span))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("day")
+    scored = dense.select(
+        "event_type", "x", F.lag("x", 7).over(w).alias("f")
+    ).filter(F.col("f").isNotNull())
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr("sum(abs(x - f)) div count(1)").alias("mae_floor"),
+            F.sum(F.col("x") - F.col("f")).cast("long").alias("bias_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22d — LTV cohort triangle: users cohorted by the month of
+    their first event; each (cohort_month, months_since) cell reports
+    active users and exact micro revenue (purchase values) — the
+    layout every lifetime-value model reads its retention curves
+    from.
+
+    Scale: the cohort assignment is one user-keyed min aggregate on
+    the shared behavioral exchange, broadcast back onto the fact scan
+    (users ≪ events); the triangle is |cohorts|·|ages| rows."""
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ].select(
+        "user_id",
+        F.trunc(F.to_date("ts"), "MM").alias("m"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"),
+        )
+        .otherwise(0)
+        .alias("rev"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("m").alias("cohort_month"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_month",
+            F.expr(
+                "CAST(months_between(m, cohort_month) AS INT)"
+            ).alias("months_since"),
+        )
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_active"),
+            F.sum("rev").cast("long").alias("rev_micro"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )
+
+
 QUERIES = {
     "t22_fd_profile": fd_profile,
     "t22_revenue_share_hierarchy": revenue_share_hierarchy,
+    "t22_seasonal_naive_backtest": seasonal_naive_backtest,
+    "t22_ltv_cohort_triangle": ltv_cohort_triangle,
 }
 
 _FD_ORACLE_PARTS = [
@@ -151,6 +234,58 @@ _FD_ORACLE_PARTS = [
 ]
 
 ORACLE = {
+    "t22_seasonal_naive_backtest": """
+        WITH ev AS (
+            SELECT event_type, CAST(ts AS DATE) AS day FROM events
+        ),
+        daily AS (
+            SELECT event_type, day, count(*) AS x FROM ev GROUP BY 1, 2
+        ),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        grid AS (
+            SELECT t.event_type,
+                   CAST(unnest(generate_series(span.lo, span.hi,
+                       INTERVAL 1 DAY)) AS DATE) AS day
+            FROM (SELECT DISTINCT event_type FROM ev) t, span
+        ),
+        dense AS (
+            SELECT g.event_type, g.day, coalesce(d.x, 0) AS x
+            FROM grid g LEFT JOIN daily d
+              ON d.event_type = g.event_type AND d.day = g.day
+        ),
+        sc AS (
+            SELECT event_type, x,
+                   lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+            FROM dense
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(x - f)) AS BIGINT) // count(*) AS mae_floor,
+               CAST(sum(x - f) AS BIGINT) AS bias_sum
+        FROM sc WHERE f IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "t22_ltv_cohort_triangle": """
+        WITH ev AS (
+            SELECT user_id,
+                   CAST(date_trunc('month', ts) AS DATE) AS m,
+                   CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 1000000.0, 0) AS BIGINT)
+                       ELSE 0 END AS rev
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(m) AS cohort_month FROM ev GROUP BY 1
+        )
+        SELECT c.cohort_month,
+               CAST((year(e.m) - year(c.cohort_month)) * 12
+                   + (month(e.m) - month(c.cohort_month)) AS INT)
+                   AS months_since,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+               CAST(sum(e.rev) AS BIGINT) AS rev_micro
+        FROM ev e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort_month, months_since
+    """,
     "t22_fd_profile": "SELECT * FROM ("
     + " UNION ALL ".join(_FD_ORACLE_PARTS)
     + ") ORDER BY fd",

@@ -41,3 +41,45 @@ def test_revenue_shares_sum_to_parent(spark, sf_dir):
         assert 10000 - len(rs) < s <= 10000
     assert sum(r["world_share_bp"] for r in rows) <= 10000
     assert world > 0
+
+
+def test_seasonal_naive_scores_exactly_span_minus_7_days(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = analytics5.seasonal_naive_backtest(spark, sf_dir).collect()
+    assert rows
+    ev = analytics5.load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ].select(F.to_date("ts").alias("day"))
+    span = ev.agg(
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("days")
+    ).first()["days"]
+    for r in rows:
+        assert r["n_days"] == span - 7  # first 7 grid days have no lag-7
+        assert r["mae_floor"] >= 0
+
+
+def test_ltv_triangle_diagonal_conservation(spark, sf_dir):
+    """Cell (cohort, 0) must contain every cohort member (each user is
+    active in their own first month), and total revenue across the
+    triangle equals total purchase revenue."""
+    import pyspark.sql.functions as F
+
+    rows = analytics5.ltv_cohort_triangle(spark, sf_dir).collect()
+    ev = analytics5.load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ]
+    total_rev = ev.filter(F.col("event_type") == "purchase").agg(
+        F.sum(F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"))
+    ).first()[0]
+    assert sum(r["rev_micro"] for r in rows) == total_rev
+    zero_age = {r["cohort_month"]: r["n_active"] for r in rows if r["months_since"] == 0}
+    cohort_sizes = {
+        r["cohort_month"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.min(F.trunc(F.to_date("ts"), "MM")).alias("cohort_month"))
+        .groupBy("cohort_month")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert zero_age == cohort_sizes
