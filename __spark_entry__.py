@@ -29,6 +29,7 @@ from bigdatamanagement_spark.queries import (
     pipeline,
     quality,
     setops,
+    sql4,
     stock,
     streaming_pack,
     tpch,
@@ -59,6 +60,7 @@ _PACKS = [
     analytics3,
     analytics4,
     analytics5,
+    sql4,
 ]
 
 
