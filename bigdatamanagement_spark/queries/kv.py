@@ -197,6 +197,86 @@ def zunion_weighted_stats(spark, sf_dir) -> DataFrame:
     )
 
 
+def geo_grid_density(spark, sf_dir) -> DataFrame:
+    """T15-g2 — spatial grid aggregation: users bucketed into 2°×2°
+    cells by integer quantization (the interleave-free grid id that
+    plays the geohash role), top-20 densest cells with exact member
+    checksums. This cell id IS the blocking/shuffle key of every
+    distributed spatial join (pair work bounded per cell, neighbor
+    probes = 9 cell lookups) — the scalable counterpart of the
+    single-point radius query (t15_geo_radius_counts).
+
+    Scale: one keyed aggregate; the density map is |occupied cells|
+    rows regardless of user count."""
+    u = tables(spark)["users"]
+    cell = u.select(
+        F.expr("CAST(floor((latitude + 90) / 2) AS BIGINT) * 180 "
+               "+ CAST(floor((longitude + 180) / 2) AS BIGINT)").alias("cell_id"),
+        F.col("user_key"),
+        "latitude",
+        "longitude",
+    )
+    return (
+        cell.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr(
+                "CAST(sum(CAST(round(latitude * 10000, 0) AS BIGINT)) AS BIGINT)"
+            ).alias("lat_sum_e4"),
+            F.expr(
+                "CAST(sum(CAST(round(longitude * 10000, 0) AS BIGINT)) AS BIGINT)"
+            ).alias("lon_sum_e4"),
+        )
+        .orderBy(F.desc("n_users"), F.asc("cell_id"))
+        .limit(20)
+    )
+
+
+def ip_block_country_audit(spark, sf_dir) -> DataFrame:
+    """T15-g3 — GeoIP-style consistency audit: build a /8 IP-block
+    registry from the data itself (each block's majority country,
+    ties broken alphabetically), then count users whose recorded
+    country disagrees with their block's majority — the
+    data-enrichment + referential-consistency pattern behind every
+    IP-geolocation pipeline. Output per block (top-20 by users):
+    block, majority country, users, mismatches.
+
+    Scale: the registry is one (block, country) aggregate reduced by
+    a deterministic struct-max argmax (map-side partials, no sort);
+    the audit joins the tiny registry back broadcast."""
+    u = tables(spark)["users"].select(
+        F.split(F.col("ip_address"), r"\.").getItem(0).cast("int").alias("block"),
+        "country",
+        "user_key",
+    )
+    bc = u.groupBy("block", "country").agg(F.count(F.lit(1)).alias("c"))
+    # argmax by (count DESC, country ASC): max of (c, negated-ordering
+    # trick avoided — use min over struct(-c, country))
+    reg = (
+        bc.select(
+            "block",
+            F.struct((-F.col("c")).alias("nc"), F.col("country").alias("mc")).alias("s"),
+        )
+        .groupBy("block")
+        .agg(F.min("s").alias("s"))
+        .select("block", F.col("s.mc").alias("majority_country"))
+    )
+    return (
+        u.join(F.broadcast(reg), "block")
+        .groupBy("block", "majority_country")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(
+                F.when(F.col("country") != F.col("majority_country"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        .orderBy(F.desc("n_users"), F.asc("block"))
+        .limit(20)
+    )
+
+
 GEO_LAT, GEO_LON, GEO_RADIUS_KM = 40.0, 116.0, 2000.0
 
 
@@ -243,6 +323,8 @@ QUERIES = {
     "t15_q5_top10_leaderboard_emails": top10_leaderboard_emails,
     "t15_zinter_recent_top10": zinter_recent_top10,
     "t15_zunion_weighted_stats": zunion_weighted_stats,
+    "t15_geo_grid_density": geo_grid_density,
+    "t15_ip_block_country_audit": ip_block_country_audit,
 }
 
 ORACLE = {
@@ -320,6 +402,44 @@ ORACLE = {
     FROM scores s JOIN recent r USING (user_id)
     WHERE s.leaderboard = 'leaderboard:2'
     ORDER BY zscore DESC, s.user_id ASC LIMIT 10
+    """,
+    "t15_geo_grid_density": _V
+    + """
+    , cell AS (
+        SELECT CAST(floor((latitude + 90) / 2) AS BIGINT) * 180
+               + CAST(floor((longitude + 180) / 2) AS BIGINT) AS cell_id,
+               latitude, longitude
+        FROM users
+    )
+    SELECT cell_id, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(latitude * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS lat_sum_e4,
+           CAST(sum(CAST(round(longitude * 10000, 0) AS BIGINT)) AS BIGINT)
+               AS lon_sum_e4
+    FROM cell GROUP BY cell_id
+    ORDER BY n_users DESC, cell_id ASC LIMIT 20
+    """,
+    "t15_ip_block_country_audit": _V
+    + """
+    , u AS (
+        SELECT CAST(string_split(ip_address, '.')[1] AS INT) AS block,
+               country FROM users
+    ),
+    bc AS (SELECT block, country, count(*) AS c FROM u GROUP BY 1, 2),
+    reg AS (
+        SELECT block, country AS majority_country
+        FROM (SELECT block, country,
+                     row_number() OVER (PARTITION BY block
+                         ORDER BY c DESC, country ASC) AS rn
+              FROM bc)
+        WHERE rn = 1
+    )
+    SELECT u.block, r.majority_country,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN u.country <> r.majority_country
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+    FROM u JOIN reg r USING (block)
+    GROUP BY 1, 2 ORDER BY n_users DESC, u.block ASC LIMIT 20
     """,
     "t15_zunion_weighted_stats": _V
     + """

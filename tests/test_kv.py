@@ -55,3 +55,40 @@ def test_zunion_weighted_both_branch_on_crafted_sets(spark):
         for r in agg.collect()
     }
     assert got == {"u1": (20, 30), "u2": (10, None)}
+
+
+def test_geo_grid_cells_partition_all_users(spark, sf_dir):
+    """Grid cells are a partition: summed top-20 ≤ total, and every
+    cell id decodes to a valid (lat, lon) 2° cell."""
+    rows = kv.geo_grid_density(spark, sf_dir).collect()
+    total = kv.tables(spark)["users"].count()
+    assert 0 < sum(r["n_users"] for r in rows) <= total
+    for r in rows:
+        lat_band, lon_band = divmod(r["cell_id"], 180)
+        assert 0 <= lat_band < 90 and 0 <= lon_band < 180
+        # cell centroid from the checksums falls inside the cell bounds
+        lat_c = r["lat_sum_e4"] / r["n_users"] / 10000
+        assert (lat_band * 2 - 90) <= lat_c <= (lat_band * 2 - 88)
+
+
+def test_ip_block_majority_is_argmax(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = kv.ip_block_country_audit(spark, sf_dir).collect()
+    assert rows
+    u = kv.tables(spark)["users"].select(
+        F.split(F.col("ip_address"), r"\.").getItem(0).cast("int").alias("block"),
+        "country",
+    )
+    # verify one block's majority by recount
+    b = rows[0]
+    counts = {
+        r["country"]: r["c"]
+        for r in u.filter(F.col("block") == b["block"])
+        .groupBy("country")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    best = sorted(counts.items(), key=lambda kv_: (-kv_[1], kv_[0]))[0][0]
+    assert b["majority_country"] == best
+    assert b["n_mismatch"] == b["n_users"] - counts[best]
