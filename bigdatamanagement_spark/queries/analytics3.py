@@ -174,12 +174,11 @@ def scd2_value_asof_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value"],
         order_tiebreak="event_id",
     )
-    mid = ev.agg(
-        ((F.min(F.unix_micros(F.col("ts").cast("timestamp")))
-         + F.max(F.unix_micros(F.col("ts").cast("timestamp")))) / F.lit(2))
-        .cast("long")
-        .alias("t_us")
-    )
+    # integer division: double-then-cast truncates in Spark but rounds in
+    # DuckDB, flaking by 1 µs whenever min+max is odd
+    mid = ev.select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    ).agg(F.expr("(min(us) + max(us)) div 2").alias("t_us"))
     return (
         hist.join(F.broadcast(mid))
         .filter(
@@ -760,16 +759,12 @@ def winsorized_mean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wt).alias("r"),
         F.count(F.lit(1)).over(wn).alias("n"),
     )
-    # k-th order statistic with k = ceil(q·n): first rank where r ≥ k
+    # k-th order statistic with k = ceil(q·n): first rank where r ≥ k —
+    # SYMMETRIC on both tails (20r ≥ n and 20r ≥ 19n), so neither fence
+    # sits an order statistic off when n isn't divisible by 20
     fences = ranked.groupBy("event_type").agg(
-        F.max(F.when(F.expr("r * 20 <= n"), F.col("v"))).alias("lo_raw"),
+        F.min(F.when(F.expr("r * 20 >= n"), F.col("v"))).alias("lo"),
         F.min(F.when(F.expr("r * 20 >= 19 * n"), F.col("v"))).alias("hi"),
-        F.min("v").alias("vmin"),
-    )
-    fences = fences.select(
-        "event_type",
-        F.coalesce("lo_raw", "vmin").alias("lo"),
-        "hi",
     )
     return (
         ev.join(F.broadcast(fences), "event_type")
@@ -881,8 +876,7 @@ ORACLE = {
         ),
         fences AS (
             SELECT event_type,
-                   coalesce(max(CASE WHEN r * 20 <= n THEN v END), min(v))
-                       AS lo,
+                   min(CASE WHEN r * 20 >= n THEN v END) AS lo,
                    min(CASE WHEN r * 20 >= 19 * n THEN v END) AS hi
             FROM ranked GROUP BY event_type
         ),
@@ -1041,8 +1035,7 @@ ORACLE = {
             FROM ev
         ),
         mid AS (
-            SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS BIGINT)
-                AS t_us
+            SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t_us
             FROM ev
         )
         SELECT user_id, value AS value_r2, from_us AS since_micros

@@ -61,10 +61,18 @@ def spearman_value_vs_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; the join back to rows is keyed on the value."""
     from bigdatamanagement_spark.operators.rank import global_running_sum
 
-    ev = _events(spark, sf_dir).select(
-        F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("x"),
-        F.get_json_object("props", "$.k").cast("long").alias("y"),
-    ).filter(F.col("y").isNotNull())
+    # materialized once: the plan reads ev four times (n, both rank
+    # tables, final join) — without the checkpoint each read would
+    # re-scan and re-parse the JSON
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("x"),
+            F.get_json_object("props", "$.k").cast("long").alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+        .localCheckpoint()
+    )
     n = ev.count()
 
     def rank_table(col: str) -> DataFrame:
@@ -106,9 +114,11 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = o.select(
         F.expr("CAST(round(abs(o_totalprice) * 100, 0) AS BIGINT)").alias("c")
     ).filter(F.col("c") > 0)
+    # materialized once so the total and the per-digit aggregate share
+    # one scan instead of two
     digits = v.select(
         F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
-    )
+    ).localCheckpoint()
     tot = digits.count()
     exp_bp = F.create_map(
         *[F.lit(x) for kv in _BENFORD_BP.items() for x in kv]
