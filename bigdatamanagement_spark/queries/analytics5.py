@@ -211,7 +211,84 @@ def ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duplicate_charge_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22e — duplicate-charge screen (the idempotency/fraud audit):
+    purchases by the same user for the same exact amount within 5
+    minutes of each other. One row: suspect pair count, users
+    involved, and the tightest repeat interval. Catches both retry
+    bugs (double-submit) and card-testing patterns.
+
+    Scale: NO self-join — duplicates are adjacent in the
+    (user, amount)-partitioned ts order, so one lag window over that
+    composite key finds every pair; the shuffle key is (user, amount),
+    bounding each partition to one user's repeats of one amount."""
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ].filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)").alias("v"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "v").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us") <= 5 * 60 * 1_000_000)
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suspect_pairs"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.min("gap_us").cast("long").alias("tightest_gap_us"),
+    )
+
+
+def invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22f — cross-table arithmetic reconciliation: per order, the
+    header total (o_totalprice) against the recomputed line total
+    Σ extendedprice·(1−discount)·(1+tax), both in exact cents; output
+    the match/mismatch counts and the mismatch-magnitude profile
+    (max and total absolute discrepancy). The invoice audit that
+    catches partial loads, double-applied discounts, and drifted
+    headers — the arithmetic completion of the key-level FK checks in
+    queries/quality.py.
+
+    Scale: one orderkey-keyed aggregate over lineitem joined to the
+    header scan on the same key — co-partitioned at ingest
+    (bucketing), this reconciliation is shuffle-free."""
+    t = load_testdata(spark, sf_dir, tables=("orders", "lineitem"), register=False)
+    line = (
+        t["lineitem"]
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+                    " * 100, 0) AS BIGINT)"
+                )
+            ).alias("line_cents")
+        )
+    )
+    j = t["orders"].select(
+        "o_orderkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("head_cents"),
+    ).join(line, "o_orderkey", "left")
+    diff = F.abs(F.col("head_cents") - F.coalesce(F.col("line_cents"), F.lit(0)))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("line_cents").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_without_lines"),
+        F.sum(F.when(diff == 0, 1).otherwise(0)).cast("long").alias("n_exact"),
+        F.max(diff).cast("long").alias("max_diff_cents"),
+        F.sum(diff).cast("long").alias("total_diff_cents"),
+    )
+
+
 QUERIES = {
+    "t22_duplicate_charge_screen": duplicate_charge_screen,
+    "t22_invoice_reconciliation": invoice_reconciliation,
     "t22_fd_profile": fd_profile,
     "t22_revenue_share_hierarchy": revenue_share_hierarchy,
     "t22_seasonal_naive_backtest": seasonal_naive_backtest,
@@ -234,6 +311,49 @@ _FD_ORACLE_PARTS = [
 ]
 
 ORACLE = {
+    "t22_duplicate_charge_screen": """
+        WITH ev AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 1000000.0, 0) AS BIGINT) AS v,
+                   epoch_us(ts) AS us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        gaps AS (
+            SELECT user_id,
+                   us - lag(us) OVER (PARTITION BY user_id, v
+                       ORDER BY us, event_id) AS gap_us
+            FROM ev
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(min(gap_us) AS BIGINT) AS tightest_gap_us
+        FROM gaps WHERE gap_us <= 5 * 60 * 1000000
+    """,
+    "t22_invoice_reconciliation": """
+        WITH line AS (
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                       * (1 + l_tax) * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS line_cents
+            FROM lineitem GROUP BY 1
+        ),
+        j AS (
+            SELECT CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                       AS head_cents,
+                   line.line_cents
+            FROM orders o LEFT JOIN line USING (o_orderkey)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_without_lines,
+               CAST(sum(CASE WHEN abs(head_cents - coalesce(line_cents, 0)) = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(max(abs(head_cents - coalesce(line_cents, 0))) AS BIGINT)
+                   AS max_diff_cents,
+               CAST(sum(abs(head_cents - coalesce(line_cents, 0))) AS BIGINT)
+                   AS total_diff_cents
+        FROM j
+    """,
     "t22_seasonal_naive_backtest": """
         WITH ev AS (
             SELECT event_type, CAST(ts AS DATE) AS day FROM events

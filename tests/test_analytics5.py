@@ -83,3 +83,39 @@ def test_ltv_triangle_diagonal_conservation(spark, sf_dir):
         .collect()
     }
     assert zero_age == cohort_sizes
+
+
+def test_duplicate_screen_counts_adjacent_pairs_only(spark):
+    """3 identical charges in 4 minutes = 2 adjacent pairs (not 3
+    combinations) — pins the lag-window (no self-join) semantics."""
+    import datetime as dt
+    import bigdatamanagement_spark.queries.analytics5 as a5
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, i, "purchase", 9.99, base + dt.timedelta(minutes=2 * i))
+        for i in range(3)
+    ] + [(1, 9, "purchase", 5.00, base)]
+    ev = spark.createDataFrame(
+        rows, schema="user_id bigint, event_id bigint, event_type string,"
+        " value double, ts timestamp_ntz"
+    )
+    orig = a5.load_testdata
+    try:
+        a5.load_testdata = lambda s, d, tables=None, register=None: {"events": ev}
+        r = a5.duplicate_charge_screen(spark, "ignored").first()
+    finally:
+        a5.load_testdata = orig
+    assert r["n_suspect_pairs"] == 2
+    assert r["n_users"] == 1
+    assert r["tightest_gap_us"] == 120_000_000
+
+
+def test_invoice_reconciliation_covers_every_order(spark, sf_dir):
+    r = analytics5.invoice_reconciliation(spark, sf_dir).first()
+    o = analytics5.load_testdata(spark, sf_dir, tables=("orders",), register=False)[
+        "orders"
+    ]
+    assert r["n_orders"] == o.count()
+    assert r["n_exact"] + r["n_without_lines"] <= r["n_orders"]
+    assert r["total_diff_cents"] >= r["max_diff_cents"] >= 0
