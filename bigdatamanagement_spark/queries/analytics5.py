@@ -286,7 +286,99 @@ def invoice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — Zipf's-law slope of the corpus unigram distribution: OLS
+    of ln(frequency) on ln(rank) over the full vocabulary, one row
+    (n_terms, slope_micro, intercept_micro). Healthy natural text
+    slopes near −1; flat slopes flag ID/boilerplate corpora — the
+    rank-frequency companion of the Heaps vocabulary-growth curve.
+
+    Scale: one term-count aggregate; ranks come from the two-phase
+    global row_number (frequency desc, term asc tiebreak — no global
+    window); logs are FLOORED to integer micro-nats per term before
+    the moment sums (the same cross-engine discipline as the entropy/
+    KL queries), so the OLS closed form runs on exact BIGINT sums."""
+    from bigdatamanagement_spark.operators import text as T
+    from bigdatamanagement_spark.operators.rank import global_row_number
+
+    d = load_testdata(spark, sf_dir, tables=("documents",), register=False)[
+        "documents"
+    ]
+    tc = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked, n = global_row_number(tc, [F.desc("c"), F.asc("term")], "r")
+    lx = F.expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)")
+    ly = F.expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)")
+    m = ranked.select(lx.alias("x"), ly.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope * 1000000.0, 0).cast("long").alias("slope_micro"),
+        F.round(
+            (
+                F.col("sy").cast("double") / F.col("n")
+                - slope * F.col("sx").cast("double") / F.col("n")
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )
+
+
+_KWIC_TERM = "spark"
+
+
+def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — keyword-in-context concordance for the term 'spark':
+    the top-10 most frequent (previous word, next word) contexts
+    across the corpus, with occurrence counts — the collocation view
+    a lexicographer (or a prompt-injection hunter) reads. Adjacency
+    extraction is pure array arithmetic inside codegen (position
+    filter + element_at, no explode of non-matching tokens).
+
+    Scale: per-document work is bounded by matches of the term; the
+    aggregate is context-keyed with map-side partials."""
+    from bigdatamanagement_spark.operators import text as T
+
+    d = load_testdata(spark, sf_dir, tables=("documents",), register=False)[
+        "documents"
+    ]
+    toks = d.select(T.tokens(F.col("text")).alias("t"))
+    ctx = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(filter(sequence(1, size(t)), "
+                f"i -> element_at(t, i) = '{_KWIC_TERM}'), "
+                "i -> struct("
+                "CASE WHEN i > 1 THEN element_at(t, i - 1) ELSE '^' END AS prev,"
+                "CASE WHEN i < size(t) THEN element_at(t, i + 1) ELSE '$' END AS next))"
+            )
+        ).alias("c")
+    )
+    return (
+        ctx.groupBy(F.col("c.prev").alias("prev_word"), F.col("c.next").alias("next_word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("prev_word"), F.asc("next_word"))
+        .limit(10)
+    )
+
+
 QUERIES = {
+    "ext_zipf_slope": zipf_slope,
+    "ext_kwic_concordance": kwic_concordance,
     "t22_duplicate_charge_screen": duplicate_charge_screen,
     "t22_invoice_reconciliation": invoice_reconciliation,
     "t22_fd_profile": fd_profile,
@@ -310,7 +402,57 @@ _FD_ORACLE_PARTS = [
     for tbl, det, dep in _FD_CANDIDATES
 ]
 
+_TOKS5 = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
 ORACLE = {
+    "ext_zipf_slope": f"""
+        WITH tc AS (
+            SELECT term, count(*) AS c
+            FROM (SELECT unnest({_TOKS5}) AS term FROM documents)
+            GROUP BY term
+        ),
+        ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS r
+            FROM tc
+        ),
+        xy AS (
+            SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+            FROM ranked
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM xy
+        )
+        SELECT n AS n_terms,
+               CAST(round(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE), 0) AS BIGINT)
+                   AS slope_micro,
+               CAST(round(CAST(sy AS DOUBLE) / n
+                   - (CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE) / n, 0) AS BIGINT)
+                   AS intercept_micro
+        FROM m
+    """,
+    "ext_kwic_concordance": f"""
+        WITH toks AS (SELECT {_TOKS5} AS t FROM documents),
+        hits AS (
+            SELECT unnest(list_filter(range(1, len(t) + 1),
+                       i -> t[i] = '{_KWIC_TERM}')) AS i, t
+            FROM toks
+        )
+        SELECT CASE WHEN i > 1 THEN t[i - 1] ELSE '^' END AS prev_word,
+               CASE WHEN i < len(t) THEN t[i + 1] ELSE '$' END AS next_word,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM hits
+        GROUP BY 1, 2
+        ORDER BY n_occurrences DESC, prev_word ASC, next_word ASC
+        LIMIT 10
+    """,
     "t22_duplicate_charge_screen": """
         WITH ev AS (
             SELECT user_id, event_id,

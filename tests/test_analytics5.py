@@ -119,3 +119,35 @@ def test_invoice_reconciliation_covers_every_order(spark, sf_dir):
     assert r["n_orders"] == o.count()
     assert r["n_exact"] + r["n_without_lines"] <= r["n_orders"]
     assert r["total_diff_cents"] >= r["max_diff_cents"] >= 0
+
+
+def test_zipf_slope_is_negative_and_ranked_fit_sane(spark, sf_dir):
+    r = analytics5.zipf_slope(spark, sf_dir).first()
+    assert r["n_terms"] > 10
+    # frequency decreases with rank, so the log-log slope is negative
+    assert r["slope_micro"] < 0
+    # most-frequent-term fit: intercept ≈ ln(max freq) within an order
+    assert r["intercept_micro"] > 0
+
+
+def test_kwic_contexts_really_flank_the_term(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from bigdatamanagement_spark.operators import text as T
+
+    rows = analytics5.kwic_concordance(spark, sf_dir).collect()
+    assert rows and len(rows) <= 10
+    top = rows[0]
+    # recount the top context straight from the corpus
+    d = analytics5.load_testdata(spark, sf_dir, tables=("documents",), register=False)[
+        "documents"
+    ].select(T.tokens(F.col("text")).alias("t")).collect()
+    n = 0
+    for r in d:
+        t = r["t"]
+        for i, w in enumerate(t):
+            if w == analytics5._KWIC_TERM:
+                prev = t[i - 1] if i > 0 else "^"
+                nxt = t[i + 1] if i < len(t) - 1 else "$"
+                if prev == top["prev_word"] and nxt == top["next_word"]:
+                    n += 1
+    assert n == top["n_occurrences"]
