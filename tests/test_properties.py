@@ -91,3 +91,28 @@ def test_weighted_median_crossing_rule(weights, values):
     le = sum(w for v, w in pairs if v <= want)
     lt = sum(w for v, w in pairs if v < want)
     assert 2 * le >= total and 2 * lt < total
+
+
+@given(
+    st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=200, deadline=None)
+def test_micro_nat_ln_floor_is_engine_stable(n):
+    """The floored-micro-nat convention floor(1e6·ln(n)) that the
+    entropy/KL/PSI/Zipf oracles rely on: the double ln(n) would only
+    flip the floor if it sat within one ulp of an exact micro-nat
+    boundary. Verify python/numpy agree (two independent libm paths),
+    and that the value is comfortably far from the boundary for
+    sampled integers — the margin that makes the convention safe."""
+    import math
+
+    import numpy as np
+
+    pv = math.floor(math.log(n) * 1_000_000.0)
+    nv = int(np.floor(np.log(np.float64(n)) * np.float64(1_000_000.0)))
+    assert pv == nv
+    frac = (math.log(n) * 1_000_000.0) % 1.0
+    # ulp of x*1e6 near ln(1e12)*1e6 ≈ 2.7e7 is ~4e-9: a fractional
+    # part within 1e-6 of 0/1 would be the only risk zone
+    if n > 1:
+        assert 1e-9 < frac < 1 - 1e-9 or frac == 0.0
