@@ -376,7 +376,108 @@ def kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22g — growth accounting: every day's active users decomposed
+    into NEW (first day ever), RETAINED (also active yesterday) and
+    RESURRECTED (returning after a gap), plus how many of the day's
+    actives churn (are absent tomorrow) — the DAU ledger every growth
+    team reads, with the identity DAU = new + retained + resurrected
+    holding exactly by construction.
+
+    Scale: one (user, day) distinct, then a user-keyed lag/lead
+    window (the shared behavioral exchange) and one day-keyed
+    aggregate — classification is pure arithmetic on adjacent
+    activity days."""
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ].select("user_id", F.to_date("ts").alias("day"))
+    da = ev.distinct()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("day")
+    tagged = da.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    ).select(
+        "day",
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.expr("datediff(day, prev_day) = 1"), "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+        F.when(
+            F.col("next_day").isNull() | F.expr("datediff(next_day, day) > 1"), 1
+        )
+        .otherwise(0)
+        .alias("churns_after"),
+    )
+    return (
+        tagged.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.sum("churns_after").cast("long").alias("n_churning_after"),
+        )
+        .orderBy("day")
+    )
+
+
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22h — customer spend-tier migration matrix: orders split into
+    two halves at the time midpoint; each customer gets a spend
+    quartile (1 = top) within each half, and the matrix counts every
+    (tier_h1 → tier_h2) flow, with 'none' rows for customers active in
+    only one half. The churn/upsell picture a CRM reads quarterly.
+
+    Scale: each half's quartile comes from the two-phase global
+    row_number (custkey tiebreak — deterministic band edges, no global
+    window); the matrix join is custkey-keyed; output is ≤ 5×5 rows."""
+    from bigdatamanagement_spark.operators.rank import (
+        global_row_number,
+        quantile_bucket,
+    )
+
+    o = load_testdata(spark, sf_dir, tables=("orders",), register=False)["orders"]
+    o = o.select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+    ).localCheckpoint()
+    mid = o.agg(F.expr("(min(us) + max(us)) div 2").alias("m")).first()["m"]
+
+    def half_tiers(df):
+        spend = df.groupBy("o_custkey").agg(F.sum("cents").alias("s"))
+        ranked, n = global_row_number(
+            spend, [F.desc("s"), F.asc("o_custkey")], "r"
+        )
+        return ranked.select(
+            "o_custkey", quantile_bucket("r", n, 4).alias("tier")
+        )
+    h1 = half_tiers(o.filter(F.col("us") < mid)).withColumnRenamed("tier", "t1")
+    h2 = half_tiers(o.filter(F.col("us") >= mid)).withColumnRenamed("tier", "t2")
+    return (
+        h1.join(h2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce(F.col("t1").cast("string"), F.lit("none")).alias("tier_h1"),
+            F.coalesce(F.col("t2").cast("string"), F.lit("none")).alias("tier_h2"),
+        )
+        .groupBy("tier_h1", "tier_h2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("tier_h1", "tier_h2")
+    )
+
+
 QUERIES = {
+    "t22_growth_accounting_daily": growth_accounting_daily,
+    "t22_customer_tier_migration": customer_tier_migration,
     "ext_zipf_slope": zipf_slope,
     "ext_kwic_concordance": kwic_concordance,
     "t22_duplicate_charge_screen": duplicate_charge_screen,
@@ -405,6 +506,60 @@ _FD_ORACLE_PARTS = [
 _TOKS5 = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 ORACLE = {
+    "t22_growth_accounting_daily": """
+        WITH da AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        tagged AS (
+            SELECT day,
+                   CASE WHEN lag(day) OVER w IS NULL THEN 'new'
+                        WHEN date_diff('day', lag(day) OVER w, day) = 1
+                            THEN 'retained'
+                        ELSE 'resurrected' END AS cls,
+                   CASE WHEN lead(day) OVER w IS NULL
+                         OR date_diff('day', day, lead(day) OVER w) > 1
+                       THEN 1 ELSE 0 END AS churns_after
+            FROM da
+            WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        )
+        SELECT day,
+               CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_retained,
+               CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_resurrected,
+               CAST(sum(churns_after) AS BIGINT) AS n_churning_after
+        FROM tagged GROUP BY day ORDER BY day
+    """,
+    "t22_customer_tier_migration": """
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                   epoch_us(o_orderdate) AS us
+            FROM orders
+        ),
+        mid AS (SELECT (min(us) + max(us)) // 2 AS m FROM o),
+        h1 AS (
+            SELECT o_custkey,
+                   1 + (row_number() OVER (ORDER BY s DESC, o_custkey ASC) - 1)
+                       * 4 // count(*) OVER () AS tier
+            FROM (SELECT o_custkey, sum(cents) AS s FROM o, mid
+                  WHERE us < mid.m GROUP BY o_custkey)
+        ),
+        h2 AS (
+            SELECT o_custkey,
+                   1 + (row_number() OVER (ORDER BY s DESC, o_custkey ASC) - 1)
+                       * 4 // count(*) OVER () AS tier
+            FROM (SELECT o_custkey, sum(cents) AS s FROM o, mid
+                  WHERE us >= mid.m GROUP BY o_custkey)
+        )
+        SELECT coalesce(CAST(h1.tier AS VARCHAR), 'none') AS tier_h1,
+               coalesce(CAST(h2.tier AS VARCHAR), 'none') AS tier_h2,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM h1 FULL OUTER JOIN h2 USING (o_custkey)
+        GROUP BY 1, 2 ORDER BY tier_h1, tier_h2
+    """,
     "ext_zipf_slope": f"""
         WITH tc AS (
             SELECT term, count(*) AS c

@@ -151,3 +151,37 @@ def test_kwic_contexts_really_flank_the_term(spark, sf_dir):
                 if prev == top["prev_word"] and nxt == top["next_word"]:
                     n += 1
     assert n == top["n_occurrences"]
+
+
+def test_growth_accounting_identity_dau(spark, sf_dir):
+    """DAU(d) = new + retained + resurrected, exactly, every day; and
+    total new across the ledger = total distinct users."""
+    import pyspark.sql.functions as F
+
+    rows = analytics5.growth_accounting_daily(spark, sf_dir).collect()
+    ev = analytics5.load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ].select("user_id", F.to_date("ts").alias("day"))
+    dau = {
+        r["day"]: r["n"]
+        for r in ev.distinct().groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert r["n_new"] + r["n_retained"] + r["n_resurrected"] == dau[r["day"]]
+    assert sum(r["n_new"] for r in rows) == ev.select("user_id").distinct().count()
+
+
+def test_tier_migration_matrix_conserves_both_halves(spark, sf_dir):
+    rows = analytics5.customer_tier_migration(spark, sf_dir).collect()
+    h1_total = sum(r["n_customers"] for r in rows if r["tier_h1"] != "none")
+    h2_total = sum(r["n_customers"] for r in rows if r["tier_h2"] != "none")
+    assert h1_total > 0 and h2_total > 0
+    # each half's tier counts are near-balanced quartiles
+    from collections import Counter
+
+    c1 = Counter()
+    for r in rows:
+        if r["tier_h1"] != "none":
+            c1[r["tier_h1"]] += r["n_customers"]
+    if len(c1) == 4:
+        assert max(c1.values()) - min(c1.values()) <= 1
