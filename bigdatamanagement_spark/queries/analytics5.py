@@ -475,7 +475,100 @@ def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_HORIZONS = (7, 14, 30)
+
+
+def km_repeat_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22i — Kaplan-Meier survival of 'time to SECOND purchase' WITH
+    right-censoring: users who never repurchase are censored at the
+    corpus end instead of dropped (the bias the naive
+    time-to-conversion quantiles carry). Per horizon (7/14/30 days):
+    users still at risk past it, repeat events within it, and the KM
+    log-survival Σ ln(1 − dᵢ/nᵢ) in floored integer micro-nats (the
+    product kept cross-engine exact by flooring each term — the same
+    discipline as the entropy/KL family; S(t) = exp(x/1e6)).
+
+    Scale: per-user gap/censor flags ride the shared user-keyed
+    window; the risk table is |distinct gap days| rows (bounded by the
+    corpus span, independent of user count), so the KM fold is tiny."""
+    ev = load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ].filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.to_date("ts").alias("day")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("day", "event_id")
+    firsts = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("user_id")
+        .agg(
+            F.min("day").alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("day"))).alias("d2"),
+        )
+    )
+    end = ev.agg(F.max("day").alias("e"))
+    subj = firsts.join(F.broadcast(end)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.expr("datediff(d2, d1)")
+        )
+        .otherwise(F.expr("datediff(e, d1)"))
+        .alias("t"),
+        F.col("d2").isNotNull().cast("long").alias("ev"),
+    )
+    risk = subj.groupBy("t").agg(
+        F.sum("ev").alias("d"),
+        F.sum(1 - F.col("ev")).alias("c"),
+    )
+    wt = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    n_tot = subj.count()
+    km = risk.select(
+        "t",
+        "d",
+        (F.lit(n_tot) - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wt), F.lit(0)))
+        .alias("n_at_risk"),
+    ).select(
+        "t",
+        "d",
+        "n_at_risk",
+        # d = n_at_risk drops S to exactly 0 (ln undefined): continuity
+        # correction 1/(2n) — a documented convention, identical on both
+        # engines; it can only occur at the very tail of the risk table
+        F.when(F.col("d") <= 0, F.lit(0))
+        .when(
+            F.col("d") < F.col("n_at_risk"),
+            F.expr(
+                "CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))"
+                " * 1000000.0) AS BIGINT)"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "CAST(floor(ln(0.5 / CAST(n_at_risk AS DOUBLE)) * 1000000.0)"
+                " AS BIGINT)"
+            )
+        )
+        .alias("term"),
+    )
+    horizons = spark.createDataFrame(
+        [(h,) for h in _KM_HORIZONS], schema="horizon_days int"
+    )
+    return (
+        km.crossJoin(F.broadcast(horizons))
+        .filter(F.col("t") <= F.col("horizon_days"))
+        .groupBy("horizon_days")
+        .agg(
+            F.sum("d").cast("long").alias("repeat_events"),
+            F.min("n_at_risk").cast("long").alias("min_at_risk"),
+            F.sum("term").cast("long").alias("log_surv_micro"),
+        )
+        .orderBy("horizon_days")
+    )
+
+
 QUERIES = {
+    "t22_km_repeat_purchase_survival": km_repeat_purchase_survival,
     "t22_growth_accounting_daily": growth_accounting_daily,
     "t22_customer_tier_migration": customer_tier_migration,
     "ext_zipf_slope": zipf_slope,
@@ -506,6 +599,61 @@ _FD_ORACLE_PARTS = [
 _TOKS5 = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 ORACLE = {
+    "t22_km_repeat_purchase_survival": f"""
+        WITH p AS (
+            SELECT user_id, event_id, CAST(ts AS DATE) AS day
+            FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT user_id, day,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY day, event_id) AS rn
+            FROM p
+        ),
+        firsts AS (
+            SELECT user_id, min(day) AS d1,
+                   max(CASE WHEN rn = 2 THEN day END) AS d2
+            FROM r WHERE rn <= 2 GROUP BY user_id
+        ),
+        e AS (SELECT max(day) AS e FROM p),
+        subj AS (
+            SELECT CASE WHEN d2 IS NOT NULL
+                       THEN date_diff('day', d1, d2)
+                       ELSE date_diff('day', d1, e.e) END AS t,
+                   CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM firsts, e
+        ),
+        risk AS (
+            SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM subj GROUP BY t
+        ),
+        km AS (
+            SELECT t, d,
+                   (SELECT count(*) FROM subj)
+                   - coalesce(sum(d + c) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_at_risk
+            FROM risk
+        ),
+        terms AS (
+            SELECT t, d, n_at_risk,
+                   CASE WHEN d <= 0 THEN 0
+                        WHEN d < n_at_risk THEN
+                            CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+                                / CAST(n_at_risk AS DOUBLE)) * 1000000.0)
+                                AS BIGINT)
+                        ELSE CAST(floor(ln(0.5 / CAST(n_at_risk AS DOUBLE))
+                            * 1000000.0) AS BIGINT) END AS term
+            FROM km
+        )
+        SELECT h.horizon_days, CAST(sum(terms.d) AS BIGINT) AS repeat_events,
+               CAST(min(terms.n_at_risk) AS BIGINT) AS min_at_risk,
+               CAST(sum(terms.term) AS BIGINT) AS log_surv_micro
+        FROM terms,
+             (SELECT unnest([{", ".join(str(h) for h in _KM_HORIZONS)}])
+                  AS horizon_days) h
+        WHERE terms.t <= h.horizon_days
+        GROUP BY h.horizon_days ORDER BY horizon_days
+    """,
     "t22_growth_accounting_daily": """
         WITH da AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -185,3 +185,20 @@ def test_tier_migration_matrix_conserves_both_halves(spark, sf_dir):
             c1[r["tier_h1"]] += r["n_customers"]
     if len(c1) == 4:
         assert max(c1.values()) - min(c1.values()) <= 1
+
+
+def test_km_survival_decreases_with_horizon_and_bounds(spark, sf_dir):
+    import math
+
+    rows = analytics5.km_repeat_purchase_survival(spark, sf_dir).collect()
+    assert [r["horizon_days"] for r in rows] == list(analytics5._KM_HORIZONS)
+    logs = [r["log_surv_micro"] for r in rows]
+    # survival is non-increasing in the horizon; log ≤ 0
+    assert logs == sorted(logs, reverse=True)
+    assert all(v <= 0 for v in logs)
+    # KM with censoring must not report LOWER survival than the naive
+    # (censor-dropping) estimator's upper bound of events/total
+    for r in rows:
+        s = math.exp(r["log_surv_micro"] / 1e6)
+        assert 0.0 <= s <= 1.0
+        assert r["repeat_events"] >= 0 and r["min_at_risk"] >= 1
