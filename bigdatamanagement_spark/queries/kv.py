@@ -277,6 +277,39 @@ def ip_block_country_audit(spark, sf_dir) -> DataFrame:
     )
 
 
+def k_anonymity_audit(spark, sf_dir) -> DataFrame:
+    """T15-p2 — k-anonymity audit of the user store under the
+    quasi-identifier tuple (gender, country, city): for each k in
+    {2, 5, 10}, how many equivalence classes fall below k and how many
+    users that re-identification risk covers, plus the smallest class
+    size. The measurement side of the PII-masking op
+    (t15_pii_masked_users) — masking policy is chosen FROM this audit.
+
+    Scale: one QI-keyed aggregate builds the class-size table
+    (|classes| rows); the per-k summary folds over it with a tiny
+    broadcast of the k list."""
+    u = tables(spark)["users"]
+    classes = u.groupBy("gender", "country", "city").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    ks = u.sparkSession.createDataFrame([(2,), (5,), (10,)], schema="k int")
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_classes_below_k"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("n_users_at_risk"),
+            F.min("sz").cast("long").alias("min_class_size"),
+        )
+        .orderBy("k")
+    )
+
+
 GEO_LAT, GEO_LON, GEO_RADIUS_KM = 40.0, 116.0, 2000.0
 
 
@@ -325,6 +358,7 @@ QUERIES = {
     "t15_zunion_weighted_stats": zunion_weighted_stats,
     "t15_geo_grid_density": geo_grid_density,
     "t15_ip_block_country_audit": ip_block_country_audit,
+    "t15_k_anonymity_audit": k_anonymity_audit,
 }
 
 ORACLE = {
@@ -402,6 +436,22 @@ ORACLE = {
     FROM scores s JOIN recent r USING (user_id)
     WHERE s.leaderboard = 'leaderboard:2'
     ORDER BY zscore DESC, s.user_id ASC LIMIT 10
+    """,
+    "t15_k_anonymity_audit": _V
+    + """
+    , classes AS (
+        SELECT gender, country, city, count(*) AS sz
+        FROM users GROUP BY 1, 2, 3
+    ),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT ks.k,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN sz < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_below_k,
+           CAST(sum(CASE WHEN sz < ks.k THEN sz ELSE 0 END) AS BIGINT)
+               AS n_users_at_risk,
+           CAST(min(sz) AS BIGINT) AS min_class_size
+    FROM classes, ks GROUP BY ks.k ORDER BY ks.k
     """,
     "t15_geo_grid_density": _V
     + """

@@ -92,3 +92,16 @@ def test_ip_block_majority_is_argmax(spark, sf_dir):
     best = sorted(counts.items(), key=lambda kv_: (-kv_[1], kv_[0]))[0][0]
     assert b["majority_country"] == best
     assert b["n_mismatch"] == b["n_users"] - counts[best]
+
+
+def test_k_anonymity_monotone_in_k(spark, sf_dir):
+    rows = {r["k"]: r for r in kv.k_anonymity_audit(spark, sf_dir).collect()}
+    assert sorted(rows) == [2, 5, 10]
+    # risk is monotone in k; class counts constant; min size consistent
+    assert (rows[2]["n_classes_below_k"] <= rows[5]["n_classes_below_k"]
+            <= rows[10]["n_classes_below_k"])
+    assert len({r["n_classes"] for r in rows.values()}) == 1
+    assert len({r["min_class_size"] for r in rows.values()}) == 1
+    total = kv.tables(spark)["users"].count()
+    for r in rows.values():
+        assert 0 <= r["n_users_at_risk"] <= total
