@@ -112,6 +112,9 @@ def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .select("r_name", "n_name", "rev_cents")
+        # materialized once: reg/world re-aggregate THIS 25-row output,
+        # not the fact table (without it each branch re-runs the join)
+        .localCheckpoint()
     )
     reg = nat.groupBy("r_name").agg(F.sum("rev_cents").alias("region_cents"))
     world = nat.agg(F.sum("rev_cents").alias("world_cents"))
@@ -319,20 +322,15 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    )
+    # moments cast to double BEFORE the products: n·sxx in BIGINT wraps
+    # once the vocabulary passes a few hundred terms (micro-nat scale)
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
     return m.select(
         F.col("n").cast("long").alias("n_terms"),
         F.round(slope * 1000000.0, 0).cast("long").alias("slope_micro"),
-        F.round(
-            (
-                F.col("sy").cast("double") / F.col("n")
-                - slope * F.col("sx").cast("double") / F.col("n")
-            ),
-            0,
-        )
+        F.round(syd / nd - slope * sxd / nd, 0)
         .cast("long")
         .alias("intercept_micro"),
     )
@@ -509,13 +507,17 @@ def km_repeat_purchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     end = ev.agg(F.max("day").alias("e"))
-    subj = firsts.join(F.broadcast(end)).select(
-        F.when(
-            F.col("d2").isNotNull(), F.expr("datediff(d2, d1)")
+    subj = (
+        firsts.join(F.broadcast(end))
+        .select(
+            F.when(F.col("d2").isNotNull(), F.expr("datediff(d2, d1)"))
+            .otherwise(F.expr("datediff(e, d1)"))
+            .alias("t"),
+            F.col("d2").isNotNull().cast("long").alias("ev"),
         )
-        .otherwise(F.expr("datediff(e, d1)"))
-        .alias("t"),
-        F.col("d2").isNotNull().cast("long").alias("ev"),
+        # materialized once: the count action and the risk aggregate
+        # would otherwise each re-run the purchase scan + window
+        .localCheckpoint()
     )
     risk = subj.groupBy("t").agg(
         F.sum("ev").alias("d"),
@@ -731,13 +733,18 @@ ORACLE = {
             FROM xy
         )
         SELECT n AS n_terms,
-               CAST(round(1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE), 0) AS BIGINT)
+               CAST(round(1000000.0
+                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 0) AS BIGINT)
                    AS slope_micro,
-               CAST(round(CAST(sy AS DOUBLE) / n
-                   - (CAST(n * sxy - sx * sy AS DOUBLE)
-                      / CAST(n * sxx - sx * sx AS DOUBLE))
-                     * CAST(sx AS DOUBLE) / n, 0) AS BIGINT)
+               CAST(round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 0) AS BIGINT)
                    AS intercept_micro
         FROM m
     """,

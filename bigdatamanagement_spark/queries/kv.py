@@ -138,17 +138,11 @@ def zinter_recent_top10(spark, sf_dir) -> DataFrame:
     projects to (member) after its threshold filter); top-k is bounded
     (TakeOrderedAndProject)."""
     t = tables(spark)
-    mid = t["users"].agg(
-        (
-            (
-                F.min(F.col("last_login").cast("long"))
-                + F.max(F.col("last_login").cast("long"))
-            )
-            / F.lit(2)
-        )
-        .cast("long")
-        .alias("m")
-    )
+    # integer division: double-then-cast truncates in Spark but rounds
+    # in DuckDB when min+max is odd
+    mid = t["users"].select(
+        F.col("last_login").cast("long").alias("ll")
+    ).agg(F.expr("(min(ll) + max(ll)) div 2").alias("m"))
     recent = (
         t["users"]
         .join(F.broadcast(mid))
@@ -424,8 +418,8 @@ ORACLE = {
     "t15_zinter_recent_top10": _V
     + """
     , mid AS (
-        SELECT CAST((min(CAST(last_login AS BIGINT))
-                   + max(CAST(last_login AS BIGINT))) / 2 AS BIGINT) AS m
+        SELECT (min(CAST(last_login AS BIGINT))
+                   + max(CAST(last_login AS BIGINT))) // 2 AS m
         FROM users
     ),
     recent AS (

@@ -143,6 +143,9 @@ def weekly_ohlc(spark, sf_dir) -> DataFrame:
     return (
         sp.groupBy(
             "company_id",
+            # ISO year qualifies the week: without it W52/W1 straddling
+            # New Year and same-numbered weeks of different years collapse
+            F.expr("extract(YEAROFWEEK FROM price_date)").cast("int").alias("iso_year"),
             F.weekofyear("price_date").cast("int").alias("week"),
         )
         .agg(
@@ -153,7 +156,7 @@ def weekly_ohlc(spark, sf_dir) -> DataFrame:
             F.sum("volume").cast("long").alias("w_volume"),
             F.count(F.lit(1)).cast("long").alias("n_days"),
         )
-        .orderBy("company_id", "week")
+        .orderBy("company_id", "iso_year", "week")
     )
 
 
@@ -184,6 +187,7 @@ ORACLE = {
     "t13_weekly_ohlc": _V
     + """
     SELECT company_id,
+           CAST(date_part('isoyear', price_date) AS INT) AS iso_year,
            CAST(weekofyear(price_date) AS INT) AS week,
            min_by(open, price_date) AS w_open,
            max(high) AS w_high,
@@ -192,7 +196,7 @@ ORACLE = {
            CAST(sum(volume) AS BIGINT) AS w_volume,
            CAST(count(*) AS BIGINT) AS n_days
     FROM stockprice
-    GROUP BY 1, 2 ORDER BY company_id, week
+    GROUP BY 1, 2, 3 ORDER BY company_id, iso_year, week
     """,
     "t13_q1_big_or_small_companies": _V
     + """
