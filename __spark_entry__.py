@@ -19,6 +19,7 @@ from bigdatamanagement_spark.queries import (
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     events,
     extensions,
     kv,
@@ -60,6 +61,7 @@ _PACKS = [
     analytics3,
     analytics4,
     analytics5,
+    analytics6,
     sql4,
 ]
 
