@@ -94,3 +94,72 @@ def asof_join(
         *[F.col("__l").getField(c).alias(c) for c in lcols],
         *[F.col("__carry").getField(c).alias(c) for c in rcols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: attach the EARLIEST right row with
+    right_ts ≥ left_ts for the same key (else NULL) — the mirror of
+    ``asof_join`` (pandas merge_asof direction='forward'); same
+    union + single-window construction, with the carry running
+    backward (``first(..., ignorenulls=True)`` over the following
+    frame). Left rows sort BEFORE right rows at equal timestamps, so
+    "at or after" includes exact matches. Same scale properties as the
+    backward form: one key-only shuffle, O(1) carried state.
+
+    Right (on, right_ts) pairs should be unique — pre-aggregate
+    otherwise (with duplicates the carried payload pick among
+    equal-timestamp rights is not a semantic promise)."""
+    lcols = left.columns
+    rcols = [c for c in right.columns if c != on]
+    payload = F.struct(*[F.col(c) for c in rcols]).alias("__r")
+    l_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(
+            right.select(payload).schema["__r"].dataType.simpleString()
+        ).alias("__r"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("__l"))
+            .schema["__l"]
+            .dataType.simpleString()
+        ).alias("__l"),
+        payload,
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.withColumn("__carry", F.first("__r", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 0)
+    if tolerance is not None:
+        out = out.withColumn(
+            "__carry",
+            F.when(
+                F.col("__carry").isNotNull()
+                & (
+                    F.col("__carry").getField(right_ts)
+                    <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+                ),
+                F.col("__carry"),
+            ),
+        )
+    return out.select(
+        *[F.col("__l").getField(c).alias(c) for c in lcols],
+        *[F.col("__carry").getField(c).alias(c) for c in rcols],
+    )

@@ -344,8 +344,481 @@ def vocab_richness_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23c — position-based (U-shaped) multi-touch attribution, the
+    third member of the attribution family (last-touch t19g gives the
+    nearest touch everything; time-decay t21e halves per step back):
+    each purchase's click/view touches in the preceding 8-event window
+    split 1,000,000 micro-credits as 40% first / 40% last / 20% spread
+    over the middles (solo touch takes all; a pair splits 50/50). The
+    middle split uses integer div; its remainder rides on the FIRST
+    touch, so Σ credits = 1e6 × attributed purchases EXACTLY. Output
+    per (channel, role ∈ solo/first/middle/last): touches + credit.
+
+    Scale: the same one user-keyed window as t21e (≤8-element lists);
+    the explode is bounded by 8× the purchase count."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-8, -1)
+    )
+    touches = (
+        ev.withColumn("hist", F.collect_list("event_type").over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.expr("filter(hist, t -> t IN ('click', 'view'))").alias("fh")
+        )
+        .filter(F.size("fh") > 0)
+        .select(F.size("fh").alias("m"), F.posexplode("fh").alias("pos", "ch"))
+    )
+    credit = (
+        F.when(F.col("m") == 1, F.lit(1000000))
+        .when(F.col("m") == 2, F.lit(500000))
+        .when(F.col("pos") == 0, F.lit(400000) + F.expr("200000 % (m - 2)"))
+        .when(F.col("pos") == F.col("m") - 1, F.lit(400000))
+        .otherwise(F.expr("200000 div (m - 2)"))
+        .cast("long")
+    )
+    role = (
+        F.when(F.col("m") == 1, F.lit("solo"))
+        .when(F.col("pos") == 0, F.lit("first"))
+        .when(F.col("pos") == F.col("m") - 1, F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        touches.select(F.col("ch").alias("channel"), role.alias("role"), credit.alias("credit"))
+        .groupBy("channel", "role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit").cast("long").alias("credit_micro"),
+        )
+        .orderBy("channel", "role")
+    )
+
+
+def user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23d — per-user ML feature-store snapshot: the wide feature row
+    a churn/LTV model trains on, assembled engine-side — event volume,
+    session count (30-min gap), purchase count + exact micro spend,
+    error rate (bp), behavioral breadth (distinct types), recency and
+    tenure in whole seconds against the corpus high-water-mark. The
+    feature-engineering materialization every training pipeline runs
+    before the model ever sees data.
+
+    Scale: sessionization and the per-user fold share ONE user-keyed
+    Exchange; the corpus max timestamp is a 1-row broadcast. Output is
+    |users| rows — the natural feature-store grain."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, "user_id", "ts", _SESSION_GAP_S, order_tiebreak="event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_user = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("session_seq").cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("purchase_micro"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+    )
+    hwm = ev.agg(F.max(us).alias("corpus_max_us"))
+    return (
+        per_user.join(F.broadcast(hwm))
+        .select(
+            "user_id",
+            "n_events",
+            "n_sessions",
+            "n_purchases",
+            "purchase_micro",
+            F.expr("(10000 * n_err) div n_events").alias("error_bp"),
+            "n_types",
+            F.expr("(corpus_max_us - last_us) div 1000000").alias("recency_s"),
+            F.expr("(last_us - first_us) div 1000000").alias("tenure_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def hourly_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23e — dense hourly grid per event_type with LINEAR interpolation
+    through the gaps (the interpolate() twin of the LOCF fill in
+    t17_hourly_gapfill_locf): a missing hour takes
+    ((d−k)·v_prev + k·v_next) div d between its nearest observed
+    neighbors (k hours past the previous anchor, d hours between
+    anchors) — exact integer lerp, non-negative throughout (values are
+    ≥ 0), so truncating div == floor on both engines. The grid is
+    bounded by each type's observed span, so every gap has both
+    anchors.
+
+    Scale: the grid fan-out is bounded by span-hours × |types|; the
+    anchor carries are four IGNORE-NULLS window passes over the SAME
+    type-keyed ordering — one Exchange, no joins beyond the grid."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 1000000.0, 0) AS BIGINT)")).alias(
+                "sum_micro"
+            )
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("hr"),
+        )
+    )
+    filled = grid.join(hourly, ["event_type", "hr"], "left").withColumn(
+        "t", F.expr("unix_micros(hr) div 3600000000")
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    anchor_t = F.when(F.col("sum_micro").isNotNull(), F.col("t"))
+    x = filled.select(
+        "event_type",
+        "hr",
+        "t",
+        "sum_micro",
+        F.last("sum_micro", ignorenulls=True).over(wb).alias("vp"),
+        F.last(anchor_t, ignorenulls=True).over(wb).alias("tp"),
+        F.first("sum_micro", ignorenulls=True).over(wf).alias("vn"),
+        F.first(anchor_t, ignorenulls=True).over(wf).alias("tn"),
+    )
+    interp = F.expr(
+        "((tn - t) * vp + (t - tp) * vn) div (tn - tp)"
+    )
+    return x.select(
+        "event_type",
+        # ntz: Arrow export must not carry a UTC offset the SQL oracle lacks
+        F.col("hr").cast("timestamp_ntz").alias("hr"),
+        F.when(F.col("sum_micro").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_gap"),
+        F.coalesce(F.col("sum_micro"), interp).cast("long").alias("v_micro"),
+    ).orderBy("event_type", "hr")
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — leave-one-out target encoding of hour-of-day against the
+    purchase label (the categorical-encoding staple of tabular ML,
+    done the leakage-safe way): each row's encoding is the category's
+    positive rate EXCLUDING the row itself, (s_c − y)·1e6 div (n_c − 1)
+    in exact integer micros. Reported per (hour, label): row count and
+    the encoding (constant within the cell by construction — the
+    oracle-checkable face of a per-row transform). LOO(y=1) < LOO(y=0)
+    within every category, pinned in tests: self-exclusion is exactly
+    what blocks target leakage.
+
+    Scale: one 24-row category aggregate broadcast back onto rows,
+    then one (category, label) fold — no window, no per-row state."""
+    ev = _events(spark, sf_dir).select(
+        F.hour("ts").cast("long").alias("hod"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    cat = ev.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("y").alias("s_c")
+    )
+    return (
+        ev.join(F.broadcast(cat), "hod")
+        .filter(F.col("n_c") > 1)
+        .select(
+            "hod",
+            "y",
+            F.expr("((s_c - y) * 1000000) div (n_c - 1)").alias("loo_micro"),
+        )
+        .groupBy("hod", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("loo_micro").cast("long").alias("loo_micro"),
+        )
+        .orderBy("hod", "y")
+    )
+
+
+def next_purchase_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24a — FORWARD as-of join (operators/asof.asof_join_forward):
+    every non-purchase event attached to the same user's next purchase
+    at-or-after it, reported as the wait in whole seconds (NULL when
+    the user never purchases again) — the time-to-conversion view of
+    the backward attribution in t17_last_purchase_asof. The right side
+    is pre-aggregated to distinct (user, instant) purchase times, so
+    the carried payload is unambiguous.
+
+    Scale: one user-keyed shuffle of left+right and a single backward
+    sweep with O(1) carried state — the same lower bound a sort-merge
+    join would pay; no range self-join, no per-key loop."""
+    from bigdatamanagement_spark.operators.asof import asof_join_forward
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    left = ev.filter(F.col("event_type") != "purchase")
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("us").alias("p_us"))
+        .distinct()
+    )
+    j = asof_join_forward(left, right, on="user_id", left_ts="us", right_ts="p_us")
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("(p_us - us) div 1000000").alias("wait_s"),
+    ).orderBy("event_id")
+
+
+def session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24b — session entry/exit analysis (the landing/exit-page matrix
+    of web analytics, on event types): per (entry_type, exit_type) the
+    session count and how many are single-event bounces — where
+    journeys start, where they die. Entry/exit come from a
+    lexicographic struct-min/max over (ts, event_id, type), so the
+    pick is engine-exact.
+
+    Scale: sessionization and the per-session fold share the ONE
+    user-keyed Exchange; the matrix is ≤ |types|² rows."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, "user_id", "ts", _SESSION_GAP_S, order_tiebreak="event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_session = s.select(
+        "user_id", "session_seq", us.alias("us"), "event_id", "event_type"
+    ).groupBy("user_id", "session_seq").agg(
+        F.min(F.struct("us", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("entry_type"),
+        F.max(F.struct("us", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("exit_type"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        per_session.groupBy("entry_type", "exit_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_ev") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounce"),
+        )
+        .orderBy("entry_type", "exit_type")
+    )
+
+
+# CUPED closed form — ONE expression string evaluated by both engines
+# (identical parse tree ⇒ identical IEEE doubles ⇒ identical rounding).
+# Moments are exact BIGINTs cast to double BEFORE any product (n·Sxx
+# overflows BIGINT at scale — the Zipf-OLS lesson).
+_CUPED_THETA = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_CUPED_RAW = (
+    "(CAST(y1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(y0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+)
+_CUPED_XDIFF = (
+    "(CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+)
+
+
+def cuped_ab_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXT — CUPED variance-reduced A/B readout (Deng et al., WSDM'13):
+    the md5-parity user split of t19's z-test, but the post-period
+    spend delta is adjusted by each user's PRE-period spend
+    (θ = cov(x,y)/var(x), pooled): diff_cuped = Δȳ − θ·Δx̄ — the
+    experiment-platform standard for cutting metric variance with
+    pre-exposure data. Per-user pre/post centi sums and the five
+    moments are exact BIGINTs; θ and the deltas are ONE shared
+    expression string evaluated by both engines (identical IEEE tree).
+    Periods split at the integer-div midpoint instant.
+
+    Scale: one user-keyed fold to (bucket, x, y), then a 1-row moment
+    aggregate — no window, no join beyond two 1-row broadcasts."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).select(
+        F.expr("(lo + hi) div 2").alias("mid_us")
+    )
+    centi = F.expr("CAST(round(value * 100.0, 0) AS BIGINT)")
+    per_user = (
+        ev.select("user_id", "event_type", us.alias("us"), centi.alias("centi"))
+        .join(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("us") < F.col("mid_us")),
+                    F.col("centi"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("us") >= F.col("mid_us")),
+                    F.col("centi"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .select(
+            (
+                F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % 2
+            ).alias("bucket"),
+            "x",
+            "y",
+        )
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.when(F.col("bucket") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("bucket") == 1, F.col("x")).otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("bucket") == 1, F.col("y")).otherwise(0)).alias("y1"),
+        F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("bucket") == 0, F.col("x")).otherwise(0)).alias("x0"),
+        F.sum(F.when(F.col("bucket") == 0, F.col("y")).otherwise(0)).alias("y0"),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.expr(f"CAST(round(1000000.0 * {_CUPED_THETA}, 0) AS BIGINT)").alias(
+            "theta_micro"
+        ),
+        F.expr(f"CAST(round(1000000.0 * {_CUPED_RAW}, 0) AS BIGINT)").alias(
+            "raw_diff_micro"
+        ),
+        F.expr(
+            f"CAST(round(1000000.0 * ({_CUPED_RAW} - {_CUPED_THETA} * {_CUPED_XDIFF}), 0)"
+            " AS BIGINT)"
+        ).alias("cuped_diff_micro"),
+    )
+
+
+# 3×3 Cramer solve for y ~ 1 + x1 + x2, shared by both engines: every
+# moment is an exact BIGINT cast to double before any product.
+def _cramer_exprs() -> dict[str, str]:
+    d = {c: f"CAST({c} AS DOUBLE)" for c in
+         ("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")}
+    det = (
+        f"({d['n']} * ({d['s11']} * {d['s22']} - {d['s12']} * {d['s12']})"
+        f" - {d['s1']} * ({d['s1']} * {d['s22']} - {d['s12']} * {d['s2']})"
+        f" + {d['s2']} * ({d['s1']} * {d['s12']} - {d['s11']} * {d['s2']}))"
+    )
+    det0 = (
+        f"({d['sy']} * ({d['s11']} * {d['s22']} - {d['s12']} * {d['s12']})"
+        f" - {d['s1']} * ({d['s1y']} * {d['s22']} - {d['s12']} * {d['s2y']})"
+        f" + {d['s2']} * ({d['s1y']} * {d['s12']} - {d['s11']} * {d['s2y']}))"
+    )
+    det1 = (
+        f"({d['n']} * ({d['s1y']} * {d['s22']} - {d['s12']} * {d['s2y']})"
+        f" - {d['sy']} * ({d['s1']} * {d['s22']} - {d['s12']} * {d['s2']})"
+        f" + {d['s2']} * ({d['s1']} * {d['s2y']} - {d['s1y']} * {d['s2']}))"
+    )
+    det2 = (
+        f"({d['n']} * ({d['s11']} * {d['s2y']} - {d['s1y']} * {d['s12']})"
+        f" - {d['s1']} * ({d['s1']} * {d['s2y']} - {d['s1y']} * {d['s2']})"
+        f" + {d['sy']} * ({d['s1']} * {d['s12']} - {d['s11']} * {d['s2']}))"
+    )
+    return {
+        "b0": f"CAST(round(1000000.0 * ({det0} / {det}), 0) AS BIGINT)",
+        "b1": f"CAST(round(1000000.0 * ({det1} / {det}), 0) AS BIGINT)",
+        "b2": f"CAST(round(1000000.0 * ({det2} / {det}), 0) AS BIGINT)",
+    }
+
+
+_CRAMER = _cramer_exprs()
+
+
+def multi_ols_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24c — MULTIPLE linear regression per event_type (two
+    regressors: value_centi ~ props.k + hour-of-day), solved in closed
+    form from the nine exact-BIGINT normal-equation moments via
+    Cramer's rule — the step past the simple OLS of
+    t18_ols_value_on_prop. The 3×3 solve is ONE expression string
+    evaluated by both engines on doubles cast from exact integers
+    (identical parse tree ⇒ identical IEEE result ⇒ identical micro
+    rounding).
+
+    Scale: one type-keyed moment aggregate over one scan (map-side
+    partials); the solve runs on |types| rows."""
+    ev = _events(spark, sf_dir)
+    rows = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("x1"),
+        F.hour("ts").cast("long").alias("x2"),
+        F.expr("CAST(round(value * 100.0, 0) AS BIGINT)").alias("y"),
+    ).filter(F.col("x1").isNotNull())
+    m = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr(_CRAMER["b0"]).alias("b0_micro"),
+        F.expr(_CRAMER["b1"]).alias("b1_micro"),
+        F.expr(_CRAMER["b2"]).alias("b2_micro"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "t23_session_pattern_match": session_pattern_match,
+    "t24_next_purchase_wait": next_purchase_wait,
+    "t24_session_entry_exit": session_entry_exit,
+    "t24_multi_ols_value": multi_ols_value,
+    "ext_cuped_ab_adjustment": cuped_ab_adjustment,
+    "t23_position_attribution": position_attribution,
+    "t23_user_feature_snapshot": user_feature_snapshot,
+    "t23_hourly_gapfill_interp": hourly_gapfill_interp,
+    "ext_target_encoding_loo": target_encoding_loo,
     "t23_lateral_top3_orders": lateral_top3_orders,
     "ext_nb_lang_confusion": nb_lang_confusion,
     "ext_sample_quota_allocation": sample_quota_allocation,
@@ -472,6 +945,250 @@ ORACLE = {
             LIMIT 3
         ) l
         ORDER BY segs.c_mktsegment, l.cents DESC, l.o_orderkey
+    """,
+    "t23_position_attribution": """
+        WITH ev AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        h AS (
+            SELECT event_type,
+                   list(event_type) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING) AS hist
+            FROM ev
+        ),
+        f AS (
+            SELECT list_filter(hist, t -> t IN ('click', 'view')) AS fh
+            FROM h WHERE event_type = 'purchase'
+        ),
+        x AS (
+            SELECT fh[i] AS channel, i, len(fh) AS m
+            FROM f, unnest(generate_series(1, len(fh))) AS g(i)
+            WHERE len(fh) > 0
+        ),
+        credited AS (
+            SELECT channel,
+                   CASE WHEN m = 1 THEN 'solo'
+                        WHEN i = 1 THEN 'first'
+                        WHEN i = m THEN 'last'
+                        ELSE 'middle' END AS role,
+                   CAST(CASE WHEN m = 1 THEN 1000000
+                             WHEN m = 2 THEN 500000
+                             WHEN i = 1 THEN 400000 + 200000 % (m - 2)
+                             WHEN i = m THEN 400000
+                             ELSE 200000 // (m - 2) END AS BIGINT) AS credit
+            FROM x
+        )
+        SELECT channel, role,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit) AS BIGINT) AS credit_micro
+        FROM credited GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "t23_user_feature_snapshot": f"""
+        WITH s AS (
+            SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {_SESSION_GAP_S} * 1000000 THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        numbered AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                          ORDER BY us ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+            FROM s
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_purchases,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 1000000.0, 0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS purchase_micro,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+                   MIN(us) AS first_us,
+                   MAX(us) AS last_us
+            FROM numbered GROUP BY 1
+        ),
+        hwm AS (SELECT MAX(epoch_us(ts)) AS corpus_max_us FROM events)
+        SELECT user_id, n_events, n_sessions, n_purchases, purchase_micro,
+               CAST((10000 * n_err) // n_events AS BIGINT) AS error_bp,
+               n_types,
+               CAST((corpus_max_us - last_us) // 1000000 AS BIGINT) AS recency_s,
+               CAST((last_us - first_us) // 1000000 AS BIGINT) AS tenure_s
+        FROM per_user CROSS JOIN hwm
+        ORDER BY user_id
+    """,
+    "t23_hourly_gapfill_interp": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr,
+                   SUM(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS sum_micro
+            FROM events GROUP BY 1, 2
+        ),
+        spans AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+                  FROM hourly GROUP BY 1),
+        grid AS (SELECT event_type,
+                        unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                 FROM spans),
+        filled AS (
+            SELECT g.event_type, g.hr, h.sum_micro,
+                   epoch_us(g.hr) // 3600000000 AS t
+            FROM grid g LEFT JOIN hourly h USING (event_type, hr)
+        ),
+        anchored AS (
+            SELECT event_type, hr, t, sum_micro,
+                   last_value(sum_micro IGNORE NULLS) OVER wb AS vp,
+                   last_value(CASE WHEN sum_micro IS NOT NULL THEN t END
+                              IGNORE NULLS) OVER wb AS tp,
+                   first_value(sum_micro IGNORE NULLS) OVER wf AS vn,
+                   first_value(CASE WHEN sum_micro IS NOT NULL THEN t END
+                               IGNORE NULLS) OVER wf AS tn
+            FROM filled
+            WINDOW wb AS (PARTITION BY event_type ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY t
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hr,
+               CAST(CASE WHEN sum_micro IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_gap,
+               CAST(COALESCE(sum_micro,
+                    ((tn - t) * vp + (t - tp) * vn) // (tn - tp))
+                   AS BIGINT) AS v_micro
+        FROM anchored ORDER BY event_type, hr
+    """,
+    "ext_target_encoding_loo": """
+        WITH ev AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS BIGINT) AS y
+            FROM events
+        ),
+        cat AS (SELECT hod, COUNT(*) AS n_c, SUM(y) AS s_c FROM ev GROUP BY 1)
+        SELECT ev.hod, ev.y,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(((s_c - ev.y) * 1000000) // (n_c - 1)) AS BIGINT)
+                   AS loo_micro
+        FROM ev JOIN cat ON ev.hod = cat.hod
+        WHERE n_c > 1
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "t24_next_purchase_wait": """
+        WITH ev AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        nxt AS (
+            SELECT event_id, user_id, event_type, us,
+                   min(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS p_us
+            FROM ev
+        )
+        SELECT event_id, user_id, event_type,
+               CAST((p_us - us) // 1000000 AS BIGINT) AS wait_s
+        FROM nxt WHERE event_type <> 'purchase'
+        ORDER BY event_id
+    """,
+    "t24_session_entry_exit": f"""
+        WITH s AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             > {_SESSION_GAP_S} * 1000000 THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        numbered AS (
+            SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                          ORDER BY us ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+            FROM s
+        ),
+        per_session AS (
+            SELECT user_id, session_seq,
+                   first(event_type ORDER BY us ASC, event_id ASC) AS entry_type,
+                   last(event_type ORDER BY us ASC, event_id ASC) AS exit_type,
+                   COUNT(*) AS n_ev
+            FROM numbered GROUP BY 1, 2
+        )
+        SELECT entry_type, exit_type,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounce
+        FROM per_session GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ext_cuped_ab_adjustment": f"""
+        WITH span AS (
+            SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        per_user AS (
+            SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 2 AS bucket,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  AND epoch_us(ts) < mid_us
+                            THEN CAST(round(value * 100.0, 0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                  AND epoch_us(ts) >= mid_us
+                            THEN CAST(round(value * 100.0, 0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+            FROM events CROSS JOIN span
+            GROUP BY user_id
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN bucket = 1 THEN x ELSE 0 END) AS BIGINT) AS x1,
+                   CAST(SUM(CASE WHEN bucket = 1 THEN y ELSE 0 END) AS BIGINT) AS y1,
+                   CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN bucket = 0 THEN x ELSE 0 END) AS BIGINT) AS x0,
+                   CAST(SUM(CASE WHEN bucket = 0 THEN y ELSE 0 END) AS BIGINT) AS y0
+            FROM per_user
+        )
+        SELECT n1 AS n_treat, n0 AS n_ctrl,
+               CAST(round(1000000.0 * {_CUPED_THETA}, 0) AS BIGINT) AS theta_micro,
+               CAST(round(1000000.0 * {_CUPED_RAW}, 0) AS BIGINT) AS raw_diff_micro,
+               CAST(round(1000000.0 * ({_CUPED_RAW} - {_CUPED_THETA} * {_CUPED_XDIFF}), 0)
+                   AS BIGINT) AS cuped_diff_micro
+        FROM m
+    """,
+    "t24_multi_ols_value": f"""
+        WITH rows_f AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS x1,
+                   CAST(hour(ts) AS BIGINT) AS x2,
+                   CAST(round(value * 100.0, 0) AS BIGINT) AS y
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                   CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+                   CAST(SUM(x2 * y) AS BIGINT) AS s2y
+            FROM rows_f GROUP BY 1
+        )
+        SELECT event_type, n,
+               {_CRAMER["b0"]} AS b0_micro,
+               {_CRAMER["b1"]} AS b1_micro,
+               {_CRAMER["b2"]} AS b2_micro
+        FROM m ORDER BY event_type
     """,
     "ext_vocab_richness": f"""
         WITH per AS (
