@@ -20,6 +20,7 @@ from bigdatamanagement_spark.queries import (
     analytics4,
     analytics5,
     analytics6,
+    analytics7,
     events,
     extensions,
     kv,
@@ -62,6 +63,7 @@ _PACKS = [
     analytics4,
     analytics5,
     analytics6,
+    analytics7,
     sql4,
 ]
 
