@@ -21,6 +21,7 @@ from bigdatamanagement_spark.queries import (
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
     events,
     extensions,
     kv,
@@ -64,6 +65,7 @@ _PACKS = [
     analytics5,
     analytics6,
     analytics7,
+    analytics8,
     sql4,
 ]
 
