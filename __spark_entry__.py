@@ -22,6 +22,8 @@ from bigdatamanagement_spark.queries import (
     analytics6,
     analytics7,
     analytics8,
+    analytics9,
+    analytics10,
     events,
     extensions,
     kv,
@@ -66,6 +68,8 @@ _PACKS = [
     analytics6,
     analytics7,
     analytics8,
+    analytics9,
+    analytics10,
     sql4,
 ]
 
