@@ -24,6 +24,7 @@ from bigdatamanagement_spark.queries import (
     analytics8,
     analytics9,
     analytics10,
+    analytics11,
     events,
     extensions,
     kv,
@@ -70,6 +71,7 @@ _PACKS = [
     analytics8,
     analytics9,
     analytics10,
+    analytics11,
     sql4,
 ]
 

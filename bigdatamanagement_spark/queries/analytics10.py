@@ -386,25 +386,38 @@ def sequential_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "l_partkey")
         .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
     )
-    a = cpd.select(
-        F.col("o_custkey").alias("ck"),
-        F.col("l_partkey").alias("a"),
-        F.col("first_d").alias("da"),
+    # expand pairs INSIDE each customer's row (the parts list is
+    # bounded), so the only exchanges are the (customer, part)
+    # aggregate and the map-side-combined (a, b) count — no pair join,
+    # no distinct ((a, b) is unique per customer by construction).
+    cparts = cpd.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_partkey").alias("pk"),
+                F.col("first_d").alias("fd"),
+                F.col("last_d").alias("ld"),
+            )
+        ).alias("ps")
     )
-    b = cpd.select(
-        F.col("o_custkey").alias("ck"),
-        F.col("l_partkey").alias("b"),
-        F.col("last_d").alias("db"),
-    )
-    pairs = (
-        a.join(b, "ck")
-        .filter((F.col("da") < F.col("db")) & (F.col("a") != F.col("b")))
-        .select("ck", "a", "b")
-        .distinct()
+    # pack the directed pair into ONE BIGINT (a << 32 | b) so the
+    # exploded stream and its shuffle rows are a single long each
+    pairs = cparts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, x -> "
+                "transform(filter(ps, y -> x.pk != y.pk AND x.fd < y.ld), "
+                "y -> x.pk * 4294967296 + y.pk)))"
+            )
+        ).alias("k")
     )
     return (
-        pairs.groupBy("a", "b")
+        pairs.groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .select(
+            F.expr("k DIV 4294967296").alias("a"),
+            F.expr("k % 4294967296").alias("b"),
+            "n_customers",
+        )
         .orderBy(F.desc("n_customers"), "a", "b")
         .limit(_TOP_K)
     )
