@@ -25,6 +25,7 @@ from bigdatamanagement_spark.queries import (
     analytics9,
     analytics10,
     analytics11,
+    analytics12,
     events,
     extensions,
     kv,
@@ -72,6 +73,7 @@ _PACKS = [
     analytics9,
     analytics10,
     analytics11,
+    analytics12,
     sql4,
 ]
 
