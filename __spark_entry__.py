@@ -26,6 +26,8 @@ from bigdatamanagement_spark.queries import (
     analytics10,
     analytics11,
     analytics12,
+    analytics13,
+    analytics14,
     events,
     extensions,
     kv,
@@ -74,6 +76,8 @@ _PACKS = [
     analytics10,
     analytics11,
     analytics12,
+    analytics13,
+    analytics14,
     sql4,
 ]
 
