@@ -28,6 +28,7 @@ from bigdatamanagement_spark.queries import (
     analytics12,
     analytics13,
     analytics14,
+    analytics15,
     events,
     extensions,
     kv,
@@ -78,6 +79,7 @@ _PACKS = [
     analytics12,
     analytics13,
     analytics14,
+    analytics15,
     sql4,
 ]
 

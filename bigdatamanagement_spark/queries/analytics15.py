@@ -1,0 +1,505 @@
+"""In-engine ML-training / finance / MCDM pack (T33): gradient-descent
+training of a hard-sigmoid linear classifier in PURE INTEGER
+arithmetic (3 unrolled epochs, exact on both engines down to the last
+bit), the trained model's decile gains table, NPV-discounted customer
+lifetime value with a driver-constant discount table, TOPSIS
+multi-criteria part ranking, and the Grubbs outlier statistic per
+event type.
+
+Reference anchors (SURVEY §2): the reference's recommendation insert
+(`ipynb:1536-1542`) is the closest it gets to "a model" — this pack
+trains and evaluates one entirely inside the engine; NPV prices the
+spend-per-customer aggregate (`AmazonRedshift.java:499-509`) the way
+finance actually books it; TOPSIS generalizes the min-cost pick
+(TPC-H Q2 shape) to multi-criteria; Grubbs completes the outlier
+family (z, MAD, IQR, EWMA, CUSUM).
+
+Scale notes (100 TB):
+- GD training: an epoch = ONE scan producing three BIGINT gradient
+  sums; the hard-sigmoid (clamp(5e5 + z DIV 4)) keeps every
+  activation, gradient, and weight an exact integer — no float ever
+  enters the state, so Spark and DuckDB converge to IDENTICAL
+  weights. 3 epochs is the bounded-iteration discipline.
+- gains table: one scoring pass with the final integer weights +
+  ntile(10) over a pinned total order.
+- NPV: the 0.99^m discount table is a DRIVER CONSTANT (python ints,
+  same literals both engines); each order contributes
+  (cents * f_micro) DIV 1e6 — exact.
+- TOPSIS: min-max normalization in integer micro; only the final
+  Euclidean closeness evaluates a shared double expression.
+- Grubbs: one keyed aggregate (n, sum, sum-sq, min, max).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bigdatamanagement_spark.catalog import load_testdata
+
+_GD_EPOCHS = 3
+_GD_LR_SHIFT = 4  # w -= grad DIV 2^4
+_NPV_MONTHLY = 0.99
+_NPV_MAX_MONTHS = 120
+_TOPSIS_TOP_K = 20
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_testdata(spark, sf_dir, tables=("events",), register=False)[
+        "events"
+    ]
+
+
+# Hard-sigmoid in micro: clamp(500000 + z/4, 0, 1e6). Shared text.
+_SIG = "LEAST(GREATEST(500000 + (z) DIV 4, 0), 1000000)"
+
+
+def _gd_features(ev: DataFrame) -> DataFrame:
+    """(y_micro, x1, x2): y = is-purchase, x1 = hour of day, x2 =
+    value in hundred-dollar units (0..5) — small integer features so
+    the micro-scaled state stays far from BIGINT range."""
+    return ev.select(
+        F.when(F.col("event_type") == "purchase", 1_000_000)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+        F.hour("ts").cast("long").alias("x1"),
+        F.expr("CAST(floor(value / 100) AS BIGINT)").alias("x2"),
+    )
+
+
+def _gd_train(base: DataFrame) -> list[tuple[int, int, int, int]]:
+    """Run the 3 integer GD epochs ON THE DRIVER of the Spark side
+    (each epoch = one distributed aggregate; weights are plain python
+    ints between epochs — the same bounded-iteration shape as k-means,
+    but with a 3-int state instead of centroids). Returns
+    [(epoch, w0, w1, w2)] after each epoch."""
+    w0 = w1 = w2 = 0
+    out = []
+    for ep in range(1, _GD_EPOCHS + 1):
+        z = f"({w0} + {w1} * x1 + {w2} * x2)"
+        sig = _SIG.replace("(z)", z)
+        row = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr(f"{sig} - y")).cast("long").alias("g0"),
+            F.sum(F.expr(f"({sig} - y) * x1")).cast("long").alias("g1"),
+            F.sum(F.expr(f"({sig} - y) * x2")).cast("long").alias("g2"),
+        ).collect()[0]
+        n = row["n"]
+        # python // is floor division == Spark/DuckDB DIV for these
+        # signs-mixed values ONLY if we mirror DIV (trunc) semantics:
+        # use int() truncation explicitly to match SQL DIV.
+        def tdiv(a: int, b: int) -> int:
+            q = abs(a) // b
+            return -q if a < 0 else q
+        w0 -= tdiv(tdiv(row["g0"], n), 2**_GD_LR_SHIFT)
+        w1 -= tdiv(tdiv(row["g1"], n), 2**_GD_LR_SHIFT)
+        w2 -= tdiv(tdiv(row["g2"], n), 2**_GD_LR_SHIFT)
+        out.append((ep, w0, w1, w2))
+    return out
+
+
+def logistic_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33a — gradient-descent training of a hard-sigmoid linear
+    classifier (purchase ~ hour + value) in PURE INTEGER arithmetic:
+    activation = clamp(5e5 + z DIV 4, 0, 1e6) in micro, gradient sums
+    are BIGINTs, the update w -= (grad DIV n) DIV 16 is truncating
+    integer division — so three epochs land on bit-identical weights
+    on any engine. Output: the weight vector and exact integer Brier
+    score (sum of squared micro residuals DIV 1e6) after each epoch —
+    model training as a first-class engine capability, the supervised
+    sibling of k-means.
+
+    Scale: an epoch is ONE scan -> three gradient sums; weights (3
+    ints) live on the driver exactly like k-means centroids."""
+    base = _gd_features(_events(spark, sf_dir)).localCheckpoint()
+    weights = _gd_train(base)
+    rows = []
+    for ep, w0, w1, w2 in weights:
+        z = f"({w0} + {w1} * x1 + {w2} * x2)"
+        sig = _SIG.replace("(z)", z)
+        brier = base.agg(
+            F.sum(F.expr(f"(({sig} - y) * ({sig} - y)) DIV 1000000"))
+            .cast("long")
+            .alias("b")
+        ).collect()[0]["b"]
+        rows.append((ep, w0, w1, w2, brier))
+    return spark.createDataFrame(
+        rows, "epoch long, w0 long, w1 long, w2 long, brier_micro long"
+    ).orderBy("epoch")
+
+
+def logistic_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33b — decile gains table of the trained classifier (t33a's
+    final integer weights): events rank by score (ties by event_id)
+    into ntile(10) buckets; per decile the event count, positives,
+    and cumulative capture rate — THE model-quality readout every
+    targeting campaign reads. Scores are exact integers, so the
+    ranking (and therefore the whole table) is engine-independent.
+
+    Scale: one scoring scan + one global ntile window + a 10-row
+    cumulative pass."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.col("event_id"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.hour("ts").cast("long").alias("x1"),
+        F.expr("CAST(floor(value / 100) AS BIGINT)").alias("x2"),
+    ).localCheckpoint()
+    feats = _gd_features(_events(spark, sf_dir)).localCheckpoint()
+    _, w0, w1, w2 = _gd_train(feats)[-1]
+    scored = base.select(
+        "y", F.expr(f"({w0} + {w1} * x1 + {w2} * x2)").alias("score"), "event_id"
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
+    deciled = scored.select("y", F.ntile(10).over(w).alias("decile"))
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("positives"),
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n",
+        "positives",
+        F.sum("positives").over(cum_w).cast("long").alias("cum_positives"),
+        F.expr(
+            "CAST(SUM(positives) OVER (ORDER BY decile"
+            " ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+            " / CAST(SUM(positives) OVER () AS DOUBLE)"
+        ).alias("capture_rate"),
+    ).orderBy("decile")
+
+
+def _npv_table() -> list[tuple[int, int]]:
+    """(m, f_micro): floor(1e6 * 0.99^m) — python-exact driver
+    constants shared verbatim by both engines."""
+    return [
+        (m, int(1_000_000 * (_NPV_MONTHLY**m)))
+        for m in range(_NPV_MAX_MONTHS + 1)
+    ]
+
+
+_NPV_TABLE = _npv_table()
+
+
+def npv_customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33c — NPV-discounted customer lifetime value per market
+    segment: each order discounts by 0.99^months-since-first-order
+    (integer months = day diff DIV 30; the factor table floor(1e6 *
+    0.99^m) is a DRIVER CONSTANT joined broadcast, same literals both
+    engines), contributing (cents * f_micro) DIV 1e6 exactly. Reports
+    per segment the customers, exact NPV sum, and the top customer's
+    NPV — what the undiscounted LTV triangle (t22) overstates.
+
+    Scale: one orders scan + per-customer first-date window +
+    broadcast factor join + two keyed aggregates."""
+    t = load_testdata(
+        spark, sf_dir, tables=("orders", "customer"), register=False
+    )
+    o = t["orders"].select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    aged = o.select(
+        "o_custkey",
+        "cents",
+        F.expr("datediff(d, MIN(d) OVER (PARTITION BY o_custkey)) DIV 30")
+        .cast("long")
+        .alias("m"),
+    )
+    factors = F.broadcast(_spark_npv_df(spark))
+    npv = (
+        aged.join(factors, "m")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("(cents * f_micro) DIV 1000000"))
+            .cast("long")
+            .alias("npv_centi")
+        )
+    )
+    seg = npv.join(
+        F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return (
+        seg.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("npv_centi").cast("long").alias("npv_sum_centi"),
+            F.max("npv_centi").cast("long").alias("npv_max_centi"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _spark_npv_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_NPV_TABLE, "m long, f_micro long")
+
+
+_TOPSIS_C = (
+    "(sqrt(CAST(dn_p AS DOUBLE) * CAST(dn_p AS DOUBLE)"
+    " + CAST(dn_s AS DOUBLE) * CAST(dn_s AS DOUBLE))"
+    " / (sqrt(CAST(dp_p AS DOUBLE) * CAST(dp_p AS DOUBLE)"
+    " + CAST(dp_s AS DOUBLE) * CAST(dp_s AS DOUBLE))"
+    " + sqrt(CAST(dn_p AS DOUBLE) * CAST(dn_p AS DOUBLE)"
+    " + CAST(dn_s AS DOUBLE) * CAST(dn_s AS DOUBLE))))"
+)
+
+
+def topsis_part_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33d — TOPSIS multi-criteria ranking of parts on (minimize
+    price, maximize size): min-max normalize both criteria to integer
+    micro, measure Euclidean distance to the ideal (cheapest+largest)
+    and anti-ideal points, closeness = d-/(d+ + d-) — the compromise
+    ranking the skyline (t26, which only FILTERS) does not give.
+    Top-20 by (closeness desc, partkey asc); only the final closeness
+    is a (shared-expression) double, built from integer deviations.
+
+    Scale: one part scan + a broadcast min/max row; deterministic
+    because equal closeness only arises from equal integer inputs."""
+    p = load_testdata(spark, sf_dir, tables=("part",), register=False)["part"]
+    base = p.select(
+        "p_partkey",
+        F.expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").alias("pc"),
+        F.col("p_size").cast("long").alias("sz"),
+    )
+    mm = base.agg(
+        F.min("pc").alias("pc_lo"),
+        F.max("pc").alias("pc_hi"),
+        F.min("sz").alias("sz_lo"),
+        F.max("sz").alias("sz_hi"),
+    )
+    norm = base.join(F.broadcast(mm)).select(
+        "p_partkey",
+        # cost criterion: cheaper = closer to ideal -> invert
+        F.expr(
+            "((pc_hi - pc) * 1000000) DIV (pc_hi - pc_lo)"
+        ).alias("n_p"),
+        F.expr("((sz - sz_lo) * 1000000) DIV (sz_hi - sz_lo)").alias("n_s"),
+    )
+    dists = norm.select(
+        "p_partkey",
+        (F.lit(1_000_000) - F.col("n_p")).alias("dp_p"),
+        (F.lit(1_000_000) - F.col("n_s")).alias("dp_s"),
+        F.col("n_p").alias("dn_p"),
+        F.col("n_s").alias("dn_s"),
+    )
+    return (
+        dists.select("p_partkey", F.expr(_TOPSIS_C).alias("closeness"))
+        .orderBy(F.desc("closeness"), "p_partkey")
+        .limit(_TOPSIS_TOP_K)
+    )
+
+
+_GRUBBS = (
+    "(CAST(GREATEST(mx - s DIV n, s DIV n - mn) AS DOUBLE)"
+    " / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)))"
+)
+
+
+def grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33e — Grubbs outlier statistic per event type: G = max
+    deviation of the extreme value from the mean over the sample
+    standard deviation (integer-floored mean deviation in the
+    numerator keeps the comparison scale exact; the ratio is one
+    shared expression) — the single-most-suspicious-point test
+    completing the z/MAD/IQR/EWMA/CUSUM outlier family.
+
+    Scale: one keyed aggregate (n, sum, sum-sq, min, max)."""
+    ev = _events(spark, sf_dir)
+    x = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
+    agg = ev.select("event_type", x.alias("x")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q"),
+        F.min("x").cast("long").alias("mn"),
+        F.max("x").cast("long").alias("mx"),
+    )
+    return agg.select(
+        "event_type", "n", "mn", "mx", F.expr(_GRUBBS).alias("g_stat")
+    ).orderBy("event_type")
+
+
+QUERIES = {
+    "t33_logistic_gd_weights": logistic_gd_weights,
+    "t33_logistic_gains_table": logistic_gains_table,
+    "t33_npv_customer_ltv": npv_customer_ltv,
+    "t33_topsis_part_ranking": topsis_part_ranking,
+    "t33_grubbs_outlier": grubbs_outlier,
+}
+
+
+def _gd_oracle_weights() -> str:
+    """Unrolled 3-epoch GD entirely in SQL (the oracle does not get
+    the driver loop, so each epoch is a CTE whose scalar weights feed
+    the next — same truncating DIV arithmetic, same result)."""
+    ctes = [
+        """base AS (
+            SELECT CASE WHEN event_type = 'purchase'
+                   THEN 1000000 ELSE 0 END AS y,
+                   CAST(hour(ts) AS BIGINT) AS x1,
+                   CAST(floor(value / 100) AS BIGINT) AS x2
+            FROM events
+        ),
+        w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                      CAST(0 AS BIGINT) AS w2)"""
+    ]
+    for ep in range(1, _GD_EPOCHS + 1):
+        sig = (
+            "LEAST(GREATEST(500000 + "
+            f"(w.w0 + w.w1 * b.x1 + w.w2 * b.x2) // 4, 0), 1000000)"
+        )
+        ctes.append(
+            f"""g{ep} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM({sig} - b.y) AS BIGINT) AS g0,
+                   CAST(SUM(({sig} - b.y) * b.x1) AS BIGINT) AS g1,
+                   CAST(SUM(({sig} - b.y) * b.x2) AS BIGINT) AS g2
+            FROM base b CROSS JOIN w{ep - 1} w
+        ),
+        w{ep} AS (
+            SELECT w.w0 - (g.g0 // g.n) // {2 ** _GD_LR_SHIFT} AS w0,
+                   w.w1 - (g.g1 // g.n) // {2 ** _GD_LR_SHIFT} AS w1,
+                   w.w2 - (g.g2 // g.n) // {2 ** _GD_LR_SHIFT} AS w2
+            FROM w{ep - 1} w CROSS JOIN g{ep} g
+        ),
+        b{ep} AS (
+            SELECT CAST({ep} AS BIGINT) AS epoch, w.w0, w.w1, w.w2,
+                   (SELECT CAST(SUM(
+                        (LEAST(GREATEST(500000 + (w.w0 + w.w1 * b.x1
+                             + w.w2 * b.x2) // 4, 0), 1000000) - b.y)
+                        * (LEAST(GREATEST(500000 + (w.w0 + w.w1 * b.x1
+                             + w.w2 * b.x2) // 4, 0), 1000000) - b.y)
+                        // 1000000) AS BIGINT)
+                    FROM base b) AS brier_micro
+            FROM w{ep} w
+        )"""
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM b{ep}" for ep in range(1, _GD_EPOCHS + 1))
+    return "WITH " + ",\n".join(ctes) + f" {unions} ORDER BY epoch"
+
+
+_NPV_VALUES = ", ".join(f"({m}, {f})" for m, f in _NPV_TABLE)
+
+ORACLE = {
+    "t33_logistic_gd_weights": _gd_oracle_weights(),
+    "t33_npv_customer_ltv": f"""
+        WITH o AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        aged AS (
+            SELECT o_custkey, cents,
+                   datediff('day', MIN(d) OVER (PARTITION BY o_custkey), d)
+                       // 30 AS m
+            FROM o
+        ),
+        factors(m, f_micro) AS (VALUES {_NPV_VALUES}),
+        npv AS (
+            SELECT o_custkey,
+                   CAST(SUM((cents * f_micro) // 1000000) AS BIGINT)
+                       AS npv_centi
+            FROM aged JOIN factors USING (m)
+            GROUP BY 1
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(npv_centi) AS BIGINT) AS npv_sum_centi,
+               CAST(MAX(npv_centi) AS BIGINT) AS npv_max_centi
+        FROM npv JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "t33_topsis_part_ranking": f"""
+        WITH base AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc,
+                   CAST(p_size AS BIGINT) AS sz
+            FROM part
+        ),
+        mm AS (
+            SELECT MIN(pc) AS pc_lo, MAX(pc) AS pc_hi,
+                   MIN(sz) AS sz_lo, MAX(sz) AS sz_hi
+            FROM base
+        ),
+        norm AS (
+            SELECT p_partkey,
+                   ((pc_hi - pc) * 1000000) // (pc_hi - pc_lo) AS n_p,
+                   ((sz - sz_lo) * 1000000) // (sz_hi - sz_lo) AS n_s
+            FROM base CROSS JOIN mm
+        ),
+        dists AS (
+            SELECT p_partkey,
+                   1000000 - n_p AS dp_p, 1000000 - n_s AS dp_s,
+                   n_p AS dn_p, n_s AS dn_s
+            FROM norm
+        )
+        SELECT p_partkey, {_TOPSIS_C} AS closeness
+        FROM dists
+        ORDER BY closeness DESC, p_partkey ASC LIMIT {_TOPSIS_TOP_K}
+    """,
+    "t33_grubbs_outlier": f"""
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS s,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)
+                        * CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS q,
+                   CAST(MIN(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS mn,
+                   CAST(MAX(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                       AS mx
+            FROM events GROUP BY 1
+        )
+        SELECT event_type, n, mn, mx,
+               {_GRUBBS.replace(" DIV ", " // ")} AS g_stat
+        FROM agg ORDER BY event_type
+    """,
+}
+
+
+def _gains_oracle() -> str:
+    """The gains oracle needs the trained weights as literals — but
+    training is deterministic integer arithmetic, so the SQL re-derives
+    them through the SAME unrolled CTEs and scores with w3."""
+    sigw = "(w.w0 + w.w1 * b.x1 + w.w2 * b.x2)"
+    head = _gd_oracle_weights()
+    head = head[: head.rindex("SELECT * FROM b1")]
+    return (
+        head
+        + f""",
+        scored AS (
+            SELECT CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   w.w0 + w.w1 * CAST(hour(e.ts) AS BIGINT)
+                       + w.w2 * CAST(floor(e.value / 100) AS BIGINT) AS score,
+                   e.event_id
+            FROM events e CROSS JOIN w{_GD_EPOCHS} w
+        ),
+        deciled AS (
+            SELECT y, ntile(10) OVER (ORDER BY score DESC, event_id ASC)
+                       AS decile
+            FROM scored
+        ),
+        per AS (
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS positives
+            FROM deciled GROUP BY 1
+        )
+        SELECT decile, n, positives,
+               CAST(SUM(positives) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_positives,
+               CAST(SUM(positives) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / CAST(SUM(positives) OVER () AS DOUBLE) AS capture_rate
+        FROM per ORDER BY decile
+    """
+    )
+
+
+ORACLE["t33_logistic_gains_table"] = _gains_oracle()
