@@ -29,6 +29,8 @@ from bigdatamanagement_spark.queries import (
     analytics13,
     analytics14,
     analytics15,
+    analytics16,
+    analytics17,
     events,
     extensions,
     kv,
@@ -80,6 +82,8 @@ _PACKS = [
     analytics13,
     analytics14,
     analytics15,
+    analytics16,
+    analytics17,
     sql4,
 ]
 
