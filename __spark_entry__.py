@@ -31,6 +31,7 @@ from bigdatamanagement_spark.queries import (
     analytics15,
     analytics16,
     analytics17,
+    analytics18,
     events,
     extensions,
     kv,
@@ -84,6 +85,7 @@ _PACKS = [
     analytics15,
     analytics16,
     analytics17,
+    analytics18,
     sql4,
 ]
 
