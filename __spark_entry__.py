@@ -32,6 +32,7 @@ from bigdatamanagement_spark.queries import (
     analytics16,
     analytics17,
     analytics18,
+    analytics19,
     events,
     extensions,
     kv,
@@ -86,6 +87,7 @@ _PACKS = [
     analytics16,
     analytics17,
     analytics18,
+    analytics19,
     sql4,
 ]
 
