@@ -33,6 +33,7 @@ from bigdatamanagement_spark.queries import (
     analytics17,
     analytics18,
     analytics19,
+    analytics20,
     events,
     extensions,
     kv,
@@ -88,6 +89,7 @@ _PACKS = [
     analytics17,
     analytics18,
     analytics19,
+    analytics20,
     sql4,
 ]
 
