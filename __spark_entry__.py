@@ -34,6 +34,7 @@ from bigdatamanagement_spark.queries import (
     analytics18,
     analytics19,
     analytics20,
+    analytics21,
     events,
     extensions,
     kv,
@@ -90,6 +91,7 @@ _PACKS = [
     analytics18,
     analytics19,
     analytics20,
+    analytics21,
     sql4,
 ]
 
