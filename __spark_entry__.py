@@ -35,6 +35,7 @@ from bigdatamanagement_spark.queries import (
     analytics19,
     analytics20,
     analytics21,
+    analytics22,
     events,
     extensions,
     kv,
@@ -92,6 +93,7 @@ _PACKS = [
     analytics19,
     analytics20,
     analytics21,
+    analytics22,
     sql4,
 ]
 
