@@ -36,6 +36,7 @@ from bigdatamanagement_spark.queries import (
     analytics20,
     analytics21,
     analytics22,
+    analytics23,
     events,
     extensions,
     kv,
@@ -94,6 +95,7 @@ _PACKS = [
     analytics20,
     analytics21,
     analytics22,
+    analytics23,
     sql4,
 ]
 
