@@ -37,6 +37,7 @@ from bigdatamanagement_spark.queries import (
     analytics21,
     analytics22,
     analytics23,
+    analytics24,
     events,
     extensions,
     kv,
@@ -96,6 +97,7 @@ _PACKS = [
     analytics21,
     analytics22,
     analytics23,
+    analytics24,
     sql4,
 ]
 
