@@ -38,6 +38,7 @@ from bigdatamanagement_spark.queries import (
     analytics22,
     analytics23,
     analytics24,
+    analytics25,
     events,
     extensions,
     kv,
@@ -98,6 +99,7 @@ _PACKS = [
     analytics22,
     analytics23,
     analytics24,
+    analytics25,
     sql4,
 ]
 
