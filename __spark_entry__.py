@@ -39,6 +39,7 @@ from bigdatamanagement_spark.queries import (
     analytics23,
     analytics24,
     analytics25,
+    analytics26,
     events,
     extensions,
     kv,
@@ -100,6 +101,7 @@ _PACKS = [
     analytics23,
     analytics24,
     analytics25,
+    analytics26,
     sql4,
 ]
 
