@@ -40,6 +40,7 @@ from bigdatamanagement_spark.queries import (
     analytics24,
     analytics25,
     analytics26,
+    analytics27,
     events,
     extensions,
     kv,
@@ -102,6 +103,7 @@ _PACKS = [
     analytics24,
     analytics25,
     analytics26,
+    analytics27,
     sql4,
 ]
 
