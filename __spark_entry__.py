@@ -41,6 +41,7 @@ from bigdatamanagement_spark.queries import (
     analytics25,
     analytics26,
     analytics27,
+    analytics28,
     events,
     extensions,
     kv,
@@ -104,6 +105,7 @@ _PACKS = [
     analytics25,
     analytics26,
     analytics27,
+    analytics28,
     sql4,
 ]
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from bigdatamanagement_spark.session import session_key
 
 TESTDATA_TABLES = (
     "region",
@@ -37,7 +38,7 @@ TESTDATA_TABLES = (
 # reuses the resolved relation (file listing + footer schema read happen
 # once per table per session instead of once per query). Purely a
 # planning-time saving — execution still scans fresh data each action.
-_DF_MEMO: dict[tuple[int, str], DataFrame] = {}
+_DF_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_testdata(
@@ -54,7 +55,7 @@ def load_testdata(
     dfs: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        key = (id(spark), path)
+        key = (session_key(spark), path)
         df = _DF_MEMO.get(key)
         if df is None:
             if not os.path.exists(path):

@@ -45,7 +45,17 @@ def asof_join(
     Right (on, right_ts) pairs should be unique — pre-aggregate
     otherwise; with duplicates the carried row is the last in the
     union's sort, which is not a semantic promise.
+
+    Constraint (same as the forward form): ``right_ts`` must differ
+    from ``on`` — the tolerance branch reads the carried timestamp out
+    of the payload struct, which excludes the join key.
     """
+    if right_ts == on:
+        raise ValueError(
+            "asof_join: right_ts must differ from the join key 'on' "
+            f"({on!r}) — the key is excluded from the carried payload, "
+            "so a tolerance check could not read it"
+        )
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]
     payload = F.struct(*[F.col(c) for c in rcols]).alias("__r")
@@ -115,7 +125,19 @@ def asof_join_forward(
 
     Right (on, right_ts) pairs should be unique — pre-aggregate
     otherwise (with duplicates the carried payload pick among
-    equal-timestamp rights is not a semantic promise)."""
+    equal-timestamp rights is not a semantic promise).
+
+    Constraint: ``right_ts`` must not equal ``on`` — the join key is
+    excluded from the carried payload struct, so the tolerance branch
+    (which reads the carried right timestamp via getField(right_ts))
+    would have nothing to read. Asserted below rather than left as an
+    unstated precondition."""
+    if right_ts == on:
+        raise ValueError(
+            "asof_join_forward: right_ts must differ from the join key "
+            f"'on' ({on!r}) — the key is excluded from the carried "
+            "payload, so a tolerance check could not read it"
+        )
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]
     payload = F.struct(*[F.col(c) for c in rcols]).alias("__r")

@@ -88,7 +88,11 @@ def global_running_max(
     carry, offsets = None, []
     for row in sorted(maxima, key=lambda r: r["_pid"]):
         offsets.append((row["_pid"], carry))
-        carry = row["_pmax"] if carry is None else max(carry, row["_pmax"])
+        # A partition whose value column is all NULL yields _pmax None;
+        # max(carry, None) would raise, so skip None maxima (greatest()
+        # below is itself NULL-skipping, matching SQL MAX semantics).
+        if row["_pmax"] is not None:
+            carry = row["_pmax"] if carry is None else max(carry, row["_pmax"])
     vtype = staged.schema[value_col].dataType.simpleString()
     off = spark.createDataFrame(offsets, schema=f"_pid int, _carry {vtype}")
     w = (

@@ -163,8 +163,13 @@ def lsh_topk(
                     }
                 )
 
+        # Derive the id field's type from the input — hardcoding 'long'
+        # breaks (Arrow schema error or silent cast) for int/string ids.
+        id_type = src.schema[id_alias].dataType.simpleString()
         signed = src.mapInPandas(
-            sig, f"{id_alias} long, {vec_alias} array<double>, buckets array<int>"
+            sig,
+            f"{id_alias} {id_type}, {vec_alias} array<double>, "
+            "buckets array<int>",
         )
         return signed.select(
             id_alias, vec_alias, F.posexplode_outer("buckets").alias("table", "bucket")
@@ -459,7 +464,13 @@ def pq_train_codebooks(
     Deterministic: seeded init on id-sorted rows."""
     import pandas as pd
 
-    dim = len(corpus.select(_as_double(F.col(vec_col)).alias("v")).first()["v"])
+    probe = corpus.select(_as_double(F.col(vec_col)).alias("v")).first()
+    if probe is None or probe["v"] is None:
+        raise ValueError(
+            "pq_train_codebooks: empty corpus (or all-NULL vector column) "
+            f"— nothing to train on in column {vec_col!r}"
+        )
+    dim = len(probe["v"])
     dsub = dim // m
     v = _as_double(F.col(vec_col))
     sub_rows = corpus.select(
@@ -479,7 +490,12 @@ def pq_train_codebooks(
         s = int(pdf["subspace"].iloc[0])
         x = np.stack(pdf["sv"].to_numpy())
         rng = np.random.RandomState(seed + s)
-        cent = x[rng.choice(len(x), size=ksub, replace=False)].copy()
+        # A subspace sample smaller than ksub cannot seed ksub distinct
+        # centroids; sample with replacement rather than raising inside
+        # the executor (duplicate seeds collapse to duplicate codewords,
+        # still a valid — if redundant — codebook for a tiny corpus).
+        replace = len(x) < ksub
+        cent = x[rng.choice(len(x), size=ksub, replace=replace)].copy()
         for _ in range(max_iter):
             d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)

@@ -105,8 +105,9 @@ _GINI = (
     " / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE)))"
 )
 _HHI = (
-    "(CAST(sum_sq_cents AS DOUBLE)"
-    " / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)))"
+    "(CAST(sum_sq_kcents AS DOUBLE)"
+    " / ((CAST(total_cents AS DOUBLE) / 1000.0)"
+    " * (CAST(total_cents AS DOUBLE) / 1000.0)))"
 )
 
 
@@ -118,8 +119,14 @@ def spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's spend-per-customer aggregate
     (`AmazonRedshift.java:499-509`) — "is this nation's revenue a few
     whales or a broad base". Customers with no orders are excluded
-    (spend undefined); all moments exact BIGINT cents, the two ratios
-    evaluate ONE shared expression string on both engines.
+    (spend undefined); all moments exact BIGINT, the two ratios
+    evaluate ONE shared expression string on both engines. The squared
+    moment is carried in KILO-cents (spend DIV 1000, squared) — squared
+    raw cents overflows BIGINT already at sf0.1 (spend ~ 2e8 cents =>
+    spend^2 ~ 4e16, x hundreds of customers per nation > 2^63); the
+    kilo-cent convention keeps the sum exact and BIGINT-safe past sf100
+    while moving HHI by < 1e-5 relative (documented convention, both
+    engines identical).
 
     Scale: one customer aggregate (exchange on o_custkey), one
     per-nation rank window; equal spends commute in sum(i*x_i) so the
@@ -148,7 +155,9 @@ def spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_customers"),
             F.sum("spend").alias("total_cents"),
             F.sum(F.col("i") * F.col("spend")).alias("weighted_rank_sum"),
-            F.sum(F.col("spend") * F.col("spend")).alias("sum_sq_cents"),
+            F.sum(F.expr("(spend DIV 1000) * (spend DIV 1000)")).alias(
+                "sum_sq_kcents"
+            ),
         )
         .join(
             F.broadcast(
@@ -162,7 +171,7 @@ def spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         F.col("total_cents").cast("long").alias("total_cents"),
         F.col("weighted_rank_sum").cast("long").alias("weighted_rank_sum"),
-        F.col("sum_sq_cents").cast("long").alias("sum_sq_cents"),
+        F.col("sum_sq_kcents").cast("long").alias("sum_sq_kcents"),
         F.expr(_GINI).alias("gini"),
         F.expr(_HHI).alias("hhi"),
     ).orderBy("n_name")
@@ -541,11 +550,12 @@ ORACLE = {
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
                    CAST(SUM(spend) AS BIGINT) AS total_cents,
                    CAST(SUM(i * spend) AS BIGINT) AS weighted_rank_sum,
-                   CAST(SUM(spend * spend) AS BIGINT) AS sum_sq_cents
+                   CAST(SUM((spend // 1000) * (spend // 1000)) AS BIGINT)
+                       AS sum_sq_kcents
             FROM ranked GROUP BY 1
         )
         SELECT n_name, n_customers, total_cents, weighted_rank_sum,
-               sum_sq_cents, {_GINI} AS gini, {_HHI} AS hhi
+               sum_sq_kcents, {_GINI} AS gini, {_HHI} AS hhi
         FROM agg JOIN nation ON c_nationkey = n_nationkey
         ORDER BY n_name
     """,

@@ -23,6 +23,7 @@ from bigdatamanagement_spark.operators import dedup as D
 from bigdatamanagement_spark.operators import search as SR
 from bigdatamanagement_spark.operators import similarity as S
 from bigdatamanagement_spark.operators import text as T
+from bigdatamanagement_spark.session import session_key
 
 TOPK_QUERY_IDS = 32  # vec_id < 32 are the ANN query vectors
 NEARDUP_COS = 0.4
@@ -218,11 +219,11 @@ def source_kl_divergence(spark, sf_dir) -> DataFrame:
 # The standing corpus's MinHash signatures: the at-ingest index both
 # the batch and streaming incremental-dedup entries probe — built once
 # per (session, corpus), like the IVF centroids and PQ codes.
-_BASE_SIGS: dict[tuple[int, str], DataFrame] = {}
+_BASE_SIGS: dict[tuple[str, str], DataFrame] = {}
 
 
 def base_minhash_signatures(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _BASE_SIGS:
         base = _docs(spark, sf_dir).filter(
             F.col("doc_id") % BATCH_MOD != BATCH_MOD - 1
@@ -344,14 +345,14 @@ def lsh_ann_topk(spark, sf_dir) -> DataFrame:
 # Trained IVF centroids per (session, corpus): training is the expensive
 # phase (each Lloyd iteration is a Spark job) and in production happens
 # once at index-build time, not per query — the memo models exactly that.
-_IVF_CENTROIDS: dict[tuple[int, str], list[list[float]]] = {}
+_IVF_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
 
 
 def _ivf_centroids(spark, sf_dir, e: DataFrame) -> list[list[float]]:
     """Per-(session, corpus) trained coarse quantizer — index-build phase,
     memoized (one Spark job per Lloyd iteration; happens at write time in
     production, not per query)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[key] = S.kmeans_centroids(e, "embedding", n_cells=8, max_iter=8)
     return _IVF_CENTROIDS[key]
@@ -372,13 +373,13 @@ def ivf_ann_topk(spark, sf_dir) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-_PQ_CODEBOOKS: dict[tuple[int, str], list] = {}
+_PQ_CODEBOOKS: dict[tuple[str, str], list] = {}
 
 
 def _pq_codebooks(spark, sf_dir, e: DataFrame) -> list:
     """Per-(session, corpus) trained PQ codebooks — index-build phase,
     memoized like the IVF coarse quantizer."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _PQ_CODEBOOKS:
         # Codebooks train on a deterministic 1/4 sample (standard PQ
         # practice — Jégou et al. train on a subset); each of the m

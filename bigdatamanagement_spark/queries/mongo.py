@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bigdatamanagement_spark.catalog import load_testdata
 from bigdatamanagement_spark.operators.nest import nest, unnest
+from bigdatamanagement_spark.session import session_key
 
 CUSTKEY = 42  # exists at every SF (keys are 0-based dense)
 ORDERKEY = 32
@@ -33,12 +34,12 @@ def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # data materialized at ingest, not per-query intermediates — so they
 # memoize per (session, corpus) like the IVF centroids: build once
 # (two collect_list shuffles), every nested query reads the snapshot.
-_NEST_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_NEST_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def custorders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The nested custorders view (N-01; MongoDB.java:242-301)."""
-    key = (id(spark), sf_dir, "custorders")
+    key = (session_key(spark), sf_dir, "custorders")
     if key not in _NEST_MEMO:
         t = _t(spark, sf_dir)
         _NEST_MEMO[key] = nest(
@@ -125,7 +126,7 @@ def custorderitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested into customers — array<struct<..., items array<struct>>>.
     The Dremel repeated-within-repeated shape (one level past the
     reference's custorders)."""
-    key = (id(spark), sf_dir, "custorderitems")
+    key = (session_key(spark), sf_dir, "custorderitems")
     if key not in _NEST_MEMO:
         t = load_testdata(
             spark, sf_dir, tables=("customer", "orders", "lineitem"), register=False

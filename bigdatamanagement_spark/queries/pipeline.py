@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from bigdatamanagement_spark.catalog import load_testdata
+from bigdatamanagement_spark.session import session_key
 from bigdatamanagement_spark.operators import cluster as C
 from bigdatamanagement_spark.operators import dedup as D
 
@@ -46,11 +47,11 @@ def _tokens(text):
 # MinHash candidate pairs are the shared intermediate of both clustering
 # queries; materialize once per (session, corpus) — the multi-query
 # equivalent of a pipeline stage writing its output for downstream steps.
-_PAIRS_MEMO: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _PAIRS_MEMO:
         docs = _docs(spark, sf_dir)
         pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
@@ -63,12 +64,12 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterative star-contraction would otherwise run three times; repetition:
 # filter + funnel). Same memo pattern: one computation per (session,
 # corpus), materialized off the lineage with localCheckpoint.
-_CLUSTERS_MEMO: dict[tuple[int, str], DataFrame] = {}
-_REP_MEMO: dict[tuple[int, str], DataFrame] = {}
+_CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
+_REP_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _CLUSTERS_MEMO:
         docs = _docs(spark, sf_dir)
         pairs = _neardup_pairs(spark, sf_dir)
@@ -80,7 +81,7 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatamanagement_spark.operators.text import repetition_metrics
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _REP_MEMO:
         m = repetition_metrics(_docs(spark, sf_dir), "doc_id", "text", dup_k=3)
         _REP_MEMO[key] = m.localCheckpoint(eager=True)

@@ -32,6 +32,16 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable memo-cache key for a live session.
+
+    ``id(spark)`` is unsafe for cross-call caches: after a session is
+    stopped and garbage-collected CPython reuses object ids, so a NEW
+    session could be handed localCheckpointed DataFrames bound to a dead
+    one. The application id is unique per SparkContext lifetime."""
+    return spark.sparkContext.applicationId
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,
