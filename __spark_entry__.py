@@ -42,6 +42,8 @@ from bigdatamanagement_spark.queries import (
     analytics26,
     analytics27,
     analytics28,
+    analytics29,
+    analytics30,
     events,
     extensions,
     kv,
@@ -106,6 +108,8 @@ _PACKS = [
     analytics26,
     analytics27,
     analytics28,
+    analytics29,
+    analytics30,
     sql4,
 ]
 

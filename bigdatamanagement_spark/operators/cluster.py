@@ -24,6 +24,8 @@ AQE skew-join splitting handles it without manual salting.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -70,27 +72,103 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+@contextmanager
+def _iter_partitions(spark, n_edges: int):
+    """Scope spark.sql.shuffle.partitions for the contraction loop.
+
+    Every round materializes eagerly (localCheckpoint + convergence
+    checksum), so AQE's partition coalescing cannot amortize the FIXED
+    per-task scheduling cost across rounds the way it does inside one
+    query — at the session default (2x cores) a small graph pays
+    rounds x partitions x task-overhead for mostly-empty tasks (the
+    same economics as the streaming state drains, streaming_pack.py).
+    Size the loop's shuffles from the measured edge count instead:
+    ~250k edges per partition, floored at 8, capped at the session
+    default so a genuinely large graph keeps full parallelism."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    scoped = max(8, min(int(old), n_edges // 250_000 + 1))
+    spark.conf.set(key, str(scoped))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Union-find on the driver for a provably tiny edge set — same
+    output contract as the distributed path (component = min node id).
+    O(E α(E)) in one collect, vs O(rounds) eager shuffle rounds whose
+    FIXED scheduling cost dwarfs graphs this small."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        u, v = row["u"], row["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min-label union keeps the contract exact: the root IS the
+            # component minimum at all times
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    rows = [(n, find(n)) for n in parent]
+    return e.sparkSession.createDataFrame(
+        rows, schema="node long, component long"
+    )
+
+
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; the
     component label is the minimum node id of the component.
 
     Nodes absent from ``edges`` are their own singleton components —
     callers join this result back and ``coalesce`` to the node id.
+
+    Graphs at or under ``driver_threshold`` edges (a few MB of longs —
+    the count is already measured for the convergence checksum) finish
+    with a driver-side union-find instead of the iterative contraction:
+    each eager star round costs a FIXED scheduling price (4 shuffles +
+    checkpoint + checksum collect, ~0.8 s locally) regardless of size,
+    so a 4-round run on a 4k-edge graph pays ~3 s for microseconds of
+    actual work. Same economics as AQE's runtime broadcast conversion:
+    pick the local algorithm when the data is measured small, keep the
+    distributed one (unchanged, property-tested) for real scale. Pass
+    ``driver_threshold=0`` to force the distributed path.
     """
     e = _canon(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
     ).localCheckpoint(eager=True)
-    prev = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
-        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    prev = _checksum(e)
+    if prev[0] <= driver_threshold:
+        return _driver_components(e)
+    with _iter_partitions(e.sparkSession, prev[0]):
+        for _ in range(max_iter):
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_iter} rounds"
+            )
     # Converged state is a union of stars: (child → root) plus the roots
     # themselves, which appear only on the v side.
     roots = e.select(F.col("v").alias("node")).distinct().join(

@@ -50,25 +50,12 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase edges with exact integer micro-length 1e6 DIV
     co_order_count (more co-orders = shorter edge) — the t19/t20/t25
     graph, weighted."""
-    li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)[
-        "lineitem"
-    ]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    from bigdatamanagement_spark.queries.analytics7 import (
+        copurchase_weighted_pairs,
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+
     return (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        copurchase_weighted_pairs(spark, sf_dir)
         .filter(F.col("c") >= 2)
         .select("a", "b", F.expr("1000000 DIV c").alias("w"))
     )

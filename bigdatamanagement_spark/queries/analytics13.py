@@ -183,28 +183,11 @@ def percolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the support aggregate runs ONCE; each threshold is a
     filter + one O(log n) star-contraction run on a graph that only
     shrinks."""
-    li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)[
-        "lineitem"
-    ]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    from bigdatamanagement_spark.queries.analytics7 import (
+        copurchase_weighted_pairs,
     )
-    weighted = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint()
-    )
+
+    weighted = copurchase_weighted_pairs(spark, sf_dir)
     outs = []
     for t in _PERC_THRESHOLDS:
         edges = weighted.filter(F.col("c") >= t).select("a", "b")

@@ -408,21 +408,15 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, ~4-13 parts/order) — the self-join formulation would shuffle
     the lineitem table twice instead. Per-part and global counts
     broadcast back onto the (tiny) pair aggregate."""
+    from bigdatamanagement_spark.queries.analytics7 import (
+        copurchase_weighted_pairs,
+    )
+
     li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)["lineitem"]
     op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    n_ab = copurchase_weighted_pairs(spark, sf_dir).select(
+        F.col("a").alias("pa"), F.col("b").alias("pb"), F.col("c").alias("n_ab")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS pa, y AS pb))))"
-            )
-        ).alias("p")
-    ).select("p.pa", "p.pb")
-    n_ab = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n_ab"))
     n_part = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
     n_tot = op.select("l_orderkey").distinct().agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -865,24 +859,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme skew, re-orient by degree instead of key to bound wedge
     fan-out). The support-≥2 filter prunes the edge list before any
     join."""
-    li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    edges = (
-        pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
-        .select("a", "b")
-    )
+    from bigdatamanagement_spark.queries.analytics7 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
     verts = edges.select(F.col("a").alias("v")).union(
         edges.select(F.col("b").alias("v"))
     ).distinct()

@@ -65,26 +65,9 @@ def copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is one shuffle on the vertex id; work per round is
     |frontier|·avg-degree, never |V|². The support-≥2 prune shrinks
     the edge list before any traversal."""
-    li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    edges = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("a", "b")
-    )
+    from bigdatamanagement_spark.queries.analytics7 import _copurchase_edges
+
+    edges = _copurchase_edges(spark, sf_dir)
     # materialize the (small, pruned) edge list once — each BFS round's
     # lineage would otherwise re-run the basket explode + support count
     sym = (

@@ -47,28 +47,57 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
 
+# The weighted co-purchase pair table (a < b, co-order count c) is the
+# shared substrate of NINE graph queries (triangles, BFS, k-core,
+# Bellman-Ford, percolation, assortativity, PPR, k-truss, clustering
+# coefficients) — each was re-running the same distinct + basket
+# collect_set + pair explode + count (~6 s of the measured per-query
+# time at sf0.1). Memoize per (session, corpus) like the nested Mongo
+# views: the reference's analog is a STORED collection (ingest-time
+# materialization), and at 100 TB this table is exactly what you'd
+# write bucketed-by(a) at ETL time. First consumer bills the build
+# (BASELINE.md's documented attribution artifact).
+_COPURCHASE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def copurchase_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, c): oriented (a < b) part pairs with their co-order count
+    c ≥ 1 — built once per (session, corpus) via the bounded per-basket
+    pair fan-out (order size bounds the quadratic term; the self-join
+    formulation would shuffle lineitem twice)."""
+    from bigdatamanagement_spark.session import session_key
+
+    key = (session_key(spark), sf_dir)
+    if key not in _COPURCHASE_MEMO:
+        li = load_testdata(
+            spark, sf_dir, tables=("lineitem",), register=False
+        )["lineitem"]
+        op = li.select("l_orderkey", "l_partkey").distinct()
+        baskets = op.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("parts")
+        )
+        pairs = baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) -> "
+                    "transform(slice(parts, i + 2, size(parts)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        _COPURCHASE_MEMO[key] = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return _COPURCHASE_MEMO[key]
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oriented (a < b) part pairs co-bought in ≥2 distinct orders —
-    the t19/t20 graph, rebuilt via the bounded per-basket pair fan-out."""
-    li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)[
-        "lineitem"
-    ]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
+    the t19/t20 graph, a filter over the memoized weighted pair table."""
     return (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        copurchase_weighted_pairs(spark, sf_dir)
         .filter(F.col("c") >= 2)
         .select("a", "b")
     )

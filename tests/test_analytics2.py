@@ -185,12 +185,17 @@ def test_triangle_count_on_crafted_graph(spark):
         pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
     )
     import bigdatamanagement_spark.queries.analytics2 as a2
+    import bigdatamanagement_spark.queries.analytics7 as a7
     from unittest import mock
 
+    # the edge build lives in analytics7 (memoized per (session, dir));
+    # a unique fake dir keys the crafted graph away from real corpora
     with mock.patch.object(
-        a2, "load_testdata", lambda *a, **k: {"lineitem": df}
+        a7, "load_testdata", lambda *a, **k: {"lineitem": df}
     ):
-        out = a2.copurchase_triangles(spark, "ignored").first()
+        out = a2.copurchase_triangles(
+            spark, "crafted://triangle-test"
+        ).first()
     assert out["n_vertices"] == 4
     assert out["n_edges"] == 5
     assert out["n_triangles"] == 2  # (1,2,3) and (1,2,4)

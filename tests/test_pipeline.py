@@ -36,30 +36,49 @@ def _union_find_components(n_nodes, edges):
     return {x: min(nodes) for nodes in comp.values() for x in nodes}
 
 
+# thr=0 forces the distributed star-contraction path; the default
+# takes the driver union-find fallback — both must agree with the
+# reference union-find on every graph.
+@pytest.mark.parametrize("thr", [0, 200_000])
 @pytest.mark.parametrize("seed,n,m", [(1, 30, 20), (2, 60, 90), (3, 40, 40)])
-def test_connected_components_matches_union_find(spark, seed, n, m):
+def test_connected_components_matches_union_find(spark, seed, n, m, thr):
     rng = random.Random(seed)
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
     edges = [e for e in edges if e[0] != e[1]]
     df = spark.createDataFrame(edges, "a: long, b: long")
-    got = {r.node: r.component for r in C.connected_components(df, "a", "b").collect()}
+    got = {
+        r.node: r.component
+        for r in C.connected_components(
+            df, "a", "b", driver_threshold=thr
+        ).collect()
+    }
     want = _union_find_components(n, edges)
     touched = {x for e in edges for x in e}
     assert got == {x: want[x] for x in touched}
 
 
-def test_connected_components_chain_worst_case(spark):
+@pytest.mark.parametrize("thr", [0, 200_000])
+def test_connected_components_chain_worst_case(spark, thr):
     """A path graph maximizes diameter — star contraction must still
     converge (in O(log n) rounds, not O(n)) and label by the min id."""
     n = 64
     df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a: long, b: long")
-    got = {r.node: r.component for r in C.connected_components(df, "a", "b").collect()}
+    got = {
+        r.node: r.component
+        for r in C.connected_components(
+            df, "a", "b", driver_threshold=thr
+        ).collect()
+    }
     assert got == {i: 0 for i in range(n)}
 
 
-def test_connected_components_empty(spark):
+@pytest.mark.parametrize("thr", [0, 200_000])
+def test_connected_components_empty(spark, thr):
     df = spark.createDataFrame([], "a: long, b: long")
-    assert C.connected_components(df, "a", "b").count() == 0
+    assert (
+        C.connected_components(df, "a", "b", driver_threshold=thr).count()
+        == 0
+    )
 
 
 def test_assign_clusters_singletons(spark):
