@@ -44,6 +44,8 @@ from bigdatamanagement_spark.queries import (
     analytics28,
     analytics29,
     analytics30,
+    analytics31,
+    analytics32,
     events,
     extensions,
     kv,
@@ -110,6 +112,8 @@ _PACKS = [
     analytics28,
     analytics29,
     analytics30,
+    analytics31,
+    analytics32,
     sql4,
 ]
 

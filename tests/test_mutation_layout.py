@@ -186,3 +186,42 @@ def test_cdc_apply_covers_every_user(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     assert row["n_live"] + row["n_tombstoned"] == n_users
     assert row["n_tombstoned"] > 0  # 'error' finality occurs at test SFs
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """A month-partitioned fact joined to a filtered dim on the
+    partition column must plan a DPP subquery filter (the runtime
+    partition pruning that makes dim-filtered fact scans cheap at
+    100 TB) AND prune correctly — the result equals the statically
+    filtered computation."""
+    from bigdatamanagement_spark.catalog import load_testdata
+    from bigdatamanagement_spark.plans import executed_plan
+
+    t = load_testdata(
+        spark, sf_dir, tables=("lineitem", "orders"), register=False
+    )
+    path = str(tmp_path / "li_by_month")
+    li = t["lineitem"].withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    li.write.partitionBy("ship_month").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+    )
+    joined = fact.join(dim, fact.ship_month == dim.m).agg(
+        F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n")
+    )
+    plan = executed_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = joined.first()
+    months = {r["m"] for r in dim.collect()}
+    want = (
+        li.filter(F.col("ship_month").isin(*months))
+        .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+        .first()
+    )
+    assert got["q"] == want["q"] and got["n"] == want["n"]
