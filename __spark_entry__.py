@@ -46,6 +46,9 @@ from bigdatamanagement_spark.queries import (
     analytics30,
     analytics31,
     analytics32,
+    analytics33,
+    analytics34,
+    analytics35,
     events,
     extensions,
     kv,
@@ -114,6 +117,9 @@ _PACKS = [
     analytics30,
     analytics31,
     analytics32,
+    analytics33,
+    analytics34,
+    analytics35,
     sql4,
 ]
 
