@@ -49,6 +49,8 @@ from bigdatamanagement_spark.queries import (
     analytics33,
     analytics34,
     analytics35,
+    analytics36,
+    analytics37,
     events,
     extensions,
     kv,
@@ -120,6 +122,8 @@ _PACKS = [
     analytics33,
     analytics34,
     analytics35,
+    analytics36,
+    analytics37,
     sql4,
 ]
 

@@ -283,8 +283,10 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     last ≤16 nonzero-demand weeks; forecast per period =
     ses(size)/ses(gap). With the same α and the same window length,
     the two folds' 2^(n-1) denominators cancel, so the forecast is
-    z_num/p_num on two exact BIGINT dyadic convolutions
-    (Σ vᵢ·2^(i-1), i ascending in time). First in-window gap is
+    z_num/p_num on two exact BIGINT dyadic convolutions — the SES
+    closed form 2^(n-1)·l_n = v₁ + Σ_{i≥2} vᵢ·2^(i-2) (the first
+    observation initializes the level, so it carries weight 1, the
+    same as v₂; property-tested against the sequential recursion). First in-window gap is
     defined as 1 (documented window-start convention). Plain mean
     demand reported for contrast — Croston sits below it exactly when
     demand is intermittent (gaps > 1).
@@ -326,10 +328,18 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_periods"),
         F.sum("q").cast("long").alias("q_sum"),
         F.sum(
-            F.expr("q * shiftleft(CAST(1 AS BIGINT), CAST(i - 1 AS INT))")
+            F.expr(
+                "q * (CASE WHEN i = 1 THEN CAST(1 AS BIGINT)"
+                " ELSE shiftleft(CAST(1 AS BIGINT), CAST(i - 2 AS INT))"
+                " END)"
+            )
         ).cast("long").alias("z_num"),
         F.sum(
-            F.expr("gap * shiftleft(CAST(1 AS BIGINT), CAST(i - 1 AS INT))")
+            F.expr(
+                "gap * (CASE WHEN i = 1 THEN CAST(1 AS BIGINT)"
+                " ELSE shiftleft(CAST(1 AS BIGINT), CAST(i - 2 AS INT))"
+                " END)"
+            )
         ).cast("long").alias("p_num"),
     )
     return folded.select(
@@ -485,9 +495,11 @@ ORACLE = {
             SELECT p_brand,
                    CAST(COUNT(*) AS BIGINT) AS n_periods,
                    CAST(SUM(q) AS BIGINT) AS q_sum,
-                   CAST(SUM(q * (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)))
+                   CAST(SUM(q * (CASE WHEN i = 1 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << CAST(i - 2 AS INT) END))
                         AS BIGINT) AS z_num,
-                   CAST(SUM(gap * (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)))
+                   CAST(SUM(gap * (CASE WHEN i = 1 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << CAST(i - 2 AS INT) END))
                         AS BIGINT) AS p_num
             FROM seq GROUP BY 1
         )

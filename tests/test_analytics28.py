@@ -65,12 +65,11 @@ def test_croston_below_mean_when_intermittent(spark, sf_dir):
         assert 1 <= n <= analytics28._CROSTON_WINDOW
         assert r["z_num"] > 0 and r["p_num"] > 0
         # every gap >= 1, so the gap convolution is at least the pure
-        # dyadic sum 2^n - 1 — hence ses(gap) >= 1 and the forecast
-        # can never exceed the dyadic-weighted demand level z_num/p_num
-        # with p_num at its floor
-        assert r["p_num"] >= (1 << n) - 1
+        # SES weight sum 1 + sum 2^(i-2) = 2^(n-1) — hence ses(gap) >= 1
+        # and the forecast never exceeds z_num at p_num's floor
+        assert r["p_num"] >= 1 << (n - 1)
         assert r["croston_forecast"] > 0
         assert (
             r["croston_forecast"]
-            <= r["z_num"] / float((1 << n) - 1) + 1e-9
+            <= r["z_num"] / float(1 << (n - 1)) + 1e-9
         )

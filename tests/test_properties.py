@@ -116,3 +116,92 @@ def test_micro_nat_ln_floor_is_engine_stable(n):
     # part within 1e-6 of 0/1 would be the only risk zone
     if n > 1:
         assert 1e-9 < frac < 1 - 1e-9 or frac == 0.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    zs=st.lists(
+        st.floats(0.0, 6.0, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bh_threshold_ladder_equals_pvalue_stepup(zs):
+    """The analytics36 rule (rank |z| desc, largest k with
+    |z|_(k) >= Phi^-1(1 - a*k/(2m)), reject rank <= k) is exactly the
+    Benjamini-Hochberg step-up on two-sided normal p-values."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    alpha, m = 0.05, len(zs)
+    ordered = sorted(zs, reverse=True)
+    thresholds = [nd.inv_cdf(1 - alpha * i / (2 * m)) for i in range(1, m + 1)]
+    k_ladder = max(
+        (i + 1 for i, (z, t) in enumerate(zip(ordered, thresholds)) if z >= t),
+        default=0,
+    )
+    # classic BH: sort p ascending, k = max{i : p_(i) <= a*i/m}
+    ps = sorted(2 * (1 - nd.cdf(z)) for z in zs)
+    k_bh = max(
+        (i + 1 for i, p in enumerate(ps) if p <= alpha * (i + 1) / m),
+        default=0,
+    )
+    assert k_ladder == k_bh, (ordered, ps)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=16),
+    gaps=st.lists(st.integers(1, 20), min_size=1, max_size=16),
+)
+def test_croston_dyadic_fold_equals_sequential_ses(sizes, gaps):
+    """z_num/p_num (the analytics28 dyadic convolutions with the
+    2^(n-1) denominators cancelled) equals the ratio of two sequential
+    alpha=1/2 SES recursions run over the same series."""
+    n = min(len(sizes), len(gaps))
+    sizes, gaps = sizes[:n], gaps[:n]
+
+    def ses_half(xs):
+        level = float(xs[0])
+        for x in xs[1:]:
+            level = (x + level) / 2.0
+        return level
+
+    def conv(xs):
+        return xs[0] + sum(x << (i - 1) for i, x in enumerate(xs) if i >= 1)
+
+    z_num = conv(sizes)
+    p_num = conv(gaps)
+    got = z_num / p_num
+    want = ses_half(sizes) / ses_half(gaps)
+    assert abs(got - want) < 1e-9 * max(1.0, want), (sizes, gaps)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    tri=st.tuples(
+        st.integers(-5, 5), st.integers(-5, 5), st.integers(-5, 5)
+    )
+)
+def test_ordinal_pattern_bits_injective_on_strict_orders(tri):
+    """The analytics33 3-bit ordinal encoding distinguishes every
+    strict ordering of (a, b, c): same pattern id implies the same
+    ordinal ranking (earlier-wins ties, <= convention)."""
+    a, b, c = tri
+
+    def pid(a, b, c):
+        return (
+            (0 if a <= b else 1)
+            + (0 if a <= c else 1) * 2
+            + (0 if b <= c else 1) * 4
+        )
+
+    # injectivity over strict orders: enumerate all 6 permutations of
+    # three DISTINCT values and assert distinct pattern ids
+    import itertools
+
+    vals = (1, 2, 3)
+    ids = {pid(*p) for p in itertools.permutations(vals)}
+    assert len(ids) == 6
+    # and the id is a pure function of the ordinal relations
+    assert 0 <= pid(a, b, c) <= 7
