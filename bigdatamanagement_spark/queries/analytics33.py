@@ -135,10 +135,14 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-down path forecasts the REGION total and allocates it to
     nations by their full-history revenue share using Hamilton
     largest remainders (the t23 quota discipline) — so the allocated
-    cents sum to the region forecast EXACTLY, the coherence property
-    ad-hoc proportional rounding silently loses. Output per nation:
-    both forecasts and the signed gap; the two methods agree exactly
-    when last week's mix equals the historical mix.
+    units sum to the region forecast EXACTLY, the coherence property
+    ad-hoc proportional rounding silently loses. Revenue folds in
+    KILO-DOLLARS (weekly cell cents DIV 100000, documented grain —
+    the Hamilton product r_forecast·n_hist overflows BIGINT in cents
+    already at sf0.1; kilo-dollars keep it exact through ~sf300).
+    Output per nation: both forecasts and the signed gap; the two
+    methods agree exactly when last week's mix equals the historical
+    mix.
 
     Scale: one (nation, week) aggregate; allocation is two rank
     windows on ≤|nations| rows per region."""
@@ -168,7 +172,7 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("CAST(weekofyear(o_orderdate) AS BIGINT)").alias("wk"))
         .join(F.broadcast(geo), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name", "wk")
-        .agg(F.sum("cents").alias("rev"))
+        .agg(F.expr("SUM(cents) DIV 100000").alias("rev"))
         .localCheckpoint(eager=True)
     )
     lastwk = weekly.agg(F.max("wk").alias("lw"))
@@ -233,7 +237,7 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
-            "gap_cents", F.col("bu_forecast") - F.col("td_forecast")
+            "gap_kd", F.col("bu_forecast") - F.col("td_forecast")
         )
         .orderBy("r_name", "n_name")
     )
@@ -422,7 +426,7 @@ ORACLE = {
             SELECT g.r_name, g.n_name,
                    CAST(weekofyear(o.o_orderdate) AS BIGINT) AS wk,
                    CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
-                        AS BIGINT) AS rev
+                        // 100000 AS BIGINT) AS rev
             FROM orders o JOIN geo g ON o.o_custkey = g.c_custkey
             GROUP BY 1, 2, 3
         ),
@@ -467,7 +471,7 @@ ORACLE = {
                CAST(COALESCE(bu.bu_forecast, 0) AS BIGINT) AS bu_forecast,
                CAST(COALESCE(td.td_forecast, 0) AS BIGINT) AS td_forecast,
                CAST(COALESCE(bu.bu_forecast, 0)
-                    - COALESCE(td.td_forecast, 0) AS BIGINT) AS gap_cents
+                    - COALESCE(td.td_forecast, 0) AS BIGINT) AS gap_kd
         FROM bu FULL JOIN td
              ON bu.r_name = td.r_name AND bu.n_name = td.n_name
         ORDER BY r_name, n_name

@@ -42,7 +42,7 @@ def test_reconciliation_coherence(spark, sf_dir):
         # Hamilton allocation sums EXACTLY to the region forecast
         assert td == bu, region
         for r in rs:
-            assert r["gap_cents"] == r["bu_forecast"] - r["td_forecast"]
+            assert r["gap_kd"] == r["bu_forecast"] - r["td_forecast"]
 
 
 def test_capacity_profile_invariants(spark, sf_dir):

@@ -35,8 +35,18 @@ def norm(v):
     return str(v)
 
 qs, oracles = e.queries(), e.oracle_sql()
+# SPARK_GRAFT_SIM_SKIP: comma-separated query names whose ORACLES are
+# deliberate O(n^2) brute-force mirrors — impractical in DuckDB at
+# sf0.1 corpus sizes (each is verified at sf0.001 + sf0.01 where the
+# brute force is feasible). Used for large-SF validation sweeps.
+skip = {
+    s for s in os.environ.get("SPARK_GRAFT_SIM_SKIP", "").split(",") if s
+}
 ok = True
 for name, fn in qs.items():
+    if name in skip:
+        print(f"{name}: SKIPPED (quadratic oracle; verified at small SF)")
+        continue
     sdf = fn(spark, SF)
     srows = sdf.toArrow().to_pylist()
     if name not in oracles:
