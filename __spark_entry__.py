@@ -51,6 +51,7 @@ from bigdatamanagement_spark.queries import (
     analytics35,
     analytics36,
     analytics37,
+    analytics38,
     events,
     extensions,
     kv,
@@ -124,6 +125,7 @@ _PACKS = [
     analytics35,
     analytics36,
     analytics37,
+    analytics38,
     sql4,
 ]
 
