@@ -52,6 +52,7 @@ from bigdatamanagement_spark.queries import (
     analytics36,
     analytics37,
     analytics38,
+    analytics39,
     events,
     extensions,
     kv,
@@ -126,6 +127,7 @@ _PACKS = [
     analytics36,
     analytics37,
     analytics38,
+    analytics39,
     sql4,
 ]
 
