@@ -53,6 +53,7 @@ from bigdatamanagement_spark.queries import (
     analytics37,
     analytics38,
     analytics39,
+    analytics40,
     events,
     extensions,
     kv,
@@ -128,6 +129,7 @@ _PACKS = [
     analytics37,
     analytics38,
     analytics39,
+    analytics40,
     sql4,
 ]
 
