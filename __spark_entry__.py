@@ -54,6 +54,8 @@ from bigdatamanagement_spark.queries import (
     analytics38,
     analytics39,
     analytics40,
+    analytics41,
+    analytics42,
     events,
     extensions,
     kv,
@@ -130,6 +132,8 @@ _PACKS = [
     analytics38,
     analytics39,
     analytics40,
+    analytics41,
+    analytics42,
     sql4,
 ]
 
