@@ -56,6 +56,7 @@ from bigdatamanagement_spark.queries import (
     analytics40,
     analytics41,
     analytics42,
+    analytics43,
     events,
     extensions,
     kv,
@@ -134,6 +135,7 @@ _PACKS = [
     analytics40,
     analytics41,
     analytics42,
+    analytics43,
     sql4,
 ]
 

@@ -208,3 +208,25 @@ def test_analytics3_winsorized_broadcasts_fences(spark, sf_dir):
     assert r["broadcast_joins"] >= 1, r  # 5-row fence table
     assert r["sortmerge_joins"] == 0, r
     assert not r["python_udf"], r
+
+
+def test_graph_consumers_read_memoized_edges(spark, sf_dir):
+    """After the co-purchase memo builds (first consumer), downstream
+    graph queries must read the checkpointed pair table — their plans
+    contain NO parquet scan of lineitem (the ~6 s wedge build would
+    otherwise re-run per query)."""
+    from bigdatamanagement_spark.queries.analytics7 import (
+        copurchase_weighted_pairs,
+    )
+    from bigdatamanagement_spark.queries.analytics13 import (
+        percolation_sweep,
+    )
+    from bigdatamanagement_spark.queries.analytics17 import (
+        rich_club_coefficient,
+    )
+    from bigdatamanagement_spark.plans import executed_plan
+
+    copurchase_weighted_pairs(spark, sf_dir)  # warm the memo
+    for fn in (percolation_sweep, rich_club_coefficient):
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "lineitem" not in plan.lower(), fn.__name__
