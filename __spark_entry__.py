@@ -57,6 +57,7 @@ from bigdatamanagement_spark.queries import (
     analytics41,
     analytics42,
     analytics43,
+    analytics44,
     events,
     extensions,
     kv,
@@ -136,6 +137,7 @@ _PACKS = [
     analytics41,
     analytics42,
     analytics43,
+    analytics44,
     sql4,
 ]
 
