@@ -58,6 +58,7 @@ from bigdatamanagement_spark.queries import (
     analytics42,
     analytics43,
     analytics44,
+    analytics45,
     events,
     extensions,
     kv,
@@ -138,6 +139,7 @@ _PACKS = [
     analytics42,
     analytics43,
     analytics44,
+    analytics45,
     sql4,
 ]
 
