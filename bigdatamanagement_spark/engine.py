@@ -53,8 +53,10 @@ class Engine:
         """
         return self.sql(query).toPandas()
 
-    def show_sql(self, query: str, n: int = 20) -> None:
-        """printSqlResults / displayResultSet analog (SQLonRDS.java:280-361)."""
-        df = self.sql(query)
-        df.show(n, truncate=False)
-        print(f"({df.count()} rows)")
+    def show_sql(self, query: str, n: int | None = None) -> None:
+        """displayResultSet parity (SQLonRDS.java:280-361): boxed text
+        table with computed column widths, NULL rendering, empty-result
+        message, and the Total-results footer (see render.render_table)."""
+        from bigdatamanagement_spark.render import render_table
+
+        print(render_table(self.sql(query), max_rows=n), end="")

@@ -76,7 +76,34 @@ def build_music() -> dict[str, pa.Table]:
             "listen_time": pa.array([_ts(r[4]) for r in listens_rows], pa.timestamp("us")),
         }
     )
-    return {"music_users": users, "music_songs": songs, "music_listens": listens}
+    # Same-day-ACTIVE variant: the exact reference listens PLUS rows
+    # that create same-day cross-user listens. On the reference's own
+    # fixture the same-day query (ipynb cell 21) returns ZERO rows, so
+    # t10's golden-empty check alone is vacuous (0 ≡ 0 would also pass
+    # an inverted join or wrong date truncation). t10b runs the same
+    # operator on this variant and pins a NON-EMPTY golden; the
+    # reference-exact music_listens stays untouched for t09-t12 parity.
+    sameday_extra = [
+        (10, 4, 3, 4.0, "2024-08-30 09:00:00"),  # Pluto, same day as Mickey's Evermore
+        (11, 2, 4, 4.1, "2024-08-29 11:00:00"),  # Minnie, same day as Mickey's Yesterday
+        (12, 3, 5, 3.8, "2024-08-28 23:59:00"),  # Daffy, same DATE as Minnie's 09:20 listen
+    ]
+    sameday_rows = listens_rows + sameday_extra
+    listens_sameday = pa.table(
+        {
+            "listen_id": pa.array([r[0] for r in sameday_rows], pa.int32()),
+            "user_id": pa.array([r[1] for r in sameday_rows], pa.int32()),
+            "song_id": pa.array([r[2] for r in sameday_rows], pa.int32()),
+            "rating": pa.array([r[3] for r in sameday_rows], pa.float64()),
+            "listen_time": pa.array([_ts(r[4]) for r in sameday_rows], pa.timestamp("us")),
+        }
+    )
+    return {
+        "music_users": users,
+        "music_songs": songs,
+        "music_listens": listens,
+        "music_listens_sameday": listens_sameday,
+    }
 
 
 def build_stock() -> dict[str, pa.Table]:
@@ -429,7 +456,11 @@ def fixture_path(name: str) -> str:
 
 
 def ensure_fixtures() -> None:
-    if not os.path.exists(fixture_path("music_users")):
+    # music_listens_sameday is the NEWEST fixture table — checking it
+    # (not just music_users) regenerates stale fixture dirs in place.
+    if not os.path.exists(fixture_path("music_users")) or not os.path.exists(
+        fixture_path("music_listens_sameday")
+    ):
         write_all()
 
 

@@ -87,7 +87,7 @@ def _iter_partitions(spark, n_edges: int):
     default so a genuinely large graph keeps full parallelism."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    scoped = max(8, min(int(old), n_edges // 250_000 + 1))
+    scoped = min(int(old), max(8, n_edges // 250_000 + 1))
     spark.conf.set(key, str(scoped))
     try:
         yield

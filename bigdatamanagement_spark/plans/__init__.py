@@ -34,6 +34,42 @@ def plan_report(df: DataFrame) -> dict:
     }
 
 
+def partitionless_windows(df: DataFrame) -> list[str]:
+    """Window nodes whose spec has NO partition columns — each is a
+    single-task global sort at scale (the `WindowExec: No Partition
+    Defined` warning). Returns the offending plan lines so tests can
+    whitelist the known tiny-grid ones (<= k-row survivor ranks) and
+    fail on anything event-grain."""
+    out = []
+    for ln in executed_plan(df).split("\n"):
+        s = ln.strip()
+        if not re.search(r"\bWindow \[", s):
+            continue
+        for spec in re.finditer(r"windowspecdefinition\(", s):
+            # split the spec's TOP-LEVEL args (partition cols first,
+            # then "col ASC/DESC NULLS ..." sort specs, then the frame)
+            i, depth, cur, args = spec.end(), 1, spec.end(), []
+            while i < len(s) and depth:
+                ch = s[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        args.append(s[cur:i])
+                elif ch == "," and depth == 1:
+                    args.append(s[cur:i])
+                    cur = i + 1
+                i += 1
+            first = args[0].strip() if args else ""
+            if first.startswith("specifiedwindowframe") or re.search(
+                r" (ASC|DESC) NULLS", first
+            ):
+                out.append(s[:300])
+                break
+    return out
+
+
 def filter_exprs(df: DataFrame) -> list[str]:
     """Conditions of Filter nodes in the optimized logical plan.
 

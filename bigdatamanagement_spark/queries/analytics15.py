@@ -20,8 +20,9 @@ Scale notes (100 TB):
   activation, gradient, and weight an exact integer — no float ever
   enters the state, so Spark and DuckDB converge to IDENTICAL
   weights. 3 epochs is the bounded-iteration discipline.
-- gains table: one scoring pass with the final integer weights +
-  ntile(10) over a pinned total order.
+- gains table: one scoring pass with the final integer weights + a
+  two-phase distributed global rank (rank.global_row_number) bucketed
+  by quantile_bucket over a pinned total order.
 - NPV: the 0.99^m discount table is a DRIVER CONSTANT (python ints,
   same literals both engines); each order contributes
   (cents * f_micro) DIV 1e6 — exact.
@@ -132,13 +133,17 @@ def logistic_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logistic_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T33b — decile gains table of the trained classifier (t33a's
     final integer weights): events rank by score (ties by event_id)
-    into ntile(10) buckets; per decile the event count, positives,
-    and cumulative capture rate — THE model-quality readout every
-    targeting campaign reads. Scores are exact integers, so the
+    into 10 equal-width rank buckets (1 + floor((rank−1)·10/n), the
+    quantile_bucket convention — same bucket sizes as NTILE, remainder
+    back-loaded instead of front-loaded); per decile the event count,
+    positives, and cumulative capture rate — THE model-quality readout
+    every targeting campaign reads. Scores are exact integers, so the
     ranking (and therefore the whole table) is engine-independent.
 
-    Scale: one scoring scan + one global ntile window + a 10-row
-    cumulative pass."""
+    Scale: one scoring scan + a two-phase distributed global rank
+    (operators/rank.global_row_number — range-repartition, per-
+    partition counts, broadcast offsets; no single-partition window)
+    + a 10-row cumulative pass."""
     ev = _events(spark, sf_dir)
     base = ev.select(
         F.col("event_id"),
@@ -151,8 +156,15 @@ def logistic_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = base.select(
         "y", F.expr(f"({w0} + {w1} * x1 + {w2} * x2)").alias("score"), "event_id"
     )
-    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
-    deciled = scored.select("y", F.ntile(10).over(w).alias("decile"))
+    from bigdatamanagement_spark.operators.rank import (
+        global_row_number,
+        quantile_bucket,
+    )
+
+    ranked, n = global_row_number(
+        scored, [F.desc("score"), F.asc("event_id")], "rn"
+    )
+    deciled = ranked.select("y", quantile_bucket("rn", n, 10).alias("decile"))
     per = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("positives"),
@@ -481,8 +493,10 @@ def _gains_oracle() -> str:
             FROM events e CROSS JOIN w{_GD_EPOCHS} w
         ),
         deciled AS (
-            SELECT y, ntile(10) OVER (ORDER BY score DESC, event_id ASC)
-                       AS decile
+            SELECT y,
+                   1 + ((row_number() OVER (ORDER BY score DESC,
+                                            event_id ASC) - 1) * 10)
+                       // COUNT(*) OVER () AS decile
             FROM scored
         ),
         per AS (

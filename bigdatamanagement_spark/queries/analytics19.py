@@ -114,58 +114,45 @@ def fd_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T37b — Freedman-Diaconis auto-binned histogram of purchase
     value cents: width = max(1, (2 * IQR) DIV cbrt-ish via the exact
     integer rule floor(2 * IQR / n^(1/3)) computed from exact
-    order-statistic quartiles and an integer cube-root by bisection
-    (expressed as the greatest c with c^3 <= n — a 40-row candidate
-    probe, not a float); bins are (x - min) DIV width. The auto
+    order-statistic quartiles and an exact integer cube-root (greatest
+    c with c^3 <= n, probed on the driver from the exact rank-pass
+    count — not a float); bins are (x - min) DIV width. The auto
     version of the fixed-width histograms the ext pack ships.
 
-    Scale: two rank picks + one bin aggregate; the cube root probes a
-    broadcast candidate spine."""
+    Scale: a two-phase distributed global rank (rank.global_row_number
+    — no single-partition window) + two rank picks in one aggregate +
+    one bin aggregate; n (and hence the integer cube root) is a driver
+    scalar the rank pass already produced."""
+    from bigdatamanagement_spark.operators.rank import global_row_number
+
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     x = F.expr("CAST(round(value * 100, 0) AS BIGINT)")
     base = ev.select(x.alias("x")).localCheckpoint()
-    w = Window.orderBy("x")
-    ranked = base.select(
-        "x",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).cast("long").alias("n"),
-    )
+    ranked, n = global_row_number(base, [F.col("x")], "rk")
+    # exact integer ceil(p * n / 100) — the value at rank k in sorted
+    # order is tie-invariant, so row_number tie placement is immaterial
+    q1_rk = (25 * n + 99) // 100
+    q3_rk = (75 * n + 99) // 100
     quarts = ranked.agg(
-        F.max("n").alias("n"),
-        F.min(
-            F.when(
-                F.col("rk") == F.expr("CAST(ceil(25 * n / 100.0) AS BIGINT)"),
-                F.col("x"),
-            )
-        ).alias("q1"),
-        F.min(
-            F.when(
-                F.col("rk") == F.expr("CAST(ceil(75 * n / 100.0) AS BIGINT)"),
-                F.col("x"),
-            )
-        ).alias("q3"),
+        F.lit(n).cast("long").alias("n"),
+        F.min(F.when(F.col("rk") == q1_rk, F.col("x"))).alias("q1"),
+        F.min(F.when(F.col("rk") == q3_rk, F.col("x"))).alias("q3"),
         F.min("x").alias("lo"),
     )
-    # integer cube root: greatest c in 1..100 with c^3 <= n (n at any
-    # realistic SF keeps cbrt(n) far below 100 -> widen the spine when
-    # it doesn't; probed exactly, no float pow)
-    cands = spark.range(1, 101).select(F.col("id").alias("c"))
-    croot = (
-        quarts.crossJoin(F.broadcast(cands))
-        .filter(F.col("c") * F.col("c") * F.col("c") <= F.col("n"))
-        .agg(F.max("c").alias("cr"))
-    )
-    params = quarts.join(F.broadcast(croot)).select(
+    # integer cube root: greatest c with c^3 <= n, exact driver-side
+    # bisection on the exact BIGINT n (no float pow)
+    cr = 1
+    hi_c = max(2, int(round(n ** (1 / 3))) + 2)
+    for c in range(1, hi_c + 1):
+        if c * c * c <= n:
+            cr = c
+    params = quarts.select(
         "n",
         "q1",
         "q3",
         "lo",
         F.greatest(
-            F.expr("(2 * (q3 - q1)) DIV cr"), F.lit(1)
+            F.expr(f"(2 * (q3 - q1)) DIV {cr}"), F.lit(1)
         ).alias("width"),
     )
     hist = (

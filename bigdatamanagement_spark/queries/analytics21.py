@@ -17,9 +17,11 @@ expectation.
 
 Scale notes (100 TB):
 - bootstrap median: 32 replicas from Knuth-hash bits (the t28
-  discipline); each replica's median is an exact rank pick inside
-  one window pass over the replica-exploded stream; the CI is the
-  2nd/31st ranked replica median — BIGINTs everywhere.
+  discipline); the replica stream compresses to a (replica, value,
+  count) grid FIRST, so each replica's median is an exact cum-count
+  rank pick over distinct cents values (bounded domain), never raw
+  events; the CI is the 2nd/31st ranked replica median — BIGINTs
+  everywhere.
 - k-truss: triangle support per edge via one wedge join against the
   edge set; 2 bounded peel rounds drop edges with support < k-2.
 - Goertzel: the 30-day series pivots into one row; the power
@@ -62,52 +64,58 @@ def bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integers end-to-end, so the whole inference is reproducible to
     the bit on any engine.
 
-    Scale: one 32-way replica fan-out -> per-replica rank windows on
-    the replica-partitioned stream -> a 32-row reduce."""
+    Scale: the event stream first compresses to the (replica, value,
+    count) grid — the per-replica rank windows then run over DISTINCT
+    cents values (a bounded domain), never raw events; the full-sample
+    median rides operators/rank.global_running_sum over the same
+    compressed grid (no single-partition window anywhere); then a
+    32-row reduce."""
+    from bigdatamanagement_spark.operators.rank import global_running_sum
+
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     base = ev.select(
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("x"),
         F.expr(f"(event_id * {KNUTH}) % 4294967296").alias("h"),
     )
     bs = spark.range(_BOOT_B).select(F.col("id").alias("b"))
-    rep = base.crossJoin(F.broadcast(bs)).filter(
-        F.expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2 = 1")
+    # compress to the (b, x, c) grid BEFORE any window: the lower
+    # median is min x with cum-count >= (n+1) DIV 2, so only distinct
+    # values (bounded cents domain) ever enter a sort
+    grid = (
+        base.crossJoin(F.broadcast(bs))
+        .filter(F.expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2 = 1"))
+        .groupBy("b", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
     )
-    w = Window.partitionBy("b").orderBy("x")
-    ranked = rep.select(
+    cw = (
+        Window.partitionBy("b")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
         "b",
         "x",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("b"))
-        .cast("long")
-        .alias("n"),
+        F.sum("c").over(cw).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy("b")).cast("long").alias("n"),
     )
-    med = ranked.filter(
-        F.col("rk") == F.expr("(n + 1) DIV 2")
-    ).select("b", F.col("x").alias("med"), "n")
+    med = (
+        cum.filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("b")
+        .agg(F.min("x").cast("long").alias("med"))
+    )
     mw = Window.orderBy("med", "b")
     ranked_meds = med.select(
         "med", F.row_number().over(mw).cast("long").alias("rn")
     )
-    full = base.select("x")
-    fw = Window.orderBy("x")
+    fgrid = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_events = fgrid.agg(F.sum("c")).collect()[0][0] or 0
+    fcum = global_running_sum(fgrid, [F.col("x")], "c", "cum")
     full_med = (
-        full.select(
-            "x",
-            F.row_number().over(fw).cast("long").alias("rk"),
-            F.count(F.lit(1))
-            .over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            .cast("long")
-            .alias("n"),
-        )
-        .filter(F.col("rk") == F.expr("(n + 1) DIV 2"))
-        .select(
-            F.col("x").alias("median_centi"), F.col("n").alias("n_events")
+        fcum.filter(F.col("cum") >= (n_events + 1) // 2)
+        .agg(
+            F.min("x").cast("long").alias("median_centi"),
+            F.lit(n_events).cast("long").alias("n_events"),
         )
     )
     ci = ranked_meds.agg(

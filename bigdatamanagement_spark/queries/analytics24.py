@@ -321,14 +321,6 @@ ORACLE = {
 }
 
 
-def _eb_oracle(spark: SparkSession, sf_dir: str) -> str:
-    """The EB oracle needs the same per-group literals the Spark side
-    injects — rebuilt from DuckDB itself at call time (see
-    eb_oracle_sql); registered lazily by __spark_entry__ via the
-    static SQL below, which recomputes everything in-query."""
-    raise NotImplementedError
-
-
 # Static EB oracle: recompute the between-group variance inside SQL
 # with a FIXED evaluation order by sorting groups and aggregating the
 # squared deviations through an ORDERED list_aggregate-free form: the

@@ -110,16 +110,21 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a2n = renorm(a2, "p", "a")
     deg = edges.groupBy("p").agg(F.count(F.lit(1)).alias("degree"))
+    # top-10 as orderBy+limit (TakeOrderedAndProject — per-partition
+    # heaps); the rank window runs on the <= 10 survivors only
+    top = (
+        a2n.join(deg, "p")
+        .orderBy(F.desc("a"), F.asc("p"))
+        .limit(10)
+    )
     w = Window.orderBy(F.desc("a"), F.asc("p"))
     return (
-        a2n.join(deg, "p")
-        .select(
+        top.select(
             F.row_number().over(w).cast("long").alias("rank"),
             F.col("p").alias("p_partkey"),
             F.col("degree").cast("long").alias("degree"),
             F.col("a").cast("long").alias("auth_micro"),
         )
-        .filter(F.col("rank") <= 10)
         .orderBy("rank")
     )
 

@@ -63,7 +63,9 @@ def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZREVRANGE leaderboard (`redis_client.py:443`).
 
     Scale: one (part, week) aggregate; the decay is a projection;
-    top-k is a bounded rank window."""
+    top-k is orderBy+limit (TakeOrderedAndProject — per-partition
+    heaps), with the rank window running on the <= 10 survivors
+    only."""
     li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)[
         "lineitem"
     ]
@@ -88,10 +90,10 @@ def decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").cast("long").alias("total_qty"),
         )
     )
+    top = scored.orderBy(F.desc("decayed_score"), F.asc("part")).limit(10)
     w = Window.orderBy(F.desc("decayed_score"), F.asc("part"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "rank",
             F.col("part").alias("p_partkey"),
@@ -201,11 +203,16 @@ def price_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr("(s * s) DIV n > 0"))
     )
     key = F.expr("(q * 1000) DIV ((s * s) DIV n)")
+    # top-k as orderBy+limit (TakeOrderedAndProject); rank only the
+    # <= 10 survivors — never a global row_number window
+    top = (
+        agg.select("part", "n", "s", "q", key.alias("disp_key"))
+        .orderBy(F.desc("disp_key"), F.asc("part"))
+        .limit(10)
+    )
     w = Window.orderBy(F.desc("disp_key"), F.asc("part"))
     return (
-        agg.select("part", "n", "s", "q", key.alias("disp_key"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "rank",
             F.col("part").alias("p_partkey"),

@@ -67,10 +67,14 @@ def _daily_hecto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T53a: Lo-MacKinlay variance ratio ------------------------------------------
 
+# VR(q) with biased variance divisors: var1 = (n1*q1 - s1^2)/n1^2,
+# varq = (nq*qq - sq^2)/nq^2, VR = varq / (q * var1) — note the SQUARED
+# n1/nq scaling (Lo-MacKinlay 1988, eq. 8 without the bias correction).
 _VR = (
-    "((CAST(n1 AS DOUBLE) * (CAST(nq AS DOUBLE) * CAST(qq AS DOUBLE)"
+    "((CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)"
+    " * (CAST(nq AS DOUBLE) * CAST(qq AS DOUBLE)"
     " - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)))"
-    f" / ({_VR_Q}.0 * CAST(nq AS DOUBLE)"
+    f" / ({_VR_Q}.0 * CAST(nq AS DOUBLE) * CAST(nq AS DOUBLE)"
     " * (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)"
     " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))))"
 )

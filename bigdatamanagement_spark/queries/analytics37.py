@@ -211,47 +211,38 @@ def winsorization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same rows. A mean that swings across levels is tail-driven;
     a flat sweep certifies the 5% convention.
 
-    Scale: one sort-rank pass on the value projection; the sweep is
-    one reduce with three CASE folds."""
+    Scale: a two-phase distributed global rank (rank.global_row_number
+    — range-repartition + broadcast offsets, no single-partition
+    window) on the value projection; n is a driver scalar the rank
+    pass already produced, so each level's fence ranks are exact
+    integer literals; the sweep is one reduce with three CASE folds."""
+    from bigdatamanagement_spark.operators.rank import global_row_number
+
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     vals = ev.select(
         F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("x"),
         "event_id",
     )
-    w = Window.orderBy("x", "event_id")
-    nrow = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    ranked_df, n = global_row_number(
+        vals, [F.col("x"), F.col("event_id")], "rk"
     )
-    ranked = vals.select(
-        "x",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(nrow).cast("long").alias("n"),
-    ).localCheckpoint(eager=True)
+    ranked = ranked_df.localCheckpoint(eager=True)
     outs = []
     for p in _WINS_LEVELS:
-        fences = (
-            ranked.select(
-                "x",
-                "rk",
-                "n",
-                F.expr(f"CAST(ceil({p} * n / 100.0) AS BIGINT)").alias(
-                    "klo"
-                ),
-            )
-            .filter(
-                (F.col("rk") == F.col("klo"))
-                | (F.col("rk") == F.expr("n + 1 - klo"))
-            )
-            .agg(
-                F.min("x").alias("lo"),
-                F.max("x").alias("hi"),
-            )
+        # exact integer ceil(p * n / 100); the value at a given rank in
+        # sorted order is tie-invariant, so tie placement is immaterial
+        klo = (p * n + 99) // 100
+        fences = ranked.filter(
+            (F.col("rk") == klo) | (F.col("rk") == n + 1 - klo)
+        ).agg(
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
         )
         outs.append(
             ranked.join(F.broadcast(fences))
             .agg(
                 F.lit(p).cast("long").alias("level_pct"),
-                F.max("n").cast("long").alias("n"),
+                F.lit(n).cast("long").alias("n"),
                 F.min("lo").cast("long").alias("lo_cents"),
                 F.min("hi").cast("long").alias("hi_cents"),
                 F.sum(

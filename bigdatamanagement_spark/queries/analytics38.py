@@ -394,68 +394,6 @@ ORACLE = {
         ) CROSS JOIN diag
         ORDER BY weekday
     """,
-    "t56_stochastic_dominance": stochastic_dominance,
-}
-
-_POLISH_SWEEP_SQL = "".join(
-    f""",
-    rm{r} AS (
-        SELECT wd, resid AS rm FROM (
-            SELECT wd, resid,
-                   row_number() OVER (PARTITION BY wd
-                                      ORDER BY resid, h) AS rk,
-                   COUNT(*) OVER (PARTITION BY wd) AS n
-            FROM st{r - 1}
-        ) WHERE rk = (n + 1) // 2
-    ),
-    str{r} AS (
-        SELECT s.wd, s.h, s.resid - m.rm AS resid
-        FROM st{r - 1} s JOIN rm{r} m USING (wd)
-    ),
-    cm{r} AS (
-        SELECT h, resid AS cm FROM (
-            SELECT h, resid,
-                   row_number() OVER (PARTITION BY h
-                                      ORDER BY resid, wd) AS rk,
-                   COUNT(*) OVER (PARTITION BY h) AS n
-            FROM str{r}
-        ) WHERE rk = (n + 1) // 2
-    ),
-    st{r} AS (
-        SELECT s.wd, s.h, s.resid - m.cm AS resid
-        FROM str{r} s JOIN cm{r} m USING (h)
-    )"""
-    for r in range(1, _POLISH_SWEEPS + 1)
-)
-
-ORACLE = {
-    "t56_median_polish": f"""
-        WITH grid AS (
-            SELECT CAST(datediff('day', DATE '{_WD_ANCHOR}',
-                                 CAST(ts AS DATE)) % 7 AS BIGINT) AS wd,
-                   CAST(hour(ts) AS BIGINT) AS h,
-                   CAST(COUNT(*) AS BIGINT) AS v
-            FROM events GROUP BY 1, 2
-        ),
-        st0 AS (SELECT wd, h, v AS resid FROM grid){_POLISH_SWEEP_SQL},
-        eff AS (
-            SELECT wd, CAST(SUM(rm) AS BIGINT) AS row_effect FROM (
-                {" UNION ALL ".join(
-                    f"SELECT wd, rm FROM rm{r}"
-                    for r in range(1, _POLISH_SWEEPS + 1)
-                )}
-            ) GROUP BY 1
-        ),
-        diag AS (
-            SELECT CAST(SUM(abs(resid)) AS BIGINT) AS resid_l1,
-                   CAST(MAX(abs(resid)) AS BIGINT) AS resid_max
-            FROM st{_POLISH_SWEEPS}
-        )
-        SELECT weekday, row_effect, resid_l1, resid_max FROM (
-            SELECT wd AS weekday, row_effect FROM eff
-        ) CROSS JOIN diag
-        ORDER BY weekday
-    """,
     "t56_theil_decomposition": """
         WITH spend AS (
             SELECT n.n_name,

@@ -33,9 +33,10 @@ from bigdatamanagement_spark.catalog import load_testdata
 
 _MICRO = 1_000_000
 
-# sign-correct floor division (b > 0): embedding component sums can be
-# NEGATIVE, and bare DIV truncates in Spark but floors in DuckDB —
-# identical CASE text on both engines (the t50 discipline)
+# floor division for signed numerators (b > 0): bare DIV (Spark) and
+# // (DuckDB) both truncate toward zero, so this CASE exists to PIN
+# floor semantics for negative sums — identical text on both engines
+# (the t50 discipline), not to paper over an engine difference
 def _fdiv(a: str, b: str) -> str:
     return (
         f"(CASE WHEN {a} >= 0 THEN {a} DIV {b}"

@@ -167,8 +167,20 @@ def colisten_recs_with_ids(spark, sf_dir) -> DataFrame:
 
 
 def same_day_recs(spark, sf_dir) -> DataFrame:
-    """T10 (cell 21): same-day listen recommendations (golden: empty)."""
+    """T10 (cell 21): same-day listen recommendations (golden: empty —
+    the reference's own cell-21 output is zero rows on its fixture)."""
     return colisten_recommend(tables(spark)["listens"], same_day=True)
+
+
+def same_day_recs_active(spark, sf_dir) -> DataFrame:
+    """T10b (cell 21 semantics, non-vacuous): the SAME same-day operator
+    on the music_listens_sameday fixture variant (reference listens +
+    three same-day cross-user rows), so the golden is NON-EMPTY and an
+    inverted join inequality or wrong date truncation cannot hide
+    behind 0 ≡ 0. Golden: {(1,3),(1,4),(2,5),(2,6),(3,7),(4,1)}."""
+    ensure_fixtures()
+    listens = spark.read.parquet(fixture_path("music_listens_sameday"))
+    return colisten_recommend(listens, same_day=True)
 
 
 def minnie_recs(spark, sf_dir) -> DataFrame:
@@ -199,6 +211,7 @@ QUERIES = {
     "t09_colisten_recs": colisten_recs,
     "t09_colisten_recs_with_ids": colisten_recs_with_ids,
     "t10_same_day_recs": same_day_recs,
+    "t10b_same_day_recs_active": same_day_recs_active,
     "t11_minnie_recs": minnie_recs,
 }
 
@@ -281,6 +294,20 @@ ORACLE = {
     "t10_same_day_recs": _V
     + """
     , same_day AS (
+        SELECT DISTINCT l1.user_id AS user_id, l2.song_id AS song_id
+        FROM listens l1
+        JOIN listens l2 ON CAST(l1.listen_time AS DATE) = CAST(l2.listen_time AS DATE)
+                       AND l1.user_id <> l2.user_id
+        WHERE l1.listen_time IS NOT NULL AND l2.listen_time IS NOT NULL
+    )
+    SELECT user_id, song_id FROM same_day
+    WHERE song_id NOT IN (SELECT song_id FROM listens ll WHERE ll.user_id = same_day.user_id)
+    """,
+    "t10b_same_day_recs_active": f"""
+    WITH listens AS (
+        SELECT * FROM read_parquet('{fixture_path("music_listens_sameday")}')
+    ),
+    same_day AS (
         SELECT DISTINCT l1.user_id AS user_id, l2.song_id AS song_id
         FROM listens l1
         JOIN listens l2 ON CAST(l1.listen_time AS DATE) = CAST(l2.listen_time AS DATE)

@@ -32,12 +32,32 @@ ANON_MAX_DOC = 200
 KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 * golden ratio)
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_testdata(spark, sf_dir, tables=("documents",), register=False)["documents"]
+# Deterministic block sample for the sf0.1-verifiable twins (queries/
+# sampled.py): keep id-blocks of 5 so every mod-BATCH_MOD class stays
+# represented (the incremental/streaming split needs class 4), sampling
+# 1 in 4 blocks -> ~25% of docs. Non-vacuous at every SF (3 near-dup
+# pairs at sf0.01, 17 at sf0.1) while keeping the DuckDB brute-force
+# oracles feasible at sf0.1 (~35 s vs ~10 min full-corpus).
+SAMPLE_PRED = "(doc_id DIV 5) % 4 = 1"
+SAMPLE_PRED_SQL = "(doc_id // 5) % 4 = 1"
 
 
-def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_testdata(spark, sf_dir, tables=("embeddings",), register=False)["embeddings"]
+def _docs(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
+    d = load_testdata(spark, sf_dir, tables=("documents",), register=False)["documents"]
+    return d.filter(F.expr(SAMPLE_PRED)) if sampled else d
+
+
+def _embs(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
+    e = load_testdata(spark, sf_dir, tables=("embeddings",), register=False)["embeddings"]
+    return (
+        e.filter(F.expr(SAMPLE_PRED.replace("doc_id", "vec_id")))
+        if sampled
+        else e
+    )
 
 
 def _tokens(text):
@@ -50,10 +70,12 @@ def _tokens(text):
 _PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (session_key(spark), sf_dir)
+def _neardup_pairs(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
+    key = (session_key(spark), sf_dir, sampled)
     if key not in _PAIRS_MEMO:
-        docs = _docs(spark, sf_dir)
+        docs = _docs(spark, sf_dir, sampled)
         pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
         _PAIRS_MEMO[key] = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
     return _PAIRS_MEMO[key]
@@ -68,22 +90,28 @@ _CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _REP_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (session_key(spark), sf_dir)
+def _cluster_labels(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
+    key = (session_key(spark), sf_dir, sampled)
     if key not in _CLUSTERS_MEMO:
-        docs = _docs(spark, sf_dir)
-        pairs = _neardup_pairs(spark, sf_dir)
+        docs = _docs(spark, sf_dir, sampled)
+        pairs = _neardup_pairs(spark, sf_dir, sampled)
         labels = C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b")
         _CLUSTERS_MEMO[key] = labels.localCheckpoint(eager=True)
     return _CLUSTERS_MEMO[key]
 
 
-def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _repetition(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
     from bigdatamanagement_spark.operators.text import repetition_metrics
 
-    key = (session_key(spark), sf_dir)
+    key = (session_key(spark), sf_dir, sampled)
     if key not in _REP_MEMO:
-        m = repetition_metrics(_docs(spark, sf_dir), "doc_id", "text", dup_k=3)
+        m = repetition_metrics(
+            _docs(spark, sf_dir, sampled), "doc_id", "text", dup_k=3
+        )
         _REP_MEMO[key] = m.localCheckpoint(eager=True)
     return _REP_MEMO[key]
 

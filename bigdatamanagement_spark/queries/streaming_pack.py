@@ -156,7 +156,10 @@ def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming operator chain expresses). base×base pairs are never
     enumerated; per-batch cost is batch signatures + one band-keyed
     join. Deterministic (batch logic per micro-batch), so the oracle is
-    the batch incremental-dedup SQL."""
+    the batch incremental-dedup SQL. Matched pairs APPEND to a parquet
+    sink inside foreachBatch — the driver never accumulates rows, so
+    the sink (not driver memory) bounds output at a real ingest
+    rate."""
     import pyspark.sql.functions as _F
 
     from bigdatamanagement_spark.operators.dedup import incremental_minhash_pairs
@@ -180,7 +183,10 @@ def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .filter(_F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1)
     )
-    results: list = []
+    import tempfile
+
+    pair_schema = "new_doc bigint, dup_of bigint, jaccard double"
+    sink_dir = tempfile.mkdtemp(prefix="neardup_pairs_")
 
     def check_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -189,7 +195,8 @@ def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             base, batch_df, "doc_id", "text", threshold=JACCARD_T,
             base_signatures=base_sigs,
         )
-        results.extend(pairs.collect())
+        # executor-side append; nothing ever lands on the driver
+        pairs.write.mode("append").parquet(sink_dir)
 
     q = (
         stream.writeStream.foreachBatch(check_batch)
@@ -197,9 +204,13 @@ def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(
-        results, "new_doc bigint, dup_of bigint, jaccard double"
-    ).orderBy("new_doc", "dup_of")
+    # explicit schema so an all-clean run (empty sink) reads as an
+    # empty frame instead of failing schema inference
+    return (
+        spark.read.schema(pair_schema)
+        .parquet(sink_dir)
+        .orderBy("new_doc", "dup_of")
+    )
 
 
 def streaming_dedup_self_union(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -92,11 +92,40 @@ def max_temp_jul_aug(spark, sf_dir) -> DataFrame:
     )
 
 
+def max_diurnal_range_per_station(spark, sf_dir) -> DataFrame:
+    """T14-q5 (Bigtable.java:195-199, the 'create your own query' slot):
+    per station, the day with the LARGEST diurnal temperature range
+    (max − min hourly temperature) — a grouped min/max + per-station
+    argmax with (range DESC, date ASC) tiebreak. The per-station window
+    partitions on station (bounded cardinality), never a global sort."""
+    from pyspark.sql import Window
+
+    daily = (
+        hourly(spark)
+        .groupBy("station", "date")
+        .agg(
+            F.min("temperature").alias("t_min"),
+            F.max("temperature").alias("t_max"),
+        )
+        .withColumn("t_range", F.col("t_max") - F.col("t_min"))
+    )
+    w = Window.partitionBy("station").orderBy(
+        F.desc("t_range"), F.asc("date")
+    )
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("station", "date", "t_min", "t_max", "t_range")
+        .orderBy("station")
+    )
+
+
 QUERIES = {
     "t14_q1_temperature_at": temperature_at,
     "t14_q2_max_windspeed_sept_pdx": max_windspeed_sept_pdx,
     "t14_q3_day_slice_sea": day_slice_sea,
     "t14_q4_max_temp_jul_aug": max_temp_jul_aug,
+    "t14_q5_max_diurnal_range_per_station": max_diurnal_range_per_station,
 }
 
 ORACLE = {
@@ -124,5 +153,23 @@ ORACLE = {
     SELECT MAX(temperature) AS max_temperature
     FROM weather_hourly
     WHERE year("date") = 2022 AND month("date") IN (7, 8)
+    """,
+    "t14_q5_max_diurnal_range_per_station": _V
+    + """
+    , daily AS (
+        SELECT station, "date",
+               MIN(temperature) AS t_min,
+               MAX(temperature) AS t_max,
+               MAX(temperature) - MIN(temperature) AS t_range
+        FROM weather_hourly
+        GROUP BY station, "date"
+    )
+    SELECT station, "date", t_min, t_max, t_range FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY station ORDER BY t_range DESC, "date" ASC
+        ) AS rn
+        FROM daily
+    ) WHERE rn = 1
+    ORDER BY station
     """,
 }

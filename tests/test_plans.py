@@ -230,3 +230,46 @@ def test_graph_consumers_read_memoized_edges(spark, sf_dir):
     for fn in (percolation_sweep, rich_club_coefficient):
         plan = executed_plan(fn(spark, sf_dir))
         assert "lineitem" not in plan.lower(), fn.__name__
+
+
+def test_no_event_grain_partitionless_windows(spark, sf_dir):
+    """Round-2 verdict item 1: no t*/ext* headline query may run a
+    partition-less WindowExec over an event-grain input (the single-
+    task global sort anti-pattern). The repaired queries are pinned
+    here: any partition-less Window left in their plans must order
+    ONLY by a whitelisted tiny-grid column (a <= k-row survivor rank
+    or a <= 32-row replica/decile reduce)."""
+    import re as _re
+
+    from bigdatamanagement_spark.plans import partitionless_windows
+    from bigdatamanagement_spark.queries import (
+        analytics15,
+        analytics19,
+        analytics21,
+        analytics28,
+        analytics34,
+        analytics37,
+    )
+
+    # fn -> order columns a partition-less window may still use (all
+    # bounded-cardinality by construction; everything else must ride
+    # rank.global_row_number / orderBy+limit)
+    cases = [
+        (analytics15.logistic_gains_table, {"decile"}),
+        (analytics19.fd_auto_histogram, set()),
+        (analytics21.bootstrap_median_ci, {"med", "b"}),
+        (analytics28.hits_hubs_authorities, {"a", "p"}),
+        (analytics34.decayed_leaderboard, {"decayed_score", "part"}),
+        (analytics34.price_dispersion_audit, {"disp_key", "part"}),
+        (analytics37.winsorization_sweep, set()),
+    ]
+    for fn, allowed in cases:
+        for node in partitionless_windows(fn(spark, sf_dir)):
+            ordered_by = set(_re.findall(r"(\w+)#\d+L? (?:ASC|DESC)", node))
+            # an empty allowed set means NO partition-less windows at
+            # all; otherwise sorts must use only whitelisted tiny-grid
+            # columns (order-less whole-frame aggs ride the same grid)
+            assert allowed and ordered_by <= allowed, (
+                fn.__name__,
+                node,
+            )

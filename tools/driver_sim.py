@@ -42,6 +42,13 @@ qs, oracles = e.queries(), e.oracle_sql()
 skip = {
     s for s in os.environ.get("SPARK_GRAFT_SIM_SKIP", "").split(",") if s
 }
+# SPARK_GRAFT_SIM_ONLY: comma-separated names — run just these (fast
+# targeted re-check after touching a pack; full sweep stays the gate).
+only = {
+    s for s in os.environ.get("SPARK_GRAFT_SIM_ONLY", "").split(",") if s
+}
+if only:
+    qs = {k: v for k, v in qs.items() if k in only}
 ok = True
 for name, fn in qs.items():
     if name in skip:
