@@ -59,6 +59,7 @@ from bigdatamanagement_spark.queries import (
     analytics43,
     analytics44,
     analytics45,
+    ann_fixed,
     events,
     extensions,
     kv,
@@ -68,6 +69,7 @@ from bigdatamanagement_spark.queries import (
     ncaa,
     pipeline,
     quality,
+    sampled,
     setops,
     sql4,
     stock,
@@ -95,6 +97,8 @@ _PACKS = [
     setops,
     traindata,
     quality,
+    sampled,
+    ann_fixed,
     analytics,
     analytics2,
     analytics3,

@@ -42,16 +42,27 @@ def main() -> None:
         lambda pdf: pdf, schema=region.schema
     ).write.mode("overwrite").format("noop").save()
 
+    # SPARK_GRAFT_BENCH_REPEAT=2 runs the whole suite twice and records
+    # the second pass as `queries_warm` in BENCH_FULL.json — separating
+    # suite-load / first-touch noise from real regressions (sub-second
+    # queries drift 1.3-1.5x under suite load; the warm column shows
+    # whether the drift is the query or the suite). Default 1 pass so
+    # the per-round driver run keeps its ~9 min budget.
+    n_pass = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     failed: dict[str, str] = {}
-    for name, fn in qs.items():
-        start = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - start, 3)
-        except Exception as exc:  # keep benching the rest
-            failed[name] = f"{type(exc).__name__}: {exc}"
+    for pass_i in range(n_pass):
+        sink = timings if pass_i == 0 else warm
+        for name, fn in qs.items():
+            start = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                sink[name] = round(time.perf_counter() - start, 3)
+            except Exception as exc:  # keep benching the rest
+                if pass_i == 0:
+                    failed[name] = f"{type(exc).__name__}: {exc}"
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -66,6 +77,9 @@ def main() -> None:
         "queries": timings,
         "failed": failed,
     }
+    if warm:
+        detail["queries_warm"] = warm
+        detail["warm_total"] = round(sum(warm.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

@@ -453,7 +453,9 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_NUM, _TRI_DEN = 3, 4
 
 
-def trigram_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def trigram_similarity_bands(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
     """EXT — character-trigram Jaccard similarity self-join over part
     names (threshold 3/4) via PREFIX FILTERING, reported as per-band
     summaries: (jacc_bp, n_pairs, sum_pa, sum_pb) — the key checksums
@@ -476,6 +478,10 @@ def trigram_similarity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force row-pair join, so the gate is a completeness AND
     rank-algebra proof."""
     p = load_testdata(spark, sf_dir, tables=("part",), register=False)["part"]
+    if sampled:
+        # sf0.1-verifiable twin (queries/sampled.py): ~1/40 of parts so
+        # the DuckDB brute-force row-pair oracle stays feasible
+        p = p.filter(F.expr("p_partkey % 40 = 3"))
     pk = p.select(F.lower(F.col("p_name")).alias("nm"), F.col("p_partkey").alias("k"))
     nd = pk.groupBy("nm").agg(F.count(F.lit(1)).alias("c"))
     tri = nd.select(
@@ -1670,7 +1676,9 @@ _CONT_NUM, _CONT_DEN = 4, 5  # containment threshold 0.8
 _CONT_MIN_SH = 5
 
 
-def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_containment_pairs(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
     """EXT — DIRECTIONAL containment near-dup pairs: C(a→b) =
     |sh_a ∩ sh_b| / |sh_a| ≥ 4/5 (a's 3-word shingles mostly inside
     b's). Catches what symmetric Jaccard structurally misses: a short
@@ -1685,8 +1693,11 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     its shingles. Candidates then verify by array intersection. The
     brute-force DuckDB oracle doubles as a completeness proof."""
     from bigdatamanagement_spark.operators.dedup import portable_shingle_hashes
+    from bigdatamanagement_spark.queries.pipeline import SAMPLE_PRED
 
     d = _documents(spark, sf_dir)
+    if sampled:
+        d = d.filter(F.expr(SAMPLE_PRED))
     s = portable_shingle_hashes(d, "doc_id", "text", 3).filter(
         F.size("sh") >= _CONT_MIN_SH
     )

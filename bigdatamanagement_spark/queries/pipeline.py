@@ -118,7 +118,7 @@ def _repetition(
 
 # --- near-dup clustering --------------------------------------------------
 
-def dedup_clusters(spark, sf_dir) -> DataFrame:
+def dedup_clusters(spark, sf_dir, sampled: bool = False) -> DataFrame:
     """Every document with its near-dup cluster representative: MinHash+LSH
     candidate pairs (J ≥ 0.8, exact-verified) → large-star/small-star
     connected components → min-doc_id label; singletons label themselves.
@@ -128,16 +128,16 @@ def dedup_clusters(spark, sf_dir) -> DataFrame:
     brute-force exact-Jaccard pair set (== the LSH pair set on this data,
     recall asserted in tests/test_extensions.py)."""
     return (
-        _cluster_labels(spark, sf_dir)
+        _cluster_labels(spark, sf_dir, sampled)
         .select("doc_id", "cluster_rep")
         .orderBy("doc_id")
     )
 
 
-def dedup_cluster_survivors(spark, sf_dir) -> DataFrame:
+def dedup_cluster_survivors(spark, sf_dir, sampled: bool = False) -> DataFrame:
     """Per-source corpus stats after near-dup dedup (keep the min-id doc
     of each cluster): docs kept and chars kept."""
-    kept = _cluster_labels(spark, sf_dir).where(
+    kept = _cluster_labels(spark, sf_dir, sampled).where(
         F.col("doc_id") == F.col("cluster_rep")
     )
     return (
@@ -271,7 +271,7 @@ def repetition_filter(spark, sf_dir) -> DataFrame:
 QUALITY_MIN = 0.40  # median quality ≈ 0.45 on this corpus → drops ~1/3
 
 
-def curation_funnel(spark, sf_dir) -> DataFrame:
+def curation_funnel(spark, sf_dir, sampled: bool = False) -> DataFrame:
     """The composed corpus-curation pipeline in one DataFrame plan:
     quality scoring → repetition filtering → near-dup clustering, with a
     per-(source, verdict) funnel report. Each document gets its FIRST
@@ -287,14 +287,14 @@ def curation_funnel(spark, sf_dir) -> DataFrame:
     repetition metrics and cluster labels are memoized the same way."""
     from bigdatamanagement_spark.operators.text import quality_score
 
-    docs = _docs(spark, sf_dir)
-    clusters = _cluster_labels(spark, sf_dir).select("doc_id", "cluster_rep")
+    docs = _docs(spark, sf_dir, sampled)
+    clusters = _cluster_labels(spark, sf_dir, sampled).select("doc_id", "cluster_rep")
     rep_keep = (
         (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
         & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
         & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
     )
-    rep = _repetition(spark, sf_dir).select("doc_id", rep_keep.alias("rep_keep"))
+    rep = _repetition(spark, sf_dir, sampled).select("doc_id", rep_keep.alias("rep_keep"))
     base = docs.select(
         "doc_id", "source", "n_chars", quality_score(F.col("text")).alias("quality")
     )
@@ -319,7 +319,7 @@ def curation_funnel(spark, sf_dir) -> DataFrame:
 NEARDUP_COS = 0.4  # same threshold as the extensions pack's embedding pairs
 
 
-def multi_signal_dedup_pairs(spark, sf_dir) -> DataFrame:
+def multi_signal_dedup_pairs(spark, sf_dir, sampled: bool = False) -> DataFrame:
     """Near-dup pairs from BOTH signals on the doc-aligned id range:
     lexical (MinHash J ≥ 0.8, memoized pair graph) and embedding cosine
     (≥ 0.4, triangle-blocked matmul), full-outer merged with a method
@@ -333,11 +333,11 @@ def multi_signal_dedup_pairs(spark, sf_dir) -> DataFrame:
     pair finder."""
     from bigdatamanagement_spark.operators import similarity as SIM
 
-    lex = _neardup_pairs(spark, sf_dir).select(
+    lex = _neardup_pairs(spark, sf_dir, sampled).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(True).alias("lex")
     )
-    doc_ids = _docs(spark, sf_dir).select("doc_id")
-    e = _embs(spark, sf_dir).join(
+    doc_ids = _docs(spark, sf_dir, sampled).select("doc_id")
+    e = _embs(spark, sf_dir, sampled).join(
         doc_ids, F.col("vec_id") == F.col("doc_id"), "left_semi"
     )
     emb = SIM.blocked_neardup_pairs(e, "vec_id", "embedding", NEARDUP_COS).select(
@@ -359,7 +359,7 @@ def multi_signal_dedup_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
-def training_set_manifest(spark, sf_dir) -> DataFrame:
+def training_set_manifest(spark, sf_dir, sampled: bool = False) -> DataFrame:
     """The FULL raw-corpus → packed-training-set pipeline as one plan,
     reported per source: curation survivors (quality → repetition →
     near-dup, the ext_curation_funnel verdicts) → benchmark
@@ -384,14 +384,14 @@ def training_set_manifest(spark, sf_dir) -> DataFrame:
         CHUNK_STRIDE,
     )
 
-    docs = _docs(spark, sf_dir)
-    clusters = _cluster_labels(spark, sf_dir).select("doc_id", "cluster_rep")
+    docs = _docs(spark, sf_dir, sampled)
+    clusters = _cluster_labels(spark, sf_dir, sampled).select("doc_id", "cluster_rep")
     rep_keep = (
         (F.col("top_token_frac") <= REP_TOP_TOKEN_MAX)
         & (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
         & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
     )
-    rep = _repetition(spark, sf_dir).select("doc_id", rep_keep.alias("rep_keep"))
+    rep = _repetition(spark, sf_dir, sampled).select("doc_id", rep_keep.alias("rep_keep"))
     survivors = (
         docs.select("doc_id", "source", "text", quality_score(F.col("text")).alias("q"))
         .join(rep, "doc_id")

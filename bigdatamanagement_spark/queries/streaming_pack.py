@@ -146,7 +146,9 @@ def streaming_click_attribution_semi(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("click_id")
 
 
-def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_neardup_flags(
+    spark: SparkSession, sf_dir: str, sampled: bool = False
+) -> DataFrame:
     """Streaming ingest dedup — the composition a production corpus
     pipeline runs: new documents arrive as a STREAM, and each
     micro-batch is checked against the standing corpus's at-ingest
@@ -170,10 +172,11 @@ def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_minhash_signatures,
     )
 
+    from bigdatamanagement_spark.queries.pipeline import SAMPLE_PRED
+
     base = _docs(spark, sf_dir).filter(
         _F.col("doc_id") % BATCH_MOD != BATCH_MOD - 1
     )
-    base_sigs = base_minhash_signatures(spark, sf_dir)
     stream = (
         spark.readStream.schema(
             "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -183,6 +186,14 @@ def streaming_neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
         .filter(_F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1)
     )
+    if sampled:
+        # sf0.1-verifiable twin: the block sample keeps every
+        # mod-BATCH_MOD class, so both stream and base sides survive
+        base = base.filter(_F.expr(SAMPLE_PRED))
+        stream = stream.filter(_F.expr(SAMPLE_PRED))
+        base_sigs = None  # memoized sigs cover the FULL base; rebuild
+    else:
+        base_sigs = base_minhash_signatures(spark, sf_dir)
     import tempfile
 
     pair_schema = "new_doc bigint, dup_of bigint, jaccard double"

@@ -1,0 +1,36 @@
+"""Oracle + invariant tests for the fixed-parameter ANN twins."""
+
+import pytest
+
+from bigdatamanagement_spark.queries import ann_fixed
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ann_fixed.QUERIES))
+def test_ann_fixed_oracle(spark, duck, sf_dir, name):
+    df = ann_fixed.QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, ann_fixed.ORACLE[name])
+
+
+@pytest.mark.parametrize("name", sorted(ann_fixed.QUERIES))
+def test_ann_fixed_invariants(spark, sf_dir, name):
+    rows = ann_fixed.QUERIES[name](spark, sf_dir).collect()
+    assert rows, name  # candidates must exist at every SF
+    by_q = {}
+    for r in rows:
+        assert -1_000_000 <= r.cos_micro <= 1_000_000
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_micro))
+    for q, rs in by_q.items():
+        rs.sort()
+        ranks = [r for r, _ in rs]
+        assert ranks == list(range(1, len(ranks) + 1)), (name, q)
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True), (name, q)
+
+
+def test_lcg_is_deterministic():
+    a = ann_fixed._lcg_ints(42, 8, -999, 999)
+    b = ann_fixed._lcg_ints(42, 8, -999, 999)
+    assert a == b
+    assert all(-999 <= x <= 999 for x in a)

@@ -131,3 +131,34 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     pinned = spark.read.schema("doc_id long, text string").parquet(p)
     assert pinned.columns == ["doc_id", "text"]
     assert pinned.count() == 5
+
+
+def test_adaptive_batch_size_tiers():
+    """Behavior-matched to AmazonRedshift.java:375-387."""
+    from bigdatamanagement_spark.sources.sinks import adaptive_batch_size
+
+    assert adaptive_batch_size(10) == 500
+    assert adaptive_batch_size(1_000) == 500
+    assert adaptive_batch_size(1_001) == 1_000
+    assert adaptive_batch_size(10_000) == 1_000
+    assert adaptive_batch_size(10_001) == 2_000
+    assert adaptive_batch_size(50_000) == 2_000
+    assert adaptive_batch_size(50_001) == 5_000
+
+
+def test_write_jdbc_batched_wires_options(spark):
+    """No JDBC server in this container — assert the configured writer
+    carries the adaptive batchsize and connection options (S-05)."""
+    from bigdatamanagement_spark.sources.sinks import write_jdbc_batched
+
+    df = spark.range(2_000)
+    w = write_jdbc_batched(df, "jdbc:postgresql://db/x", "t")
+    # DataFrameWriter keeps its options in the JVM-side scala map
+    opts = {}
+    it = w._jwrite.extraOptions().toList().iterator()
+    while it.hasNext():
+        e = it.next()
+        opts[e._1()] = e._2()
+    assert opts.get("batchsize") == "1000"  # adaptive tier for 2k rows
+    assert opts.get("dbtable") == "t"
+    assert opts.get("url", "").startswith("jdbc:postgresql")
