@@ -59,6 +59,8 @@ from bigdatamanagement_spark.queries import (
     analytics43,
     analytics44,
     analytics45,
+    analytics46,
+    analytics47,
     ann_fixed,
     events,
     extensions,
@@ -144,6 +146,8 @@ _PACKS = [
     analytics43,
     analytics44,
     analytics45,
+    analytics46,
+    analytics47,
     sql4,
 ]
 

@@ -69,13 +69,18 @@ def global_running_max(
     order_col: str,
     value_col: str,
     out_col: str = "running_max",
+    exclusive: bool = False,
 ) -> DataFrame:
     """Exact global running max of ``value_col`` in ``order_col`` order,
     distributed — same two-phase shape as global_row_number: range-
     repartition on the order key, per-partition maxima to the driver
     (one row per partition), exclusive prefix max broadcast back,
     within-partition running max + greatest() with the carry-in.
-    A bare ``Window.orderBy`` computes this through ONE task."""
+    A bare ``Window.orderBy`` computes this through ONE task.
+
+    ``exclusive=True`` excludes the CURRENT row (frame end −1): the
+    result is the max over strictly-earlier rows — NULL for the global
+    first row — which is the prefix a dominance/skyline check needs."""
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     staged = (
@@ -95,10 +100,11 @@ def global_running_max(
             carry = row["_pmax"] if carry is None else max(carry, row["_pmax"])
     vtype = staged.schema[value_col].dataType.simpleString()
     off = spark.createDataFrame(offsets, schema=f"_pid int, _carry {vtype}")
+    frame_end = -1 if exclusive else Window.currentRow
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, frame_end)
     )
     return (
         staged.join(F.broadcast(off), "_pid")

@@ -61,11 +61,15 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-cost supplier pick (TPC-H Q2 shape) — "which catalog rows are
     rational choices at any price/size tradeoff".
 
-    Scale: ONE sort by exact price cents + two RANGE-frame window
-    maxes (max size over strictly-cheaper rows; max size over
-    equal-price rows) — dominated iff the former >= own size or the
-    latter > own size. O(n log n), no self-join; the oracle uses the
-    independent NOT EXISTS formulation."""
+    Scale: the catalog first compresses to the DISTINCT-price grid
+    (price_cents, max size at that price); the strictly-cheaper prefix
+    max then rides the two-phase distributed running max
+    (rank.global_running_max, exclusive frame — no single-partition
+    window anywhere); parts re-join the grid on price_cents. Dominated
+    iff prefix-max >= own size or equal-price max > own size. The
+    oracle uses the independent NOT EXISTS formulation."""
+    from bigdatamanagement_spark.operators.rank import global_running_max
+
     p = load_testdata(spark, sf_dir, tables=("part",), register=False)["part"]
     cents = F.expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
     base = p.select(
@@ -74,18 +78,23 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.alias("price_cents"),
         F.col("p_size").cast("long").alias("p_size"),
     )
-    w_cheaper = (
-        Window.orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
+    grid = base.groupBy("price_cents").agg(
+        F.max("p_size").alias("max_size_equal")
     )
-    w_equal = Window.orderBy("price_cents").rangeBetween(0, 0)
-    flagged = base.select(
-        "*",
-        F.coalesce(F.max("p_size").over(w_cheaper), F.lit(-1)).alias(
+    grid = global_running_max(
+        grid,
+        "price_cents",
+        "max_size_equal",
+        "max_size_cheaper",
+        exclusive=True,
+    ).select(
+        "price_cents",
+        "max_size_equal",
+        F.coalesce(F.col("max_size_cheaper"), F.lit(-1)).alias(
             "max_size_cheaper"
         ),
-        F.max("p_size").over(w_equal).alias("max_size_equal"),
     )
+    flagged = base.join(grid, "price_cents")
     return (
         flagged.filter(
             ~(

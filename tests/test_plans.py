@@ -243,6 +243,7 @@ def test_no_event_grain_partitionless_windows(spark, sf_dir):
 
     from bigdatamanagement_spark.plans import partitionless_windows
     from bigdatamanagement_spark.queries import (
+        analytics8,
         analytics15,
         analytics19,
         analytics21,
@@ -262,6 +263,7 @@ def test_no_event_grain_partitionless_windows(spark, sf_dir):
         (analytics34.decayed_leaderboard, {"decayed_score", "part"}),
         (analytics34.price_dispersion_audit, {"disp_key", "part"}),
         (analytics37.winsorization_sweep, set()),
+        (analytics8.skyline_parts, set()),
     ]
     for fn, allowed in cases:
         for node in partitionless_windows(fn(spark, sf_dir)):
