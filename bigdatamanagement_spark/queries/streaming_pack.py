@@ -445,6 +445,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality corpus manifest over the media table — the metadata
+    pass that never touches a codec: file counts, payload bytes,
+    DISTINCT payload fingerprints (exact binary dedup), and the typed
+    metadata ranges per kind. The payload hash goes through
+    md5(hex(payload)) because both engines hash VARCHAR identically
+    while their blob-hash signatures differ — the portable-binary-
+    fingerprint discipline. ORACLE-CHECKED (unlike the decode-path
+    entries): DuckDB reconstructs the deterministic synthetic payloads
+    byte-for-byte via repeat(unhex(sha256(...))).
+
+    Scale: metadata-only projection + one kind-keyed aggregate; the
+    payload column is touched only for length/fingerprint (no decode,
+    no Python)."""
+    m = M.synth_media(spark, 64)
+    return (
+        m.select(
+            "kind",
+            F.length("payload").cast("long").alias("nb"),
+            F.md5(F.hex("payload")).alias("ph"),
+            "width",
+            "height",
+            "sample_rate",
+            "n_frames",
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("nb").cast("long").alias("total_bytes"),
+            F.countDistinct("ph").cast("long").alias("n_distinct_payloads"),
+            F.min("width").cast("long").alias("min_width"),
+            F.max("width").cast("long").alias("max_width"),
+            F.max("height").cast("long").alias("max_height"),
+            F.max("sample_rate").cast("long").alias("max_sample_rate"),
+            F.max("n_frames").cast("long").alias("max_n_frames"),
+        )
+        .orderBy("kind")
+    )
+
+
 QUERIES = {
     "ext_streaming_hourly_max": streaming_hourly_max,
     "ext_streaming_session_windows": streaming_session_windows,
@@ -461,6 +501,7 @@ QUERIES = {
     "ext_multimodal_features": multimodal_features,
     "ext_multimodal_frame_sample": multimodal_frame_sample,
     "ext_multimodal_audio_spectral": multimodal_audio_spectral,
+    "ext_multimodal_manifest": multimodal_manifest,
 }
 
 from bigdatamanagement_spark.queries.extensions import ORACLE as _EXT_ORACLE
@@ -469,6 +510,36 @@ ORACLE = {
     # the streaming foreachBatch ingest-dedup runs the same batch logic
     # per micro-batch, so it shares the batch incremental-dedup oracle
     "ext_streaming_neardup_flags": _EXT_ORACLE["ext_incremental_neardup"],
+    # DuckDB reconstructs the deterministic synthetic media payloads
+    # byte-for-byte (sha256 of 'media-i', repeated 4 + i%5 times) and
+    # mirrors the metadata CASE logic of operators/multimodal.synth_media
+    "ext_multimodal_manifest": """
+        WITH m AS (
+            SELECT i,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   repeat(unhex(sha256('media-' || i)), 4 + i % 5) AS payload,
+                   CASE WHEN i % 3 = 1 THEN NULL
+                        ELSE 64 + i % 32 END AS width,
+                   CASE WHEN i % 3 = 1 THEN NULL
+                        ELSE 48 + i % 16 END AS height,
+                   CASE WHEN i % 3 = 1 THEN 16000 ELSE NULL END AS sample_rate,
+                   CASE WHEN i % 3 = 0 THEN NULL
+                        ELSE (i % 7 + 1) * 8 END AS n_frames
+            FROM generate_series(0, 63) t(i)
+        )
+        SELECT kind,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+               CAST(COUNT(DISTINCT md5(hex(payload))) AS BIGINT)
+                   AS n_distinct_payloads,
+               CAST(MIN(width) AS BIGINT) AS min_width,
+               CAST(MAX(width) AS BIGINT) AS max_width,
+               CAST(MAX(height) AS BIGINT) AS max_height,
+               CAST(MAX(sample_rate) AS BIGINT) AS max_sample_rate,
+               CAST(MAX(n_frames) AS BIGINT) AS max_n_frames
+        FROM m GROUP BY kind ORDER BY kind
+    """,
     "ext_streaming_dedup_self_union": """
         SELECT event_id, ts, user_id, event_type, ROUND(value, 2) AS value
         FROM events ORDER BY event_id

@@ -119,6 +119,7 @@ def test_streaming_pack_oracles(spark, duck, sf_dir):
         "ext_streaming_first_per_user_hour",
         "ext_streaming_click_attribution_outer",
         "ext_streaming_dedup_self_union",
+        "ext_multimodal_manifest",
     ):
         assert_matches_oracle(SP.QUERIES[name](spark, sf_dir), duck, SP.ORACLE[name])
 
