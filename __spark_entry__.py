@@ -61,6 +61,7 @@ from bigdatamanagement_spark.queries import (
     analytics45,
     analytics46,
     analytics47,
+    analytics48,
     ann_fixed,
     events,
     extensions,
@@ -148,6 +149,7 @@ _PACKS = [
     analytics45,
     analytics46,
     analytics47,
+    analytics48,
     sql4,
 ]
 
