@@ -130,6 +130,21 @@ def _quality(
     )
 
 
+def cosine_topk_exact_micro(spark, sf_dir) -> DataFrame:
+    """T65c — the EXACT brute-force cosine top-10 itself, under the
+    integer micro-cosine scoring (floor(1e6·dot/sqrt(nq·nc)), ties by
+    neighbor id) — the oracle-checkable face of ext_cosine_topk (whose
+    float-cosine ranking is engine-order-sensitive and therefore
+    rows-only). Broadcast 32 queries against the corpus; per-query
+    top-10.
+
+    Scale: |Q|·corpus scored in one scan with the query side broadcast;
+    the per-query window ranks |Q| bounded partitions."""
+    return _exact_topk(spark, sf_dir).select(
+        "query_id", "rank", "neighbor_id", "cos_micro"
+    ).orderBy("query_id", "rank")
+
+
 def lsh_retrieval_quality(spark, sf_dir) -> DataFrame:
     """T65a — recall@10 / MRR / NDCG@10 of the fixed-plane LSH index
     against the exact integer-cosine top-10, per query."""
@@ -146,6 +161,7 @@ def ivf_retrieval_quality(spark, sf_dir) -> DataFrame:
 
 
 QUERIES = {
+    "t65_cosine_topk_exact_micro": cosine_topk_exact_micro,
     "t65_lsh_retrieval_quality": lsh_retrieval_quality,
     "t65_ivf_retrieval_quality": ivf_retrieval_quality,
 }
@@ -222,6 +238,12 @@ def _quality_oracle(approx_sql: str, method: str) -> str:
 
 
 ORACLE = {
+    "t65_cosine_topk_exact_micro": f"""
+    {_SQL_BASE},
+    {_sql_exact_topk().strip()}
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_micro
+    FROM exact ORDER BY query_id, rank
+""",
     "t65_lsh_retrieval_quality": _quality_oracle(_lsh_oracle(), "lsh_fixed"),
     "t65_ivf_retrieval_quality": _quality_oracle(_ivf_oracle(), "ivf_fixed"),
 }
