@@ -356,7 +356,154 @@ def _ivf_oracle() -> str:
     )
 
 
+# --- fixed-codebook PQ (ADC scoring, exact integers end to end) -----------
+
+PQ_M = 8  # subspaces of 8 dims each
+PQ_K = 16  # centroids per subspace
+PQ_SUB = DIM // PQ_M
+# PQ_M × PQ_K codebook vectors of PQ_SUB micro ints
+PQ_CODEBOOKS = [
+    [
+        _lcg_ints(9000 + m * PQ_K + k, PQ_SUB, -300_000, 300_000)
+        for k in range(PQ_K)
+    ]
+    for m in range(PQ_M)
+]
+
+
+def pq_ann_topk_fixed(spark, sf_dir) -> DataFrame:
+    """ext — PQ top-10 with LITERAL integer codebooks and pure ADC
+    scoring: corpus vectors encode to the argmin exact-L2 centroid per
+    subspace (ties by code id); each query precomputes its 8×16
+    distance table; the asymmetric distance is the exact BIGINT sum of
+    table lookups at the corpus codes; top-10 by (adc asc, neighbor
+    asc). No float anywhere, so DuckDB mirrors the index bit-for-bit —
+    the oracle-checked face of the trained-PQ entry (whose k-means
+    codebooks are not SQL-expressible; its recall stays pinned in
+    tests).
+
+    Scale: the scoring join ships 8 small ints per corpus vector
+    (codes) instead of 64 floats — the compression that makes 100 TB
+    ANN shippable; query tables are |Q|·128 ints broadcast."""
+    base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
+    # Spark arrays are 0-indexed in expr subscripts; _sub_d2 emits
+    # 1-based indexing for DuckDB, so build the Spark variant separately
+    code_exprs = []
+    for m in range(PQ_M):
+        structs = []
+        for k in range(PQ_K):
+            terms = " + ".join(
+                f"(vq[{m * PQ_SUB + i}] - {PQ_CODEBOOKS[m][k][i]})"
+                f" * (vq[{m * PQ_SUB + i}] - {PQ_CODEBOOKS[m][k][i]})"
+                for i in range(PQ_SUB)
+            )
+            structs.append(f"named_struct('d2', ({terms}), 'k', {k})")
+        code_exprs.append(
+            "array_sort(array(" + ",".join(structs) + "),"
+            " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2"
+            " THEN 1 WHEN l.k < r.k THEN -1 ELSE 1 END)[0].k"
+        )
+    corpus = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("array(" + ",".join(code_exprs) + ")").alias("codes"),
+    )
+    # query-side 8×16 distance tables (array<array<bigint>>)
+    tab_exprs = []
+    for m in range(PQ_M):
+        row = ",".join(
+            "("
+            + " + ".join(
+                f"(vq[{m * PQ_SUB + i}] - {PQ_CODEBOOKS[m][k][i]})"
+                f" * (vq[{m * PQ_SUB + i}] - {PQ_CODEBOOKS[m][k][i]})"
+                for i in range(PQ_SUB)
+            )
+            + ")"
+            for k in range(PQ_K)
+        )
+        tab_exprs.append(f"array({row})")
+    q = base.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("array(" + ",".join(tab_exprs) + ")").alias("qtab"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qtab, codes,"
+                " (t, c) -> element_at(t, c + 1)), 0L, (a, x) -> a + x)"
+            ).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "adc_d2")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["ext_pq_ann_topk_fixed"] = pq_ann_topk_fixed
+
+
+def _pq_oracle() -> str:
+    # per (vec, m, k) subspace distances via one UNION ALL branch per
+    # (m, k) — 128 branches over nz, each an exact 8-term BIGINT sum
+    branches = []
+    for m in range(PQ_M):
+        for k in range(PQ_K):
+            terms = " + ".join(
+                f"(vq[{m * PQ_SUB + i + 1}] - {PQ_CODEBOOKS[m][k][i]})"
+                f" * (vq[{m * PQ_SUB + i + 1}] - {PQ_CODEBOOKS[m][k][i]})"
+                for i in range(PQ_SUB)
+            )
+            branches.append(
+                f"SELECT vec_id, {m} AS m, {k} AS k,"
+                f" CAST(({terms}) AS BIGINT) AS d2 FROM nz"
+            )
+    d2_table = " UNION ALL ".join(branches)
+    return (
+        _SQL_BASE
+        + f""",
+    subd AS ({d2_table}),
+    coded AS (
+        SELECT vec_id, m, k, d2,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2 ASC, k ASC) AS rk
+        FROM subd
+    ),
+    codes AS (SELECT vec_id AS neighbor_id, m, k FROM coded WHERE rk = 1),
+    qtab AS (
+        SELECT vec_id AS query_id, m, k, d2 FROM subd
+        WHERE vec_id < {TOPK_QUERY_IDS}
+    ),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(SUM(q.d2) AS BIGINT) AS adc_d2
+        FROM codes c JOIN qtab q USING (m, k)
+        WHERE c.neighbor_id <> q.query_id
+        GROUP BY q.query_id, c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc_d2,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_d2
+    FROM ranked WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""
+    )
+
+
 ORACLE = {
     "ext_lsh_ann_topk_fixed": _lsh_oracle(),
     "ext_ivf_ann_topk_fixed": _ivf_oracle(),
+    "ext_pq_ann_topk_fixed": _pq_oracle(),
 }

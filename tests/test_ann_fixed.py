@@ -16,17 +16,23 @@ def test_ann_fixed_oracle(spark, duck, sf_dir, name):
 def test_ann_fixed_invariants(spark, sf_dir, name):
     rows = ann_fixed.QUERIES[name](spark, sf_dir).collect()
     assert rows, name  # candidates must exist at every SF
+    # cosine twins rank DESC by cos_micro; the PQ twin ranks ASC by adc
+    is_dist = "adc_d2" in rows[0].asDict()
     by_q = {}
     for r in rows:
-        assert -1_000_000 <= r.cos_micro <= 1_000_000
+        score = r.adc_d2 if is_dist else r.cos_micro
+        if not is_dist:
+            assert -1_000_000 <= score <= 1_000_000
+        else:
+            assert score >= 0
         assert r.neighbor_id != r.query_id
-        by_q.setdefault(r.query_id, []).append((r.rank, r.cos_micro))
+        by_q.setdefault(r.query_id, []).append((r.rank, score))
     for q, rs in by_q.items():
         rs.sort()
         ranks = [r for r, _ in rs]
         assert ranks == list(range(1, len(ranks) + 1)), (name, q)
         scores = [s for _, s in rs]
-        assert scores == sorted(scores, reverse=True), (name, q)
+        assert scores == sorted(scores, reverse=not is_dist), (name, q)
 
 
 def test_lcg_is_deterministic():
