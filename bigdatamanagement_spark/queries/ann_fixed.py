@@ -451,6 +451,92 @@ def pq_ann_topk_fixed(spark, sf_dir) -> DataFrame:
 QUERIES["ext_pq_ann_topk_fixed"] = pq_ann_topk_fixed
 
 
+SEMDEDUP_T_MICRO = 400_000  # cosine >= 0.4, in micro units
+
+
+def semdedup_fixed(spark, sf_dir) -> DataFrame:
+    """ext — SemDeDup mechanics (Abbas et al. 2023) under the oracle
+    gate: vectors assign to fixed-centroid cells by exact BIGINT L2
+    (the IVF twin's assignment), each cell's pairwise micro-cosines
+    compare against the literal threshold, and a vector is a duplicate
+    iff a SMALLER-id cell-mate scores >= threshold (the paper's
+    deterministic keep-min-id policy). Per-cell report: vectors, dups.
+    Cross-cell pairs are never compared — the approximation that makes
+    web-scale semantic dedup tractable; the trained-centroid variant
+    (extensions.semdedup_summary) stays rows-only with its policy
+    pinned in tests.
+
+    Scale: assignment is one scan (literal centroids); the pairwise
+    stage is one cell-keyed self-join — expected cell size is bounded
+    when n_cells grows with the corpus (paper: ~1e5 cells)."""
+    base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
+    d2_exprs = []
+    for c_id, cvec in enumerate(CENTROIDS):
+        arr = "array(" + ",".join(f"{x}L" for x in cvec) + ")"
+        d2_exprs.append(
+            f"named_struct('d2', aggregate(zip_with(vq, {arr},"
+            f" (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x),"
+            f" 'cell', {c_id})"
+        )
+    cells_sorted = (
+        "array_sort(array(" + ",".join(d2_exprs) + "),"
+        " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2 THEN 1"
+        " WHEN l.cell < r.cell THEN -1 ELSE 1 END)[0].cell"
+    )
+    assigned = base.select(
+        "vec_id", "vq", "nrm", F.expr(cells_sorted).alias("cell")
+    ).localCheckpoint()
+    a = assigned.select(
+        F.col("vec_id").alias("qid"),
+        F.col("vq").alias("qv"),
+        F.col("nrm").alias("nq"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vq").alias("cv"),
+        F.col("nrm").alias("nc"),
+        "cell",
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("neighbor_id") < F.col("qid"))
+        .select(
+            "cell",
+            "qid",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .select("cell", "qid", F.expr(_COS_MICRO).alias("cos_micro"))
+        .filter(F.col("cos_micro") >= SEMDEDUP_T_MICRO)
+        .select("cell", "qid")
+        .distinct()
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .join(
+            dups.groupBy("cell").agg(
+                F.count(F.lit(1)).cast("long").alias("n_dups")
+            ),
+            "cell",
+            "left",
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        )
+        .orderBy("cell")
+    )
+
+
+QUERIES["ext_semdedup_fixed"] = semdedup_fixed
+
+
 def _pq_oracle() -> str:
     # per (vec, m, k) subspace distances via one UNION ALL branch per
     # (m, k) — 128 branches over nz, each an exact 8-term BIGINT sum
@@ -502,8 +588,52 @@ def _pq_oracle() -> str:
     )
 
 
+def _semdedup_oracle() -> str:
+    d2_cases = []
+    for c_id, cvec in enumerate(CENTROIDS):
+        arr = "[" + ",".join(str(x) for x in cvec) + "]"
+        d2_cases.append(
+            f"SELECT vec_id, vq, nrm, {c_id} AS cell,"
+            f" CAST(list_sum(list_transform(range(1, {DIM + 1}),"
+            f" i -> (vq[i] - ({arr})[i]) * (vq[i] - ({arr})[i])))"
+            f" AS BIGINT) AS d2 FROM nz"
+        )
+    d2_table = " UNION ALL ".join(d2_cases)
+    return (
+        _SQL_BASE
+        + f""",
+    dists AS ({d2_table}),
+    assigned AS (
+        SELECT vec_id, vq, nrm, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY d2 ASC, cell ASC) AS crk
+            FROM dists
+        ) WHERE crk = 1
+    ),
+    dup_pairs AS (
+        SELECT a.cell, a.vec_id AS qid
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE {_COS_MICRO.replace("dot", "CAST(list_sum(list_transform(range(1, 65), i -> a.vq[i] * b.vq[i])) AS BIGINT)").replace("nq", "a.nrm").replace("nc", "b.nrm")}
+              >= {SEMDEDUP_T_MICRO}
+    ),
+    dups AS (SELECT cell, qid FROM dup_pairs GROUP BY cell, qid)
+    SELECT v.cell, v.n_vectors,
+           CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups
+    FROM (SELECT CAST(cell AS BIGINT) AS cell,
+                 CAST(COUNT(*) AS BIGINT) AS n_vectors
+          FROM assigned GROUP BY cell) v
+    LEFT JOIN (SELECT CAST(cell AS BIGINT) AS cell,
+                      CAST(COUNT(*) AS BIGINT) AS n_dups
+               FROM dups GROUP BY cell) d USING (cell)
+    ORDER BY v.cell
+"""
+    )
+
+
 ORACLE = {
     "ext_lsh_ann_topk_fixed": _lsh_oracle(),
     "ext_ivf_ann_topk_fixed": _ivf_oracle(),
     "ext_pq_ann_topk_fixed": _pq_oracle(),
+    "ext_semdedup_fixed": _semdedup_oracle(),
 }

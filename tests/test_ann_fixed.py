@@ -12,7 +12,9 @@ def test_ann_fixed_oracle(spark, duck, sf_dir, name):
     assert_matches_oracle(df, duck, ann_fixed.ORACLE[name])
 
 
-@pytest.mark.parametrize("name", sorted(ann_fixed.QUERIES))
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(ann_fixed.QUERIES) if "_topk_" in n]
+)
 def test_ann_fixed_invariants(spark, sf_dir, name):
     rows = ann_fixed.QUERIES[name](spark, sf_dir).collect()
     assert rows, name  # candidates must exist at every SF
@@ -40,3 +42,18 @@ def test_lcg_is_deterministic():
     b = ann_fixed._lcg_ints(42, 8, -999, 999)
     assert a == b
     assert all(-999 <= x <= 999 for x in a)
+
+
+def test_semdedup_fixed_policy(spark, sf_dir):
+    """Keep-min-id: per cell, dups < vectors (the min-id vector of any
+    cell can never be a dup), and totals partition the corpus."""
+    rows = ann_fixed.semdedup_fixed(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dups < r.n_vectors
+    total = sum(r.n_vectors for r in rows)
+    from bigdatamanagement_spark.queries.ann_fixed import _quantized
+    import pyspark.sql.functions as F
+
+    n = _quantized(spark, sf_dir).filter(F.col("nrm") > 0).count()
+    assert total == n
