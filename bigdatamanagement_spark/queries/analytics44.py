@@ -59,8 +59,12 @@ def _quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(
             F.expr(
+                # cast to DOUBLE before the multiply: float32 * 1000
+                # computed in float32 rounds .5-boundary components
+                # differently from DuckDB's double path (first seen at
+                # sf0.1 where the corpus is large enough to hit ties)
                 "transform(embedding,"
-                " v -> CAST(round(v * 1000, 0) AS BIGINT))"
+                " v -> CAST(round(CAST(v AS DOUBLE) * 1000, 0) AS BIGINT))"
             )
         ).alias("dim", "q"),
     )
@@ -213,7 +217,8 @@ _QUANT_SQL = """
         quant AS (
             SELECT vec_id, label,
                    g.i - 1 AS dim,
-                   CAST(round(embedding[g.i] * 1000, 0) AS BIGINT) AS q
+                   CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000, 0)
+                        AS BIGINT) AS q
             FROM read_emb,
                  unnest(generate_series(1, len(embedding))) AS g(i)
         )
