@@ -53,6 +53,16 @@ class Engine:
         """
         return self.sql(query).toPandas()
 
+    def explain_sql(self, query: str) -> dict:
+        """Plan-health report for a SQL string (the engine's
+        explain/format surface): broadcast vs shuffle joins, parquet
+        pushdown, top-k short-circuits, codegen coverage, Python-UDF
+        presence — the dict plans.plan_report builds for the
+        plan-regression tests, exposed on the facade."""
+        from bigdatamanagement_spark.plans import plan_report
+
+        return plan_report(self.sql(query))
+
     def show_sql(self, query: str, n: int | None = None) -> None:
         """displayResultSet parity (SQLonRDS.java:280-361): boxed text
         table with computed column widths, NULL rendering, empty-result
