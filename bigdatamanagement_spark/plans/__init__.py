@@ -23,6 +23,7 @@ def plan_report(df: DataFrame) -> dict:
     plan = executed_plan(df)
     return {
         "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "broadcast_nl_joins": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
         "shuffled_hash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
         "exchanges": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan)),

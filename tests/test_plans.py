@@ -275,3 +275,43 @@ def test_no_event_grain_partitionless_windows(spark, sf_dir):
                 fn.__name__,
                 node,
             )
+
+
+def test_round3_packs_plan_health(spark, sf_dir):
+    """The round-3 packs stay JVM-side (no Python UDFs) and keep their
+    bounded sides broadcast: the mixture plans broadcast 1-row totals,
+    the ANN twins broadcast the 32-query side, the eval pack joins two
+    bounded lists."""
+    from bigdatamanagement_spark.queries import (
+        analytics46,
+        analytics47,
+        analytics48,
+        ann_fixed,
+    )
+
+    for fn in (
+        analytics46.mixture_token_plan,
+        analytics46.epoch_repetition_plan,
+        analytics46.quality_temperature_weights,
+        analytics47.cosine_topk_exact_micro,
+        analytics47.lsh_retrieval_quality,
+        analytics48.perplexity_tiers,
+        ann_fixed.lsh_ann_topk_fixed,
+        ann_fixed.ivf_ann_topk_fixed,
+        ann_fixed.pq_ann_topk_fixed,
+        ann_fixed.semdedup_fixed,
+    ):
+        r = plan_report(fn(spark, sf_dir))
+        assert not r["python_udf"], fn.__name__
+
+    # the 1-row plan-total / budget / query-table sides must broadcast
+    # (keyless 1-row joins plan as BroadcastNestedLoopJoin)
+    for fn in (
+        analytics46.mixture_token_plan,
+        ann_fixed.pq_ann_topk_fixed,
+    ):
+        r = plan_report(fn(spark, sf_dir))
+        assert r["broadcast_joins"] + r["broadcast_nl_joins"] >= 1, (
+            fn.__name__,
+            r,
+        )
