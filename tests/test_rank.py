@@ -66,3 +66,36 @@ def test_global_running_sum_matches_prefix(spark):
     for i, v in enumerate(_VALS):
         acc += v
         assert got[i] == acc
+
+
+def test_rank_helpers_property(spark):
+    """Hypothesis-style randomized check (bounded examples to keep the
+    Spark round-trips cheap): for random multisets with duplicates, the
+    distributed helpers agree with the single-partition reference."""
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        vals = [rng.randint(-50, 50) for _ in range(rng.randint(1, 40))]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, v long"
+        ).repartition(5)
+
+        out, n = global_row_number(df, [F.col("v"), F.col("id")], "rk")
+        assert n == len(vals)
+        got = [(r.v, r.id) for r in out.orderBy("rk").collect()]
+        assert got == sorted((v, i) for i, v in enumerate(vals)), trial
+
+        cum = global_running_sum(df, [F.col("id")], "v", "s")
+        got_s = {r.id: r.s for r in cum.collect()}
+        acc = 0
+        for i, v in enumerate(vals):
+            acc += v
+            assert got_s[i] == acc, trial
+
+        mx = global_running_max(df, "id", "v", "m", exclusive=True)
+        got_m = {r.id: r.m for r in mx.collect()}
+        run = None
+        for i, v in enumerate(vals):
+            assert got_m[i] == run, trial
+            run = v if run is None else max(run, v)
