@@ -62,6 +62,7 @@ from bigdatamanagement_spark.queries import (
     analytics46,
     analytics47,
     analytics48,
+    analytics49,
     ann_fixed,
     events,
     extensions,
@@ -150,6 +151,7 @@ _PACKS = [
     analytics46,
     analytics47,
     analytics48,
+    analytics49,
     sql4,
 ]
 
