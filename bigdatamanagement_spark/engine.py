@@ -63,10 +63,15 @@ class Engine:
 
         return plan_report(self.sql(query))
 
-    def show_sql(self, query: str, n: int | None = None) -> None:
+    def show_sql(self, query: str, n: int | None = 1000) -> None:
         """displayResultSet parity (SQLonRDS.java:280-361): boxed text
         table with computed column widths, NULL rendering, empty-result
-        message, and the Total-results footer (see render.render_table)."""
+        message, and the Total-results footer (see render.render_table).
+
+        ``n`` bounds the driver-side collect (default 1000 — a facade
+        default of None would collect the ENTIRE result set, a driver-OOM
+        hazard at scale); pass ``n=None`` explicitly for bit-faithful
+        uncapped reference parity."""
         from bigdatamanagement_spark.render import render_table
 
         print(render_table(self.sql(query), max_rows=n), end="")

@@ -58,10 +58,12 @@ def quantile_bucket(rank_col: str, n_rows: int, k: int) -> Column:
     """Bucket 1..k from a 1-based global rank: 1 + floor((rank−1)·k / n).
     Differs from SQL NTILE only in which buckets absorb the remainder
     (NTILE front-loads; this formula back-loads) — chosen because it is
-    one integer expression, identical in Spark and DuckDB."""
-    return (
-        F.lit(1) + F.floor((F.col(rank_col) - 1) * k / F.lit(float(n_rows)))
-    ).cast("int")
+    one integer expression, identical in Spark and DuckDB. Pure integer
+    DIV (not double division): (rank−1)·k loses exactness past ~2^53 as
+    a double, and the DuckDB oracles use integer ``//``."""
+    return F.expr(
+        f"CAST(1 + (({rank_col} - 1) * {int(k)}) DIV {int(n_rows)} AS INT)"
+    )
 
 
 def global_running_max(

@@ -43,7 +43,13 @@ def hll_trailing_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged-HLL estimate (daily register partials, register-wise max
     across the window) and the exact count — plus the signed error in
     basis points. Windows at the span head merge fewer than 7 partials
-    (standard trailing semantics)."""
+    (standard trailing semantics).
+
+    Scale note: the SKETCH leg is the 100 TB pattern — daily register
+    partials fan out at REGISTER grain (≤ m rows/day × 7), merged by
+    register-wise MAX. The EXACT leg fans every event row ×7 and is a
+    calibration output only; at 100× you would drop it or compute it on
+    a sampled day subset."""
     ev = _events(spark, sf_dir).select(
         F.to_date("ts").alias("day"), "user_id"
     )

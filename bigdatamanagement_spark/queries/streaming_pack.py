@@ -194,10 +194,12 @@ def streaming_neardup_flags(
         base_sigs = None  # memoized sigs cover the FULL base; rebuild
     else:
         base_sigs = base_minhash_signatures(spark, sf_dir)
-    import tempfile
+    from bigdatamanagement_spark.session import scratch_dir
 
     pair_schema = "new_doc bigint, dup_of bigint, jaccard double"
-    sink_dir = tempfile.mkdtemp(prefix="neardup_pairs_")
+    # managed scratch (reaped at process exit) — a bare mkdtemp here
+    # leaked one parquet dir per invocation across bench/sim passes
+    sink_dir = scratch_dir("neardup_pairs_")
 
     def check_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -32,6 +32,25 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """A fresh subdirectory under one per-process scratch root that is
+    reaped at interpreter exit (atexit). Use for transient sinks (e.g.
+    a foreachBatch parquet sink) instead of bare tempfile.mkdtemp, which
+    leaks a directory per invocation — one per bench/sim pass."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="bdm_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def session_key(spark: SparkSession) -> str:
     """Stable memo-cache key for a live session.
 

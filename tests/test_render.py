@@ -32,13 +32,15 @@ def test_render_table_golden(spark):
 
 def test_render_table_empty_result(spark):
     got = render_table(_frame(spark).filter("id = 99"))
-    # widths collapse to the header widths; the message pads to
-    # sum(widths) + 3*(cols-1) - 1 per the reference's format string
+    # message-first: the reference System.out.println's the padded
+    # pipe-framed message at SQLonRDS.java:329-331 while the table is
+    # still buffered, so the literal stdout shows it BEFORE the
+    # header-only table (padding target 17 < len(message) so no pad)
     expected = (
+        "| Query returned no results. |\n"
         "+----+------+--------+\n"
         "| id | name | ticker |\n"
         "+----+------+--------+\n"
-        "| Query returned no results. |\n"
         "+----+------+--------+\n"
     )
     assert got == expected
@@ -57,7 +59,7 @@ def test_result_set_to_string_golden(spark):
         "Total columns: 3\n"
         "id, name, ticker\n"
         "1, Apple, AAPL\n"
-        "3, Handy Repair, None\n"
+        "3, Handy Repair, null\n"
         "Total results: 2"
     )
     assert got == expected
