@@ -237,6 +237,93 @@ def minhash_signatures(
     return with_sh.select("doc_id", sig.alias("sig"), "sh")
 
 
+#: Max ids a single task row compares against another chunk (chunk² pair
+#: expansions per row at most — 4096 at 64). Tune DOWN for hotter skew.
+BUCKET_CHUNK = 64
+
+
+def chunked_bucket_pairs(
+    buckets: DataFrame,
+    key_cols: list[str],
+    arr_col: str,
+    pair_fn,
+    chunk: int = BUCKET_CHUNK,
+) -> DataFrame:
+    """Skew-resilient in-bucket pair enumeration: ``p`` = pair struct per
+    ordered pair of the sorted ``arr_col`` array.
+
+    The naive form — one flatten(transform(...)) over the whole bucket
+    array — expands C(n,2) pairs inside the SINGLE reduce task that owns
+    the bucket row. Uniform fixtures never show it, but the classic
+    100 TB failure is a hot LSH/SimHash bucket (boilerplate duplicated
+    10⁴-10⁶×) turning that task into a straggler (10⁴ ids → 5·10⁷ pairs
+    in one task). This version tiles the sorted array into ``chunk``-size
+    slices, explodes the upper-triangular CHUNK-pair grid — (n/chunk)²/2
+    rows, each carrying two ≤chunk-element slices — REPARTITIONS on
+    (bucket key, ci, cj) so a hot bucket's grid spreads across the
+    cluster, then expands ≤ chunk² element pairs per row (triangular when
+    ci == cj, full cross otherwise; the sorted tiling preserves a < b).
+
+    The pair SET is identical to the naive expansion — same semantics,
+    same oracles — and for buckets ≤ chunk the grid degenerates to one
+    (0,0) row, so the uniform-corpus plan shape is unchanged apart from
+    the (small: collided buckets only) repartition exchange. Total work
+    is still Σ C(n_b, 2) — candidate semantics demand every pair — but
+    no task expands more than chunk² pairs per input row. Upstream note:
+    run exact_dedup first so byte-identical mega-clusters collapse before
+    banding; collect_set still gathers a hot bucket's ids into one array
+    (80 KB at 10⁴ ids — the array is fine; the expansion was the hazard).
+    """
+    nch = F.ceil(F.size(F.col(arr_col)) / F.lit(chunk)).cast("int")
+    grid = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda ci: F.transform(
+                F.sequence(ci, nch - 1),
+                lambda cj: F.struct(ci.alias("ci"), cj.alias("cj")),
+            ),
+        )
+    )
+    pieces = (
+        buckets.select(*key_cols, F.col(arr_col).alias("_arr"), F.explode_outer(grid).alias("_cc"))
+        .select(
+            *key_cols,
+            F.col("_cc.ci").alias("_ci"),
+            F.col("_cc.cj").alias("_cj"),
+            F.slice("_arr", F.col("_cc.ci") * chunk + 1, F.lit(chunk)).alias("_sa"),
+            F.slice("_arr", F.col("_cc.cj") * chunk + 1, F.lit(chunk)).alias("_sb"),
+        )
+        # EXPLICIT partition count: a column-only repartition lets AQE
+        # coalesce the (tiny, pre-explosion) chunk-pair rows back into
+        # one partition — AQE sizes by bytes and cannot see that each
+        # row expands up to chunk^2 pairs. Pinning N keeps the spread.
+        .repartition(
+            int(buckets.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            *key_cols,
+            "_ci",
+            "_cj",
+        )
+    )
+    tri = F.flatten(
+        F.transform(
+            F.col("_sa"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("_sa"), i + 2, F.greatest(F.size(F.col("_sa")) - i - 1, F.lit(0))
+                ),
+                lambda y: pair_fn(x, y),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("_sa"), lambda x: F.transform(F.col("_sb"), lambda y: pair_fn(x, y))
+        )
+    )
+    pairs = F.when(F.col("_ci") == F.col("_cj"), tri).otherwise(cross)
+    return pieces.select(F.explode_outer(pairs).alias("p"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -272,25 +359,22 @@ def minhash_lsh_pairs(
     # Candidate pairs come from GROUPING each (band, band_hash) bucket and
     # enumerating in-bucket pairs, not from a banded-self-join: the join
     # evaluates the signature pipeline once per side (2x), the groupBy
-    # once. In-bucket pair expansion is quadratic per bucket — fine under
-    # the S-curve (buckets are near-dup clusters); run exact_dedup first
-    # if the corpus has massive byte-identical clusters.
+    # once. In-bucket expansion rides chunked_bucket_pairs so a hot
+    # bucket (boilerplate duplicated 10⁴×) spreads across tasks instead
+    # of exploding C(n,2) pairs in one; run exact_dedup first if the
+    # corpus has massive byte-identical clusters.
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.greatest(F.size(F.col("ids")) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
     candidates = (
-        buckets.select(F.explode_outer(pair_arr).alias("p"))
+        chunked_bucket_pairs(
+            buckets,
+            ["band", "band_hash"],
+            "ids",
+            lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        )
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
@@ -499,21 +583,19 @@ def simhash_pairs(
         .agg(F.array_sort(F.collect_set("m")).alias("ms"))
         .filter(F.size("ms") > 1)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.greatest(F.size(F.col("ms")) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
-                ),
+    # chunked enumeration: a hot chunk bucket spreads across tasks (see
+    # chunked_bucket_pairs) instead of expanding C(n,2) pairs in one
+    return (
+        chunked_bucket_pairs(
+            buckets,
+            ["chunk_pos", "chunk_val"],
+            "ms",
+            lambda x, y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
             ),
         )
-    )
-    return (
-        buckets.select(F.explode_outer(pair_arr).alias("p"))
         .select("p.doc_a", "p.doc_b", "p.hamming")
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)

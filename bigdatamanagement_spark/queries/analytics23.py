@@ -53,7 +53,9 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue — the planogram every supply-chain review starts from.
 
     Scale: one lineitem scan -> part-keyed revenue + weekly-demand
-    moments; one running-share window over parts."""
+    moments; the running revenue share rides rank.global_running_sum
+    (two-phase, distributed) — parts scale with SF, so a bare
+    partition-less window here would be the single-task anti-pattern."""
     li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)[
         "lineitem"
     ]
@@ -75,14 +77,16 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wq").cast("long").alias("s"),
         F.sum(F.col("wq") * F.col("wq")).cast("long").alias("qq"),
     )
-    w = Window.orderBy(F.desc("revenue"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    from bigdatamanagement_spark.operators.rank import global_running_sum
+
+    cum = global_running_sum(
+        per_part,
+        [F.desc("revenue"), F.asc("l_partkey")],
+        "revenue",
+        "cum_rev",
     )
     tot = per_part.agg(F.sum("revenue").alias("total_rev"))
-    classed = per_part.join(F.broadcast(tot)).select(
-        "*",
-        F.sum("revenue").over(w).alias("cum_rev"),
-    ).select(
+    classed = cum.join(F.broadcast(tot)).select(
         "*",
         F.when(F.col("cum_rev") * 100 <= F.col("total_rev") * 80, "A")
         .when(F.col("cum_rev") * 100 <= F.col("total_rev") * 95, "B")

@@ -205,8 +205,11 @@ def collocation_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
             F.expr(_G2_MICRO).alias("g2_micro"),
         )
+        # top-15 via orderBy+limit heaps, then rank the survivors (a
+        # rank-then-filter is a single-task sort over the bigram grain)
+        .orderBy(F.desc("g2_micro"), F.asc("w1"), F.asc("w2"))
+        .limit(15)
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 15)
         .select("rank", "w1", "w2", "c_ab", "c_a", "c_b", "n", "g2_micro")
         .orderBy("rank")
     )

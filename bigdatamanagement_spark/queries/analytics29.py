@@ -118,6 +118,10 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n3", F.lit(0)).cast("long").alias("n3"),
         )
     )
+    # top-10 as orderBy+limit (TakeOrderedAndProject per-partition
+    # heaps), THEN rank the <=10 survivors — a row_number-then-filter
+    # here is a single-task global sort over the vertex grain (the
+    # cast-wrapped rank also defeats InferWindowGroupLimit)
     w = Window.orderBy(F.desc("harmonic_micro"), F.asc("vertex"))
     return (
         counts.select(
@@ -127,8 +131,9 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n3",
             F.expr(_HARM).cast("long").alias("harmonic_micro"),
         )
+        .orderBy(F.desc("harmonic_micro"), F.asc("vertex"))
+        .limit(10)
         .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
         .select("rank", "vertex", "n1", "n2", "n3", "harmonic_micro")
         .orderBy("rank")
     )
@@ -213,10 +218,13 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long").alias("s"),
             )
         )
+    # top-15 via orderBy+limit heaps, then rank the survivors (see
+    # harmonic_centrality note: rank-then-filter is a single-task sort)
     w10 = Window.orderBy(F.desc("s"), F.asc("v"))
     return (
-        score.withColumn("rank", F.row_number().over(w10).cast("long"))
-        .filter(F.col("rank") <= 15)
+        score.orderBy(F.desc("s"), F.asc("v"))
+        .limit(15)
+        .withColumn("rank", F.row_number().over(w10).cast("long"))
         .select(
             "rank",
             F.col("v").alias("token"),

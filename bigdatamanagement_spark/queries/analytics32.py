@@ -63,8 +63,10 @@ def funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     wait. Conversion percentages say WHETHER users fall through; step
     timing says WHERE the friction is.
 
-    Scale: one user-keyed aggregate; percentiles are rank-window
-    crossings on the per-user transition grain."""
+    Scale: one user-keyed aggregate; percentiles are cumulative-count
+    crossings on the DISTINCT whole-second duration grid (bounded by
+    the time-span domain, not the user count — the t26 distinct-value
+    convention), never a rank over per-user rows."""
     ev = _events(spark, sf_dir)
     us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
     per_user = (
@@ -102,11 +104,20 @@ def funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     outs = []
     for col in ("signup_to_click", "click_to_purchase"):
-        w = Window.orderBy(F.col(col), F.col("user_id"))
-        ranked = steps.select(
-            F.col(col).alias("secs"),
-            F.row_number().over(w).cast("long").alias("rk"),
-            F.count(F.lit(1))
+        # distinct-duration grid: cum(v) = #users with duration <= v, so
+        # min v with k*cum(v) >= q*n is exactly the min qualifying row of
+        # the per-user rank formulation (cum(x_r*) >= r*; any smaller v
+        # has cum < r*) — same outputs, value-domain-sized window
+        counts = steps.groupBy(F.col(col).alias("secs")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        grid = counts.select(
+            "secs",
+            F.sum("c")
+            .over(Window.orderBy("secs").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum"),
+            F.sum("c")
             .over(
                 Window.rowsBetween(
                     Window.unboundedPreceding, Window.unboundedFollowing
@@ -115,11 +126,11 @@ def funnel_step_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n"),
         )
-        med = ranked.filter(F.col("rk") * 2 >= F.col("n")).agg(
+        med = grid.filter(F.col("cum") * 2 >= F.col("n")).agg(
             F.min("secs").alias("median_secs"),
             F.max("n").alias("n_users"),
         )
-        p90 = ranked.filter(F.col("rk") * 10 >= F.col("n") * 9).agg(
+        p90 = grid.filter(F.col("cum") * 10 >= F.col("n") * 9).agg(
             F.min("secs").alias("p90_secs")
         )
         outs.append(

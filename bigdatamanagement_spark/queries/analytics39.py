@@ -145,9 +145,10 @@ def average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses, which is why retrieval and imbalanced-class evaluation
     quote it.
 
-    Scale: one broadcast score join + one global rank pass (two-phase
-    at scale, as ext_classifier_auc); per-positive terms floor before
-    the one reduce."""
+    Scale: one broadcast score join + TWO two-phase global passes
+    (rank.global_row_number, then rank.global_running_sum of y in rank
+    order) — never a bare partition-less window over the event grain;
+    per-positive terms floor before the one reduce."""
     ev = _events(spark, sf_dir)
     base = ev.select(
         "event_id",
@@ -162,16 +163,17 @@ def average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrate = base.groupBy("wd").agg(
         F.expr("(SUM(y) * 1000000) DIV COUNT(*)").alias("score")
     )
+    from bigdatamanagement_spark.operators.rank import (
+        global_row_number,
+        global_running_sum,
+    )
+
     scored = base.join(F.broadcast(wrate), "wd")
-    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
-    ranked = scored.select(
-        "y",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.sum("y").over(
-            Window.orderBy(F.desc("score"), F.asc("event_id")).rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ).cast("long").alias("cum_pos"),
+    rk_ranked, _ = global_row_number(
+        scored, [F.desc("score"), F.asc("event_id")], "rk"
+    )
+    ranked = global_running_sum(
+        rk_ranked.select("y", "rk"), [F.asc("rk")], "y", "cum_pos"
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
