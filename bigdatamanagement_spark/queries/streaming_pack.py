@@ -201,15 +201,19 @@ def streaming_neardup_flags(
     # leaked one parquet dir per invocation across bench/sim passes
     sink_dir = scratch_dir("neardup_pairs_")
 
-    def check_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         pairs = incremental_minhash_pairs(
             base, batch_df, "doc_id", "text", threshold=JACCARD_T,
             base_signatures=base_sigs,
         )
-        # executor-side append; nothing ever lands on the driver
-        pairs.write.mode("append").parquet(sink_dir)
+        # executor-side write; nothing ever lands on the driver. Each
+        # micro-batch OVERWRITES its own batch-id-keyed subdirectory, so
+        # a replayed batch (crash after write, before the checkpoint
+        # commit) replaces its output instead of appending duplicates —
+        # exactly-once end-to-end, pinned by tests/test_streaming_restart.py.
+        pairs.write.mode("overwrite").parquet(f"{sink_dir}/b{batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(check_batch)
@@ -218,9 +222,11 @@ def streaming_neardup_flags(
     )
     q.awaitTermination()
     # explicit schema so an all-clean run (empty sink) reads as an
-    # empty frame instead of failing schema inference
+    # empty frame instead of failing schema inference; recursive lookup
+    # collects the per-batch subdirectories
     return (
         spark.read.schema(pair_schema)
+        .option("recursiveFileLookup", "true")
         .parquet(sink_dir)
         .orderBy("new_doc", "dup_of")
     )

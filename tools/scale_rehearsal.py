@@ -1,0 +1,116 @@
+"""sf1 scale rehearsal (round-4 item 4): measure how the dedup/ANN
+family's wall-time grows from m=1 (sf0.1-shaped) through m=10
+(sf1-shaped) on the consistent generator of tools/gen_scale_data.py,
+and fit the per-query scaling exponent alpha from t ~ c * n^alpha
+(least-squares over log n, three points m=1,3,10).
+
+Each query runs twice per multiplier; the SECOND (warm) time is
+recorded so JVM/Python-worker startup does not contaminate the m=1
+denominator. Banded/blocked designs should land near alpha <= ~1.2
+(n log n); anything materially super-linear is a scale bug to file.
+
+Appends (idempotently replaces) a marker-delimited "Measured rehearsal"
+section at the end of SCALE.md — the rest of that file is the
+hand-written cross-cutting strategy doc and is left untouched.
+
+Usage: python tools/scale_rehearsal.py [m1 m2 ...]   (default 1 3 10)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Only queries over documents/embeddings/events (the scale dirs carry
+# just those three tables).
+REHEARSAL = [
+    # dedup family (banded / blocked / star-contraction)
+    "ext_dedup_exact_groups",
+    "ext_minhash_lsh_pairs",
+    "ext_simhash_pairs",
+    "ext_incremental_neardup",
+    "ext_dedup_clusters",
+    "ext_multi_signal_dedup",
+    # text pipeline
+    "ext_text_features",
+    "ext_bigram_perplexity_by_source",
+    "t66_perplexity_tiers",
+    "ext_curation_funnel",
+    "ext_training_set_manifest",
+    # similarity / ANN
+    "ext_embedding_neardup_pairs",
+    "ext_cosine_topk",
+    "ext_lsh_ann_topk",
+    "ext_ivf_ann_topk",
+    "ext_pq_ann_topk",
+    "ext_semdedup_summary",
+    # sketches / event-grain two-phase
+    "t67_hll_trailing_actives",
+    "ext_rolling_7d_hll_users",
+    "t57_average_precision",
+]
+
+
+def main() -> None:
+    mults = [float(a) for a in sys.argv[1:]] or [1.0, 3.0, 10.0]
+    import __spark_entry__ as entrymod
+    from bigdatamanagement_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-rehearsal")
+    qs = entrymod.queries()
+    times: dict[str, dict[float, float]] = {q: {} for q in REHEARSAL}
+    for m in mults:
+        tag = f"{m:g}"
+        sf_dir = f"/root/repo/fixtures/scale/m{tag}"
+        if not os.path.isdir(sf_dir):
+            os.system(f"python tools/gen_scale_data.py {tag} {sf_dir}")
+        for q in REHEARSAL:
+            fn = qs[q]
+            best = None
+            for _ in range(2):  # second pass = warm
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = time.perf_counter() - t0
+            times[q][m] = round(best, 3)
+            print(f"m={tag} {q}: {times[q][m]}s", flush=True)
+
+    lines = [
+        "## Measured sf1 rehearsal (round 4)",
+        "",
+        "Wall-times of the dedup/ANN family on the consistent synthetic",
+        "generator (tools/gen_scale_data.py; documents 5k/15k/50k,",
+        "embeddings 2k/6k/20k, events 100k/300k/1M — m=10 is sf1-shaped),",
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]. "
+        "Warm (second-run) times; alpha = least-squares slope of",
+        "log t vs log n over the three points. Banded/blocked designs",
+        "should stay near alpha <= ~1.2; JVM fixed overhead makes tiny",
+        "queries sub-linear.",
+        "",
+        "| query | " + " | ".join(f"m={m:g} (s)" for m in mults) + " | alpha |",
+        "|---|" + "---|" * (len(mults) + 1),
+    ]
+    for q in REHEARSAL:
+        xs = [math.log(m) for m in mults]
+        ys = [math.log(max(times[q][m], 1e-3)) for m in mults]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        denom = sum((x - mx) ** 2 for x in xs)
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        row = " | ".join(f"{times[q][m]:.2f}" for m in mults)
+        lines.append(f"| {q} | {row} | {alpha:.2f} |")
+    marker = "<!-- scale-rehearsal -->"
+    section = marker + "\n" + "\n".join(lines) + "\n"
+    path = "/root/repo/SCALE.md"
+    text = open(path).read() if os.path.exists(path) else ""
+    if marker in text:
+        text = text.split(marker, 1)[0]
+    with open(path, "w") as fh:
+        fh.write(text.rstrip("\n") + "\n\n" + section)
+    print("updated SCALE.md rehearsal section")
+
+
+if __name__ == "__main__":
+    main()
