@@ -104,6 +104,62 @@ def _bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def lsh_table_buckets(
+    df: DataFrame,
+    all_planes: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str,
+) -> DataFrame:
+    """(id_alias, vec_alias, table, bucket) — every LSH table's sign-bit
+    bucket for every vector, computed in ONE numpy matmul per Arrow
+    batch (the production bucketing shared by lsh_topk's corpus AND
+    query sides). tests/test_ann_twin_parity.py proves this numpy path
+    bit-identical to the declarative ``_bucket`` expression form (the
+    shape the oracle-checked ann_fixed twins run), tying the trained
+    production path to the cross-engine-verified mechanics."""
+    import pandas as pd
+
+    n_tables = len(all_planes)
+    n_planes = len(all_planes[0])
+    src = df.select(
+        F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
+    )
+    plane_mat = [p for tbl in all_planes for p in tbl]  # (T*B, dim)
+
+    def sig(batches):
+        import numpy as np
+
+        pm = np.array(plane_mat)  # (T*B, dim)
+        weights = 1 << np.arange(n_planes)
+        for pdf in batches:
+            x = np.stack(pdf[vec_alias].to_numpy())
+            bits = (x @ pm.T >= 0).astype("int64")
+            buckets = (
+                bits.reshape(len(x), n_tables, n_planes) * weights
+            ).sum(axis=2).astype("int32")
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_alias],
+                    vec_alias: pdf[vec_alias],
+                    "buckets": list(buckets),
+                }
+            )
+
+    # Derive the id field's type from the input — hardcoding 'long'
+    # breaks (Arrow schema error or silent cast) for int/string ids.
+    id_type = src.schema[id_alias].dataType.simpleString()
+    signed = src.mapInPandas(
+        sig,
+        f"{id_alias} {id_type}, {vec_alias} array<double>, "
+        "buckets array<int>",
+    )
+    return signed.select(
+        id_alias, vec_alias, F.posexplode_outer("buckets").alias("table", "bucket")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -130,53 +186,13 @@ def lsh_topk(
         random_hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
     ]
 
-    def tabled(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        import pandas as pd
-
-        src = df.select(
-            F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
-        )
-
-        # All tables' signatures in ONE numpy matmul per Arrow batch —
-        # the JVM-expression form (_bucket) interprets n_tables×n_planes
-        # 64-dim dots per row (~4M element ops on 2k vectors, the
-        # measured hot spot); dense-vector policy says numpy. The
-        # per-table explode stays JVM-side on the returned array.
-        plane_mat = [p for tbl in all_planes for p in tbl]  # (T*B, dim)
-
-        def sig(batches):
-            import numpy as np
-
-            pm = np.array(plane_mat)  # (T*B, dim)
-            weights = 1 << np.arange(n_planes)
-            for pdf in batches:
-                x = np.stack(pdf[vec_alias].to_numpy())
-                bits = (x @ pm.T >= 0).astype("int64")
-                buckets = (
-                    bits.reshape(len(x), n_tables, n_planes) * weights
-                ).sum(axis=2).astype("int32")
-                yield pd.DataFrame(
-                    {
-                        id_alias: pdf[id_alias],
-                        vec_alias: pdf[vec_alias],
-                        "buckets": list(buckets),
-                    }
-                )
-
-        # Derive the id field's type from the input — hardcoding 'long'
-        # breaks (Arrow schema error or silent cast) for int/string ids.
-        id_type = src.schema[id_alias].dataType.simpleString()
-        signed = src.mapInPandas(
-            sig,
-            f"{id_alias} {id_type}, {vec_alias} array<double>, "
-            "buckets array<int>",
-        )
-        return signed.select(
-            id_alias, vec_alias, F.posexplode_outer("buckets").alias("table", "bucket")
-        )
-
-    ct = tabled(corpus, "neighbor_id", "cv")
-    qt = tabled(queries, "query_id", "qv")
+    # All tables' signatures in ONE numpy matmul per Arrow batch — the
+    # JVM-expression form (_bucket) interprets n_tables×n_planes 64-dim
+    # dots per row (~4M element ops on 2k vectors, the measured hot
+    # spot); dense-vector policy says numpy. The per-table explode stays
+    # JVM-side on the returned array (see lsh_table_buckets).
+    ct = lsh_table_buckets(corpus, all_planes, id_col, vec_col, "neighbor_id", "cv")
+    qt = lsh_table_buckets(queries, all_planes, id_col, vec_col, "query_id", "qv")
     cand = (
         qt.join(ct, ["table", "bucket"])
         .select("query_id", "qv", "neighbor_id", "cv")
