@@ -438,10 +438,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real (non-stub) audio DSP over the media table: 16-bit PCM →
     windowed FFT → per-file spectral summary (operators/multimodal.py
-    audio_spectral_features). Rows-only — FFT has no SQL twin; the DSP
-    itself is pinned by the pure-sine centroid test."""
+    audio_spectral_features). frame_len=64/hop=32 so the synthetic
+    payloads (64-144 samples) yield windows — the default 256 skipped
+    every file and made the query vacuous (0 rows ≡ 0 rows). Oracle =
+    golden parquet from the INDEPENDENT numpy reimplementation
+    (tools/gen_multimodal_golden.py); the DSP itself is additionally
+    pinned by the pure-sine centroid test."""
     media = M.synth_media(spark, 64)
-    return M.audio_spectral_features(media).orderBy("media_id")
+    return M.audio_spectral_features(media, frame_len=64, hop=32).orderBy(
+        "media_id"
+    )
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +524,27 @@ ORACLE = {
     # the streaming foreachBatch ingest-dedup runs the same batch logic
     # per micro-batch, so it shares the batch incremental-dedup oracle
     "ext_streaming_neardup_flags": _EXT_ORACLE["ext_incremental_neardup"],
+    # Golden oracles for the three decode paths (round-4 item 6): the
+    # media table is deterministic (seeded sha256 payloads), so the
+    # expected outputs are constants; the goldens are produced by an
+    # INDEPENDENT numpy reimplementation (tools/gen_multimodal_golden.py,
+    # committed parquet under fixtures/golden/) — a dual implementation
+    # that catches plumbing regressions in the mapInPandas paths.
+    "ext_multimodal_features": """
+        SELECT media_id, kind, feature, n_bytes
+        FROM read_parquet('/root/repo/fixtures/golden/multimodal_features.parquet')
+        ORDER BY media_id
+    """,
+    "ext_multimodal_frame_sample": """
+        SELECT media_id, frame_index, frame_bytes
+        FROM read_parquet('/root/repo/fixtures/golden/multimodal_frames.parquet')
+        ORDER BY media_id, frame_index
+    """,
+    "ext_multimodal_audio_spectral": """
+        SELECT media_id, n_windows, rms_mean, zcr_mean, centroid_hz_mean
+        FROM read_parquet('/root/repo/fixtures/golden/multimodal_audio.parquet')
+        ORDER BY media_id
+    """,
     # DuckDB reconstructs the deterministic synthetic media payloads
     # byte-for-byte (sha256 of 'media-i', repeated 4 + i%5 times) and
     # mirrors the metadata CASE logic of operators/multimodal.synth_media
