@@ -66,6 +66,7 @@ from bigdatamanagement_spark.queries import (
     ann_fixed,
     events,
     extensions,
+    index_layout,
     kv,
     mongo,
     music,
@@ -103,6 +104,7 @@ _PACKS = [
     quality,
     sampled,
     ann_fixed,
+    index_layout,
     analytics,
     analytics2,
     analytics3,

@@ -156,6 +156,31 @@ def lsh_ann_topk_fixed(spark, sf_dir) -> DataFrame:
     )
 
 
+def _ivf_cells_expr() -> str:
+    """Spark SQL expr: cells sorted by exact-BIGINT L2 to the literal
+    centroids (ties by cell id) — shared by the twin and the
+    partitioned-layout probe (queries/index_layout.py)."""
+    d2_exprs = []
+    for c_id, cvec in enumerate(CENTROIDS):
+        arr = "array(" + ",".join(f"{x}L" for x in cvec) + ")"
+        d2_exprs.append(
+            f"named_struct('d2', aggregate(zip_with(vq, {arr},"
+            f" (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x),"
+            f" 'cell', {c_id})"
+        )
+    return (
+        "array_sort(array(" + ",".join(d2_exprs) + "),"
+        " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2 THEN 1"
+        " WHEN l.cell < r.cell THEN -1 ELSE 1 END)"
+    )
+
+
+def ivf_assigned(spark, sf_dir) -> DataFrame:
+    """Quantized corpus rows with the sorted candidate-cell array."""
+    base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
+    return base.withColumn("cells", F.expr(_ivf_cells_expr()))
+
+
 def ivf_ann_topk_fixed(spark, sf_dir) -> DataFrame:
     """ext — IVF top-10 with LITERAL integer centroids: corpus rows
     assign to the argmin exact-BIGINT L2 cell (ties by cell id); each
@@ -165,21 +190,7 @@ def ivf_ann_topk_fixed(spark, sf_dir) -> DataFrame:
     Scale: cell assignment is one scan; at 100 TB the corpus is stored
     partitioned by cell so probing is partition pruning (the same
     assignment-join shape as analytics44 centroid purity)."""
-    base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
-    d2_exprs = []
-    for c_id, cvec in enumerate(CENTROIDS):
-        arr = "array(" + ",".join(f"{x}L" for x in cvec) + ")"
-        d2_exprs.append(
-            f"named_struct('d2', aggregate(zip_with(vq, {arr},"
-            f" (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x),"
-            f" 'cell', {c_id})"
-        )
-    cells_sorted = (
-        "array_sort(array(" + ",".join(d2_exprs) + "),"
-        " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2 THEN 1"
-        " WHEN l.cell < r.cell THEN -1 ELSE 1 END)"
-    )
-    assigned = base.withColumn("cells", F.expr(cells_sorted))
+    assigned = ivf_assigned(spark, sf_dir)
     corpus = assigned.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("vq").alias("cv"),

@@ -1,0 +1,219 @@
+"""Materialized index layouts — the STORAGE leg of the 100 TB claims.
+
+Two operator docstrings promise a physical layout ("at 100 TB the
+corpus is stored partitioned by cell so probing is partition pruning";
+"the base side's (band, band_hash) index is exactly what a production
+pipeline materializes at ingest"). This pack MAKES those layouts and
+runs the production read paths against them, with the SAME oracles as
+the recompute-based twins — so layout + probe are correctness-gated,
+and the pruning/co-location behavior is plan-pinned
+(tests/test_index_layout.py):
+
+- ext_ivf_partitioned_probe: the cell-assigned corpus is written
+  partitionBy(cell); each query's NPROBE cells are bounded driver
+  metadata (<= 32 fixed queries x 4 probes), so the probe filters the
+  scan with a literal cell IN (...) that becomes PartitionFilters —
+  only the probed cells' files are read. Result ≡ ext_ivf_ann_topk_fixed.
+- ext_incremental_persisted_index: the standing corpus's LSH band
+  index is persisted as a parquet table BUCKETED by the band key; a
+  new snapshot joins against the stored index with the bucketed side
+  shuffle-free (only the small batch side exchanges). Candidates are
+  verified by exact shingle Jaccard, so the composite-key hash cannot
+  introduce false pairs. Result ≡ ext_incremental_neardup.
+
+Both materializations are per-(session, sf_dir) memoized — the write
+is the at-ingest cost a production pipeline pays once.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from bigdatamanagement_spark.operators.dedup import _band_hashes, _jaccard
+from bigdatamanagement_spark.queries.ann_fixed import (
+    _COS_MICRO,
+    NPROBE,
+    TOPK,
+    TOPK_QUERY_IDS,
+    _ivf_oracle,
+    ivf_assigned,
+)
+from bigdatamanagement_spark.queries.extensions import (
+    BATCH_MOD,
+    JACCARD_T,
+    ORACLE as _EXT_ORACLE,
+    _docs,
+    base_minhash_signatures,
+)
+from bigdatamanagement_spark.session import scratch_dir, session_key
+
+_IVF_STORE: dict = {}
+_BAND_TABLE: dict = {}
+
+
+def _ivf_store_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (session_key(spark), sf_dir)
+    if key not in _IVF_STORE:
+        path = scratch_dir("ivf_cells_")
+        (
+            ivf_assigned(spark, sf_dir)
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("vq").alias("cv"),
+                F.col("nrm").alias("nc"),
+                F.expr("cells[0].cell").alias("cell"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        _IVF_STORE[key] = path
+    return _IVF_STORE[key]
+
+
+def ivf_partitioned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — IVF top-10 against the cell-PARTITIONED stored corpus: the
+    probe reads only the probed cells' partitions (PartitionFilters —
+    plan-pinned), then exact micro-cosine re-rank. Identical literals,
+    semantics, and oracle as ext_ivf_ann_topk_fixed; what this entry
+    adds is the physical layout and the pruned read path.
+
+    The probed-cell set is bounded driver metadata: <= TOPK_QUERY_IDS
+    queries x NPROBE cells (collected once; the collect is <= 128
+    values, not row-grain data)."""
+    probes = (
+        ivf_assigned(spark, sf_dir)
+        .filter(F.col("vec_id") < TOPK_QUERY_IDS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vq").alias("qv"),
+            F.col("nrm").alias("nq"),
+            F.explode(
+                F.expr(f"transform(slice(cells, 1, {NPROBE}), s -> s.cell)")
+            ).alias("cell"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probed_cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    corpus = (
+        spark.read.parquet(_ivf_store_path(spark, sf_dir))
+        # literal IN over the partition column -> PartitionFilters: the
+        # scan lists only the probed cells' directories
+        .filter(F.col("cell").isin(probed_cells))
+        .select("cell", "neighbor_id", "cv", "nc")
+    )
+    scored = (
+        probes.join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .select(
+            "query_id", "neighbor_id", F.expr(_COS_MICRO).alias("cos_micro")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cos_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
+def band_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the standing corpus's LSH band index as a parquet table
+    bucketed by the composite band key (one at-ingest shuffle); returns
+    the table name. bkey = xxhash64(band, band_hash): a single BIGINT
+    bucket/join key. A (theoretical) bkey collision can only ADD a
+    candidate pair, which exact-Jaccard verification then drops — the
+    result set is collision-proof."""
+    key = (session_key(spark), sf_dir)
+    if key not in _BAND_TABLE:
+        from bigdatamanagement_spark.sources.bucketing import write_bucketed
+
+        name = f"band_idx_{abs(hash(key)) % 10**10}"
+        idx = _band_hashes(base_minhash_signatures(spark, sf_dir), 16, 4).select(
+            F.xxhash64("band", "band_hash").alias("bkey"), "doc_id"
+        )
+        write_bucketed(idx, name, "bkey", n_buckets=16, sort_col="bkey")
+        _BAND_TABLE[key] = name
+    return _BAND_TABLE[key]
+
+
+def incremental_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext — incremental near-dup of the incoming snapshot (doc_id ≡ 4
+    mod BATCH_MOD) against the PERSISTED band index of the standing
+    corpus: the production at-ingest path, where the index is a stored
+    bucketed table and only the (small) batch side shuffles into its
+    bucketing (plan-pinned: the stored side scans Bucketed: true with
+    no exchange). Candidates verify with exact shingle Jaccard against
+    the signature tables. Result ≡ ext_incremental_neardup (same
+    oracle)."""
+    from bigdatamanagement_spark.operators.dedup import minhash_signatures
+
+    batch = _docs(spark, sf_dir).filter(
+        F.col("doc_id") % BATCH_MOD == BATCH_MOD - 1
+    )
+    sig_batch = minhash_signatures(batch, "doc_id", "text", 64, 3)
+    q = _band_hashes(sig_batch, 16, 4).select(
+        F.xxhash64("band", "band_hash").alias("bkey"),
+        F.col("doc_id").alias("new_doc"),
+    )
+    idx = spark.table(band_index_table(spark, sf_dir))
+    cand = (
+        q.join(idx, "bkey")
+        .select("new_doc", F.col("doc_id").alias("dup_of"))
+        .dropDuplicates(["new_doc", "dup_of"])
+    )
+    sigs_all = (
+        base_minhash_signatures(spark, sf_dir)
+        .select("doc_id", "sh")
+        .unionByName(sig_batch.select("doc_id", "sh"))
+    )
+    melted = cand.select(
+        "new_doc",
+        "dup_of",
+        F.posexplode(F.array(F.col("new_doc"), F.col("dup_of"))).alias(
+            "side", "doc_id"
+        ),
+    )
+    return (
+        melted.join(sigs_all, "doc_id")
+        .groupBy("new_doc", "dup_of")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("sh"))).alias("sh_a"),
+            F.max(F.when(F.col("side") == 1, F.col("sh"))).alias("sh_b"),
+        )
+        .select(
+            "new_doc",
+            "dup_of",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .orderBy("new_doc", "dup_of")
+    )
+
+
+QUERIES = {
+    "ext_ivf_partitioned_probe": ivf_partitioned_probe,
+    "ext_incremental_persisted_index": incremental_persisted_index,
+}
+
+ORACLE = {
+    # layout changes the read path, not the semantics: same oracles as
+    # the recompute-based twins
+    "ext_ivf_partitioned_probe": _ivf_oracle(),
+    "ext_incremental_persisted_index": _EXT_ORACLE["ext_incremental_neardup"],
+}
