@@ -321,7 +321,12 @@ def chunked_bucket_pairs(
         )
     )
     pairs = F.when(F.col("_ci") == F.col("_cj"), tri).otherwise(cross)
-    return pieces.select(F.explode_outer(pairs).alias("p"))
+    # drop the null row explode_outer emits for an EMPTY pair array (a
+    # single-element (ci, ci) tile) — downstream joins ignored the null
+    # pair anyway, but emitting it forces callers to reason about it
+    return pieces.select(F.explode_outer(pairs).alias("p")).filter(
+        F.col("p").isNotNull()
+    )
 
 
 def minhash_lsh_pairs(

@@ -130,3 +130,42 @@ def test_incremental_pairs_survive_skewed_base(spark):
     out = incremental_minhash_pairs(base, batch, "doc_id", "text", threshold=0.8)
     # every batch doc pairs with every base hot doc: 10 x (HOT-10)
     assert out.count() == 10 * (HOT - 10)
+
+
+# --- property: chunked enumeration == naive triangular, any size/chunk ------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    n=st.integers(min_value=2, max_value=150),
+    chunk=st.sampled_from([1, 2, 3, 63, 64, 65, 128]),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunked_pairs_equal_naive_any_size(spark, n, chunk, seed):
+    """Property: for any bucket size and chunk size (boundary sizes
+    included), the chunked expansion yields exactly C(n,2) ordered pairs
+    equal to the naive triangular enumeration over the sorted ids."""
+    import random
+
+    rng = random.Random(seed)
+    ids = sorted(rng.sample(range(10**6), n))
+    bucket = spark.createDataFrame(
+        [(0, 0, ids)], "band int, band_hash int, ids array<bigint>"
+    )
+    got = {
+        (r["p"]["doc_a"], r["p"]["doc_b"])
+        for r in chunked_bucket_pairs(
+            bucket,
+            ["band", "band_hash"],
+            "ids",
+            lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            chunk=chunk,
+        ).collect()
+    }
+    want = {
+        (ids[i], ids[j]) for i in range(n) for j in range(i + 1, n)
+    }
+    assert got == want
