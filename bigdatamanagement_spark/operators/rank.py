@@ -117,6 +117,53 @@ def global_running_max(
     )
 
 
+def global_rank_and_running_sum(
+    df: DataFrame,
+    order_exprs: Sequence[Column],
+    value_col: str,
+    rank_col: str = "rank",
+    sum_col: str = "running_sum",
+) -> DataFrame:
+    """Fused two-phase pass: exact global row_number AND inclusive
+    running SUM of ``value_col`` in ``order_exprs`` order, from ONE
+    range-repartition + ONE per-partition metadata collect (counts and
+    sums in the same driver roundtrip). Use instead of chaining
+    global_row_number -> global_running_sum, which stages and shuffles
+    the data twice. Integral ``value_col`` required (exact BIGINT
+    carry); include a unique tiebreak in ``order_exprs``."""
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(n_parts, *order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    meta = (
+        staged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(value_col).alias("_s"))
+        .collect()
+    )
+    acc_n, acc_s, offsets = 0, 0, []
+    for row in sorted(meta, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc_n, acc_s))
+        acc_n += row["_n"]
+        acc_s += row["_s"] or 0
+    off = spark.createDataFrame(
+        offsets, schema="_pid int, _noff bigint, _soff bigint"
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        staged.join(F.broadcast(off), "_pid")
+        .withColumn(rank_col, (F.row_number().over(w) + F.col("_noff")).cast("long"))
+        .withColumn(
+            sum_col, (F.sum(value_col).over(wsum) + F.col("_soff")).cast("long")
+        )
+        .drop("_pid", "_noff", "_soff")
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     order_exprs: Sequence[Column],

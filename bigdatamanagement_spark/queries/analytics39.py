@@ -145,10 +145,11 @@ def average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses, which is why retrieval and imbalanced-class evaluation
     quote it.
 
-    Scale: one broadcast score join + TWO two-phase global passes
-    (rank.global_row_number, then rank.global_running_sum of y in rank
-    order) — never a bare partition-less window over the event grain;
-    per-positive terms floor before the one reduce."""
+    Scale: one broadcast score join + ONE fused two-phase global pass
+    (rank.global_rank_and_running_sum: exact rank AND inclusive
+    positive-count prefix from a single range repartition) — never a
+    bare partition-less window over the event grain; per-positive
+    terms floor before the one reduce."""
     ev = _events(spark, sf_dir)
     base = ev.select(
         "event_id",
@@ -164,16 +165,12 @@ def average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(SUM(y) * 1000000) DIV COUNT(*)").alias("score")
     )
     from bigdatamanagement_spark.operators.rank import (
-        global_row_number,
-        global_running_sum,
+        global_rank_and_running_sum,
     )
 
     scored = base.join(F.broadcast(wrate), "wd")
-    rk_ranked, _ = global_row_number(
-        scored, [F.desc("score"), F.asc("event_id")], "rk"
-    )
-    ranked = global_running_sum(
-        rk_ranked.select("y", "rk"), [F.asc("rk")], "y", "cum_pos"
+    ranked = global_rank_and_running_sum(
+        scored, [F.desc("score"), F.asc("event_id")], "y", "rk", "cum_pos"
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),

@@ -99,3 +99,35 @@ def test_rank_helpers_property(spark):
         for i, v in enumerate(vals):
             assert got_m[i] == run, trial
             run = v if run is None else max(run, v)
+
+
+def test_global_rank_and_running_sum_fuses_exactly(spark):
+    """The fused helper must equal global_row_number + global_running_sum
+    chained (one staging pass instead of two)."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.operators.rank import (
+        global_rank_and_running_sum,
+        global_row_number,
+        global_running_sum,
+    )
+
+    df = spark.range(0, 5000).select(
+        F.col("id"),
+        (F.xxhash64("id") % 100).alias("k"),
+        (F.col("id") % 3).alias("y"),
+    )
+    fused = {
+        (r["id"], r["rk"], r["cum"])
+        for r in global_rank_and_running_sum(
+            df, [F.asc("k"), F.asc("id")], "y", "rk", "cum"
+        ).collect()
+    }
+    ranked, _ = global_row_number(df, [F.asc("k"), F.asc("id")], "rk")
+    chained = {
+        (r["id"], r["rk"], r["cum"])
+        for r in global_running_sum(
+            ranked, [F.asc("rk")], "y", "cum"
+        ).collect()
+    }
+    assert fused == chained
