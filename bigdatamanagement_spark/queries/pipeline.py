@@ -184,6 +184,73 @@ def hash_split_summary(spark, sf_dir) -> DataFrame:
     )
 
 
+def leakage_safe_split(spark, sf_dir, sampled: bool = False) -> DataFrame:
+    """Group-aware train/val/test split: the split key is each doc's
+    near-dup CLUSTER representative (hash_split_summary's Knuth-hash
+    90/5/5 buckets, keyed by cluster_rep instead of doc_id), so a
+    near-duplicate family can never straddle splits — the eval-
+    contamination mode a doc-keyed split permits. Output: per-split
+    doc/cluster/char totals plus BOTH leak counters computed from the
+    verified pair set — cluster-keyed (must be 0; computed, not
+    asserted) and doc-keyed (the nonzero baseline this operator
+    eliminates).
+
+    Scale: split assignment is a projection over the memoized cluster
+    labels; the leak counters join the (near-linear, banded) pair set
+    to the label table twice and reduce to ONE row that broadcast-joins
+    back (keyless 1-row BNLJ — gate-bounded)."""
+    labels = _cluster_labels(spark, sf_dir, sampled).select(
+        "doc_id", "cluster_rep", "n_chars"
+    )
+
+    def split_of(col: str):
+        b = (F.col(col) * F.lit(KNUTH)) % F.lit(1000)
+        return (
+            F.when(b < 900, "train").when(b < 950, "val").otherwise("test")
+        )
+
+    assigned = labels.select(
+        "doc_id",
+        "n_chars",
+        "cluster_rep",
+        split_of("cluster_rep").alias("split"),
+        split_of("doc_id").alias("dsplit"),
+    )
+    pairs = _neardup_pairs(spark, sf_dir, sampled).select("doc_a", "doc_b")
+    a = assigned.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("split").alias("sa"),
+        F.col("dsplit").alias("da"),
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("split").alias("sb"),
+        F.col("dsplit").alias("db"),
+    )
+    leaks = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("cluster_split_leaked_pairs"),
+            F.coalesce(
+                F.sum(F.when(F.col("da") != F.col("db"), 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("doc_split_leaked_pairs"),
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("cluster_rep").cast("long").alias("n_clusters"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .join(F.broadcast(leaks))
+        .orderBy("split")
+    )
+
+
 # --- anonymization --------------------------------------------------------
 
 def anonymize_tokens(spark, sf_dir) -> DataFrame:
@@ -443,6 +510,7 @@ QUERIES = {
     "ext_dedup_cluster_survivors": dedup_cluster_survivors,
     "ext_top_tokens": top_tokens,
     "ext_hash_split_summary": hash_split_summary,
+    "ext_leakage_safe_split": leakage_safe_split,
     "ext_anonymize_tokens": anonymize_tokens,
     "ext_label_centroids": label_centroids,
     "ext_doc_length_histogram": doc_length_histogram,
@@ -675,6 +743,38 @@ ORACLE = {
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "ext_leakage_safe_split": _CLUSTERS_CTE
+    + f""",
+    csplit AS (
+        SELECT d.doc_id, d.n_chars, c.cluster_rep,
+               CASE WHEN (c.cluster_rep * {KNUTH}) % 1000 < 900 THEN 'train'
+                    WHEN (c.cluster_rep * {KNUTH}) % 1000 < 950 THEN 'val'
+                    ELSE 'test' END AS split,
+               CASE WHEN (d.doc_id * {KNUTH}) % 1000 < 900 THEN 'train'
+                    WHEN (d.doc_id * {KNUTH}) % 1000 < 950 THEN 'val'
+                    ELSE 'test' END AS dsplit
+        FROM documents d JOIN clusters c USING (doc_id)
+    ),
+    leaks AS (
+        SELECT
+          CAST(COALESCE(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS cluster_split_leaked_pairs,
+          CAST(COALESCE(SUM(CASE WHEN a.dsplit <> b.dsplit THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS doc_split_leaked_pairs
+        FROM pairs p
+        JOIN csplit a ON p.doc_a = a.doc_id
+        JOIN csplit b ON p.doc_b = b.doc_id
+    )
+    SELECT s.split, s.n_docs, s.n_clusters, s.total_chars,
+           l.cluster_split_leaked_pairs, l.doc_split_leaked_pairs
+    FROM (
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM csplit GROUP BY split
+    ) s CROSS JOIN leaks l
+    ORDER BY s.split
     """,
     "ext_anonymize_tokens": f"""
         SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,

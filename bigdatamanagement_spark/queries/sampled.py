@@ -26,6 +26,7 @@ Twin → original mapping (same operator code path, sampled input):
   ext_s_training_set_manifest  → pipeline.training_set_manifest
   ext_s_dedup_clusters         → pipeline.dedup_clusters
   ext_s_dedup_cluster_survivors→ pipeline.dedup_cluster_survivors
+  ext_s_leakage_safe_split     → pipeline.leakage_safe_split
   ext_s_trigram_bands          → analytics2.trigram_similarity_bands
 """
 
@@ -127,6 +128,9 @@ QUERIES = {
     "ext_s_dedup_clusters": lambda spark, sf: P.dedup_clusters(
         spark, sf, sampled=True
     ),
+    "ext_s_leakage_safe_split": lambda spark, sf: P.leakage_safe_split(
+        spark, sf, sampled=True
+    ),
     "ext_s_dedup_cluster_survivors": lambda spark, sf: P.dedup_cluster_survivors(
         spark, sf, sampled=True
     ),
@@ -165,6 +169,9 @@ ORACLE = {
         P.ORACLE["ext_training_set_manifest"], _DOCS
     ),
     "ext_s_dedup_clusters": _shadow(P.ORACLE["ext_dedup_clusters"], _DOCS),
+    "ext_s_leakage_safe_split": _shadow(
+        P.ORACLE["ext_leakage_safe_split"], _DOCS
+    ),
     "ext_s_dedup_cluster_survivors": _shadow(
         P.ORACLE["ext_dedup_cluster_survivors"], _DOCS
     ),

@@ -181,3 +181,17 @@ def test_training_set_manifest_monotone_attrition(spark, sf_dir):
         assert r["n_raw"] >= r["n_kept"] >= r["n_clean"] >= 0, r
         assert r["n_chunks"] >= r["n_clean"], r
         assert r["train_tokens"] >= r["n_chunks"], r  # chunks are non-empty
+
+
+def test_leakage_safe_split_eliminates_cross_split_neardups(spark, sf_dir, duck):
+    """Cluster-keyed split must leak ZERO near-dup pairs across splits
+    (computed from the verified pair set, not asserted by construction),
+    while remaining a 90/5/5-style partition of all docs."""
+    from bigdatamanagement_spark.queries.pipeline import leakage_safe_split
+
+    rows = leakage_safe_split(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["cluster_split_leaked_pairs"] == 0 for r in rows)
+    total_docs = sum(r["n_docs"] for r in rows)
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total_docs == n  # a partition: every doc in exactly one split
