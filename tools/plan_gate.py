@@ -64,6 +64,20 @@ def main() -> int:
         f"{len(all_violations)} violation(s)",
         file=sys.stderr,
     )
+    if not only:
+        # committed audit artifact: what the gate swept and found
+        with open("PLAN_GATE.json", "w") as fh:
+            json.dump(
+                {
+                    "n_swept": len(registry),
+                    "n_violations": len(all_violations),
+                    "violations": all_violations,
+                    "seconds": round(time.time() - t0, 1),
+                    "sf_dir": sf_dir,
+                },
+                fh,
+                indent=1,
+            )
     return 1 if all_violations and not census else 0
 
 

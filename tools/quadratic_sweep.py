@@ -28,6 +28,7 @@ NAMES = [
     "ext_dedup_clusters",
     "ext_dedup_cluster_survivors",
     "ext_trigram_similarity_bands",
+    "ext_leakage_safe_split",
 ]
 
 SF = os.environ.get("SPARK_GRAFT_SIM_SF", "/root/testdata/sf0.1")
