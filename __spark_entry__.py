@@ -63,6 +63,8 @@ from bigdatamanagement_spark.queries import (
     analytics47,
     analytics48,
     analytics49,
+    analytics50,
+    analytics51,
     ann_fixed,
     events,
     extensions,
@@ -154,6 +156,8 @@ _PACKS = [
     analytics47,
     analytics48,
     analytics49,
+    analytics50,
+    analytics51,
     sql4,
 ]
 
