@@ -65,6 +65,7 @@ from bigdatamanagement_spark.queries import (
     analytics49,
     analytics50,
     analytics51,
+    analytics52,
     ann_fixed,
     events,
     extensions,
@@ -158,6 +159,7 @@ _PACKS = [
     analytics49,
     analytics50,
     analytics51,
+    analytics52,
     sql4,
 ]
 
