@@ -38,6 +38,7 @@ from bigdatamanagement_spark.operators.winnow import (
     candidate_pairs,
     winnow_fingerprints,
 )
+from bigdatamanagement_spark.session import session_key
 
 DF_CAP = 16
 MIN_SHARED = 2
@@ -50,10 +51,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
 
+# The fingerprint table is the shared substrate of t68b, t68c, and
+# t70c (analytics52's cross-source leakage): materialize once per
+# (session, corpus) — at 100 TB this is the ETL-time table written
+# bucketed by fp (same move as the MinHash band index).
+_FPS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return winnow_fingerprints(
-        _docs(spark, sf_dir), "doc_id", "text", K_WORDS, W_WINDOW
-    )
+    key = (session_key(spark), sf_dir)
+    if key not in _FPS_MEMO:
+        _FPS_MEMO[key] = winnow_fingerprints(
+            _docs(spark, sf_dir), "doc_id", "text", K_WORDS, W_WINDOW
+        ).localCheckpoint(eager=True)
+    return _FPS_MEMO[key]
 
 
 def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from bigdatamanagement_spark.catalog import load_testdata
 from bigdatamanagement_spark.operators.text import tokens
-from bigdatamanagement_spark.operators.winnow import winnow_fingerprints
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -151,9 +150,11 @@ def cross_source_fp_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowed fingerprints present in both — the contamination screen a
     pipeline runs between, e.g., a train crawl and a benchmark dump.
     Fan-out per fingerprint is bounded by its distinct-source set."""
+    from bigdatamanagement_spark.queries.analytics50 import _fps
+
     d = _docs(spark, sf_dir)
     fp_src = (
-        winnow_fingerprints(d, "doc_id", "text")
+        _fps(spark, sf_dir)
         .join(d.select("doc_id", "source"), "doc_id")
         .select("fp", "source")
         .distinct()
