@@ -66,6 +66,7 @@ from bigdatamanagement_spark.queries import (
     analytics50,
     analytics51,
     analytics52,
+    analytics53,
     ann_fixed,
     events,
     extensions,
@@ -160,6 +161,7 @@ _PACKS = [
     analytics50,
     analytics51,
     analytics52,
+    analytics53,
     sql4,
 ]
 
