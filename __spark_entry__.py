@@ -67,6 +67,7 @@ from bigdatamanagement_spark.queries import (
     analytics51,
     analytics52,
     analytics53,
+    analytics54,
     ann_fixed,
     events,
     extensions,
@@ -162,6 +163,7 @@ _PACKS = [
     analytics51,
     analytics52,
     analytics53,
+    analytics54,
     sql4,
 ]
 
