@@ -39,14 +39,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
 
-def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T70a — multinomial NB with add-1 smoothing, trained on the
-    labeled corpus and resubstitution-scored (the standard sanity
-    readout; a held-out split is one WHERE clause away): confusion
-    matrix (lang, pred_lang, n_docs), ordered. Argmax tiebreak:
-    lexicographically smallest predicted language."""
-    d = _docs(spark, sf_dir)
-    occ = d.select("doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+def _nb_predictions(train: DataFrame, test: DataFrame) -> DataFrame:
+    """(doc_id, lang, pred_lang) for every test doc under the
+    train-fitted add-1 multinomial NB. OOV test tokens are skipped
+    (standard NB deployment semantics); a test doc with zero known
+    tokens still gets the prior-only argmax, so predictions are total.
+    Argmax tiebreak: lexicographically smallest predicted language."""
+    occ = train.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    te_occ = test.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    d = train
     priors = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
     n_total = d.agg(F.count(F.lit(1)).alias("n"))
     counts = occ.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
@@ -92,21 +97,55 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp_tok"),
         )
     )
-    scored = (
-        occ.join(F.broadcast(lik), "tok")
-        .groupBy("doc_id", "lang", "cls")
+    tok_sums = (
+        te_occ.join(F.broadcast(lik), "tok")
+        .groupBy("doc_id", "cls")
         .agg(F.sum("lp_tok").alias("s"))
-        .join(F.broadcast(log_prior), "cls")
-        .select("doc_id", "lang", "cls", (F.col("s") + F.col("lp_prior")).alias("score"))
+    )
+    base = test.select("doc_id", "lang").join(F.broadcast(log_prior))
+    scored = base.join(tok_sums, ["doc_id", "cls"], "left").select(
+        "doc_id",
+        "lang",
+        "cls",
+        (F.coalesce("s", F.lit(0)) + F.col("lp_prior")).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cls")
-    pred = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("cls").alias("pred_lang"))
     )
+
+
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T70a — multinomial NB with add-1 smoothing, trained on the
+    labeled corpus and resubstitution-scored (the standard sanity
+    readout; t70d holds out a fold): confusion matrix
+    (lang, pred_lang, n_docs), ordered."""
+    d = _docs(spark, sf_dir)
     return (
-        pred.groupBy("lang", "pred_lang")
+        _nb_predictions(d, d)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+HOLDOUT_MOD = 5
+
+
+def nb_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T70d — the proper evaluation: train on the docs with
+    doc_id % 5 != 0, score the held-out fold (doc_id % 5 = 0);
+    confusion matrix over the held-out docs only. OOV tokens in the
+    test fold are skipped; prior-only fallback keeps predictions
+    total."""
+    d = _docs(spark, sf_dir)
+    train = d.where(F.col("doc_id") % HOLDOUT_MOD != 0)
+    test = d.where(F.col("doc_id") % HOLDOUT_MOD == 0)
+    return (
+        _nb_predictions(train, test)
+        .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("lang", "pred_lang")
     )
@@ -180,6 +219,7 @@ QUERIES = {
     "t70_nb_lang_confusion": nb_lang_confusion,
     "t70_tokenizer_fertility": tokenizer_fertility,
     "t70_cross_source_fp_leakage": cross_source_fp_leakage,
+    "t70_nb_holdout_confusion": nb_holdout_confusion,
 }
 
 # T68's fingerprint CTEs, reused verbatim so leakage is checked against
@@ -250,6 +290,70 @@ ORACLE = {
                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)))
                     AS BIGINT) AS chars_per_100_bpe
         FROM documents
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "t70_nb_holdout_confusion": f"""
+        WITH train AS (
+            SELECT * FROM documents WHERE doc_id % {HOLDOUT_MOD} != 0
+        ),
+        test AS (
+            SELECT * FROM documents WHERE doc_id % {HOLDOUT_MOD} = 0
+        ),
+        occ AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM train
+        ),
+        te_occ AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM test
+        ),
+        priors AS (SELECT lang, count(*) AS n_l FROM train GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM train),
+        counts AS (SELECT lang, tok, count(*) AS c FROM occ GROUP BY 1, 2),
+        t_l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t_l FROM counts GROUP BY 1),
+        vocab AS (SELECT count(DISTINCT tok) AS v FROM occ),
+        log_prior AS (
+            SELECT lang AS cls,
+                   CAST(round(1000000.0 * ln(n_l / (SELECT n FROM tot)::DOUBLE),
+                              0) AS BIGINT) AS lp_prior
+            FROM priors
+        ),
+        grid AS (
+            SELECT p.lang AS cls, t.tok
+            FROM priors p CROSS JOIN (SELECT DISTINCT tok FROM occ) t
+        ),
+        lik AS (
+            SELECT g.cls, g.tok,
+                   CAST(round(1000000.0 * ln((coalesce(c.c, 0) + 1)
+                        / (t_l.t_l + (SELECT v FROM vocab))::DOUBLE), 0)
+                        AS BIGINT) AS lp_tok
+            FROM grid g
+            LEFT JOIN counts c ON c.lang = g.cls AND c.tok = g.tok
+            JOIN t_l ON t_l.lang = g.cls
+        ),
+        tok_sums AS (
+            SELECT o.doc_id, l.cls, CAST(sum(l.lp_tok) AS BIGINT) AS s
+            FROM te_occ o JOIN lik l USING (tok)
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT t.doc_id, t.lang, p.cls,
+                   coalesce(ts.s, 0) + p.lp_prior AS score
+            FROM test t
+            CROSS JOIN log_prior p
+            LEFT JOIN tok_sums ts ON ts.doc_id = t.doc_id AND ts.cls = p.cls
+        ),
+        pred AS (
+            SELECT doc_id, lang, cls AS pred_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cls) AS rn
+            FROM scored
+        )
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM pred WHERE rn = 1
         GROUP BY 1, 2
         ORDER BY 1, 2
     """,
