@@ -68,6 +68,7 @@ from bigdatamanagement_spark.queries import (
     analytics52,
     analytics53,
     analytics54,
+    analytics55,
     ann_fixed,
     events,
     extensions,
@@ -164,6 +165,7 @@ _PACKS = [
     analytics52,
     analytics53,
     analytics54,
+    analytics55,
     sql4,
 ]
 
