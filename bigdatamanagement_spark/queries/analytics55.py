@@ -49,13 +49,12 @@ def _cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _window_quantile(
-    ev: DataFrame, width: int, p_num: int, p_den: int, out: str
-) -> DataFrame:
-    """(window_day, <out>): smallest bucket upper edge (cents) whose
-    trailing-window running count reaches ceil(p * N), from daily
-    width-cent histogram partials merged bucket-wise."""
-    spark = ev.sparkSession
+def _window_cum(ev: DataFrame, width: int) -> DataFrame:
+    """(window_day, bucket, running, n): trailing-window merged
+    histogram at ``width``-cent buckets with the running count and the
+    window total — localCheckpoint-ed so every quantile below reads the
+    SAME materialized grid instead of rebuilding the scan + fan + merge
+    per quantile (the grid is O(buckets x windows) rows — tiny)."""
     span = ev.agg(F.max("day").alias("hi"))
     daily = (
         ev.select("day", F.expr(f"cents DIV {width}").alias("bucket"))
@@ -76,7 +75,18 @@ def _window_quantile(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = merged.withColumn("running", F.sum("cnt").over(w)).join(tot, "window_day")
+    return (
+        merged.withColumn("running", F.sum("cnt").over(w))
+        .join(tot, "window_day")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _quantile_from_cum(
+    cum: DataFrame, width: int, p_num: int, p_den: int, out: str
+) -> DataFrame:
+    """(window_day, <out>): smallest bucket upper edge whose running
+    count reaches ceil(p * N), off the shared cum grid."""
     k = F.expr(f"({p_num} * n + {p_den} - 1) DIV {p_den}")
     return (
         cum.where(F.col("running") >= k)
@@ -89,30 +99,25 @@ def histogram_quantile_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T73 — per trailing-7d window: event count, the W = 500-cent
     sketch estimates for p50/p95 (bucket upper edges), the exact
     discrete quantiles (unit-cent grid), and the signed errors — which
-    the construction bounds to (0, W]."""
+    the construction bounds to (0, W]. Two histogram passes total (one
+    coarse, one unit-grain); every quantile and the window totals read
+    the shared materialized grids."""
     ev = _cents(spark, sf_dir)
-    est50 = _window_quantile(ev, BUCKET_CENTS, 1, 2, "est_p50_cents")
-    est95 = _window_quantile(ev, BUCKET_CENTS, 19, 20, "est_p95_cents")
+    coarse = _window_cum(ev, BUCKET_CENTS)
+    unit = _window_cum(ev, 1)
+    est50 = _quantile_from_cum(coarse, BUCKET_CENTS, 1, 2, "est_p50_cents")
+    est95 = _quantile_from_cum(coarse, BUCKET_CENTS, 19, 20, "est_p95_cents")
     # unit-grid "upper edge" is cents + 1; recover the exact discrete
     # quantile value by subtracting 1
-    ex50 = _window_quantile(ev, 1, 1, 2, "exact_p50_up").select(
+    ex50 = _quantile_from_cum(unit, 1, 1, 2, "exact_p50_up").select(
         "window_day", (F.col("exact_p50_up") - 1).alias("exact_p50_cents")
     )
-    ex95 = _window_quantile(ev, 1, 19, 20, "exact_p95_up").select(
+    ex95 = _quantile_from_cum(unit, 1, 19, 20, "exact_p95_up").select(
         "window_day", (F.col("exact_p95_up") - 1).alias("exact_p95_cents")
     )
-    span = ev.agg(F.max("day").alias("hi"))
     totals = (
-        ev.join(F.broadcast(span))
-        .select(
-            F.explode(
-                F.expr(
-                    f"sequence(day, least(date_add(day, {WINDOW_DAYS - 1}), hi))"
-                )
-            ).alias("window_day")
-        )
-        .groupBy("window_day")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        coarse.groupBy("window_day")
+        .agg(F.max("n").cast("long").alias("n_events"))
     )
     return (
         totals.join(est50, "window_day")

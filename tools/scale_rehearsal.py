@@ -52,12 +52,15 @@ REHEARSAL = [
     "t67_hll_trailing_actives",
     "ext_rolling_7d_hll_users",
     "t57_average_precision",
-    # round-4 cont.: winnowing / DSIR / hygiene
+    # round-4 cont.: winnowing / DSIR / hygiene / curriculum / JL / quantile
     "t68_winnow_fingerprint_stats",
     "t68_winnow_candidate_pairs",
     "t69_dsir_resample_rates",
     "t70_nb_lang_confusion",
     "t70_cross_source_fp_leakage",
+    "t71_curriculum_shards",
+    "t72_jl_norm_concentration",
+    "t73_histogram_quantile_windows",
 ]
 
 
