@@ -69,6 +69,7 @@ from bigdatamanagement_spark.queries import (
     analytics53,
     analytics54,
     analytics55,
+    analytics56,
     ann_fixed,
     events,
     extensions,
@@ -166,6 +167,7 @@ _PACKS = [
     analytics53,
     analytics54,
     analytics55,
+    analytics56,
     sql4,
 ]
 

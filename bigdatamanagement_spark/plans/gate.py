@@ -81,6 +81,8 @@ BNLJ_ALLOWED: dict[str, str] = {
     "ext_pq_ann_topk_fixed": "fixed query side + ADC literals (plan-pinned)",
     "ext_hybrid_rrf_search": "single fixed query vector side",
     "t65_cosine_topk_exact_micro": "fixed micro query side",
+    "t74_multiprobe_gain": "exact calibration leg: fixed <=32-vector "
+    "query side explicitly broadcast (pushed vec_id filter)",
     "t65_lsh_retrieval_quality": "two bounded top-k lists joined",
     "t65_ivf_retrieval_quality": "two bounded top-k lists joined",
 }
