@@ -160,6 +160,76 @@ def lsh_table_buckets(
     )
 
 
+def lsh_query_probe_buckets(
+    df: DataFrame,
+    all_planes: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    id_alias: str,
+    vec_alias: str,
+    p_flips: int = 2,
+) -> DataFrame:
+    """(id_alias, vec_alias, table, bucket) — the MULTI-PROBE query-side
+    bucketing (Lv et al., VLDB 2007): per table, the base sign bucket
+    PLUS the ``p_flips`` buckets reached by flipping the
+    lowest-|projection| (lowest-margin) bits, plane-index tiebreak.
+    Same one-matmul-per-Arrow-batch shape as ``lsh_table_buckets`` (the
+    margins fall out of the projections already computed for the sign
+    bits); the corpus side stays single-bucket — multi-probe multiplies
+    only the query side, which is the technique's cost model. The
+    oracle-checked integer twin of this construction is
+    queries/analytics56.py (T74)."""
+    import pandas as pd
+
+    n_tables = len(all_planes)
+    n_planes = len(all_planes[0])
+    per_table = 1 + p_flips
+    src = df.select(
+        F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
+    )
+    plane_mat = [p for tbl in all_planes for p in tbl]
+
+    def sig(batches):
+        import numpy as np
+
+        pm = np.array(plane_mat)  # (T*B, dim)
+        weights = 1 << np.arange(n_planes)
+        for pdf in batches:
+            x = np.stack(pdf[vec_alias].to_numpy())
+            proj = x @ pm.T  # (n, T*B)
+            bits = (proj >= 0).astype("int64").reshape(len(x), n_tables, n_planes)
+            base = (bits * weights).sum(axis=2).astype("int32")  # (n, T)
+            margins = np.abs(proj).reshape(len(x), n_tables, n_planes)
+            # stable argsort = plane-index tiebreak on equal margins
+            flip_j = np.argsort(margins, axis=2, kind="stable")[:, :, :p_flips]
+            flips = base[:, :, None] ^ (1 << flip_j).astype("int32")  # (n, T, P)
+            probes = np.concatenate([base[:, :, None], flips], axis=2)
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_alias],
+                    vec_alias: pdf[vec_alias],
+                    "buckets": list(probes.reshape(len(x), -1)),
+                }
+            )
+
+    id_type = src.schema[id_alias].dataType.simpleString()
+    signed = src.mapInPandas(
+        sig,
+        f"{id_alias} {id_type}, {vec_alias} array<double>, "
+        "buckets array<int>",
+    )
+    return signed.select(
+        id_alias,
+        vec_alias,
+        F.posexplode_outer("buckets").alias("pos", "bucket"),
+    ).select(
+        id_alias,
+        vec_alias,
+        F.expr(f"pos DIV {per_table}").cast("int").alias("table"),
+        "bucket",
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,9 +239,13 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
     dim: int = 64,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: ``n_tables`` hyperplane bucketings, exact cosine
-    re-rank within candidate buckets.
+    re-rank within candidate buckets. ``multi_probe`` > 0 additionally
+    probes that many lowest-margin bit-flip buckets per (query, table)
+    — the recall/cost knob (Lv et al. 2007); the corpus side is
+    unchanged.
 
     All tables' bucket ids are computed in ONE projection and posexploded
     with their table index — a per-table union would scan (and re-hash)
@@ -192,7 +266,12 @@ def lsh_topk(
     # spot); dense-vector policy says numpy. The per-table explode stays
     # JVM-side on the returned array (see lsh_table_buckets).
     ct = lsh_table_buckets(corpus, all_planes, id_col, vec_col, "neighbor_id", "cv")
-    qt = lsh_table_buckets(queries, all_planes, id_col, vec_col, "query_id", "qv")
+    if multi_probe > 0:
+        qt = lsh_query_probe_buckets(
+            queries, all_planes, id_col, vec_col, "query_id", "qv", multi_probe
+        )
+    else:
+        qt = lsh_table_buckets(queries, all_planes, id_col, vec_col, "query_id", "qv")
     cand = (
         qt.join(ct, ["table", "bucket"])
         .select("query_id", "qv", "neighbor_id", "cv")
