@@ -64,6 +64,8 @@ ARROW_ALLOWED: dict[str, str] = {
     # higher-order functions ~10x at dim=64 (similarity.py design note)
     "ext_embedding_neardup_pairs": "blocked cosine via applyInPandas",
     "ext_lsh_ann_topk": "trained-plane projections via mapInPandas",
+    "ext_multiprobe_lsh_ann_topk": "trained-plane projections + margin "
+    "flips via mapInPandas (same matmul pass)",
     "ext_semdedup_summary": "per-cell matmul via applyInPandas",
     "ext_multi_signal_dedup": "embedding-cosine signal (blocked matmul)",
     "ext_s_multi_signal_dedup": "sampled twin of ext_multi_signal_dedup",

@@ -342,6 +342,18 @@ def lsh_ann_topk(spark, sf_dir) -> DataFrame:
     return S.lsh_topk(e, queries, k=10, n_planes=4, n_tables=8).orderBy("query_id", "rank")
 
 
+def multiprobe_lsh_ann_topk(spark, sf_dir) -> DataFrame:
+    """Trained multi-probe LSH top-10 (P = 2 lowest-margin flips per
+    table); rows-only check — the integer mechanics are oracle-checked
+    by the T74 fixed twin (analytics56) and recall dominance over the
+    single-probe run is pinned in tests/test_extensions.py."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+    return S.lsh_topk(
+        e, queries, k=10, n_planes=4, n_tables=8, multi_probe=2
+    ).orderBy("query_id", "rank")
+
+
 # Trained IVF centroids per (session, corpus): training is the expensive
 # phase (each Lloyd iteration is a Spark job) and in production happens
 # once at index-build time, not per query — the memo models exactly that.
@@ -449,6 +461,7 @@ QUERIES = {
     "ext_embedding_neardup_pairs": embedding_neardup_pairs,
     "ext_cosine_topk": cosine_topk,
     "ext_lsh_ann_topk": lsh_ann_topk,
+    "ext_multiprobe_lsh_ann_topk": multiprobe_lsh_ann_topk,
     "ext_ivf_ann_topk": ivf_ann_topk,
     "ext_pq_ann_topk": pq_ann_topk,
     "ext_semdedup_summary": semdedup_summary,
