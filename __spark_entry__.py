@@ -70,6 +70,7 @@ from bigdatamanagement_spark.queries import (
     analytics54,
     analytics55,
     analytics56,
+    analytics57,
     ann_fixed,
     events,
     extensions,
@@ -168,6 +169,7 @@ _PACKS = [
     analytics54,
     analytics55,
     analytics56,
+    analytics57,
     sql4,
 ]
 
