@@ -134,6 +134,8 @@ def lsh_table_buckets(
         pm = np.array(plane_mat)  # (T*B, dim)
         weights = 1 << np.arange(n_planes)
         for pdf in batches:
+            if not len(pdf):  # mapInPandas can deliver empty Arrow batches
+                continue
             x = np.stack(pdf[vec_alias].to_numpy())
             bits = (x @ pm.T >= 0).astype("int64")
             buckets = (
@@ -183,6 +185,10 @@ def lsh_query_probe_buckets(
 
     n_tables = len(all_planes)
     n_planes = len(all_planes[0])
+    # At most n_planes bits exist to flip; a larger request would shrink
+    # the probes array below the assumed width and silently misassign
+    # 'pos DIV per_table' table indices downstream.
+    p_flips = min(p_flips, n_planes)
     per_table = 1 + p_flips
     src = df.select(
         F.col(id_col).alias(id_alias), _as_double(F.col(vec_col)).alias(vec_alias)
@@ -195,6 +201,8 @@ def lsh_query_probe_buckets(
         pm = np.array(plane_mat)  # (T*B, dim)
         weights = 1 << np.arange(n_planes)
         for pdf in batches:
+            if not len(pdf):  # mapInPandas can deliver empty Arrow batches
+                continue
             x = np.stack(pdf[vec_alias].to_numpy())
             proj = x @ pm.T  # (n, T*B)
             bits = (proj >= 0).astype("int64").reshape(len(x), n_tables, n_planes)

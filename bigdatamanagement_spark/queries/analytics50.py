@@ -56,11 +56,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (session, corpus) — at 100 TB this is the ETL-time table written
 # bucketed by fp (same move as the MinHash band index).
 _FPS_MEMO: dict[tuple[str, str], DataFrame] = {}
+# Checkpointed DataFrames pin executor/disk blocks; bound the memo so a
+# long-lived multi-corpus session cannot accumulate them without limit.
+# Dropping the reference lets Spark's ContextCleaner reclaim the blocks.
+_FPS_MEMO_CAP = 4
 
 
 def _fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_key(spark), sf_dir)
     if key not in _FPS_MEMO:
+        while len(_FPS_MEMO) >= _FPS_MEMO_CAP:
+            _FPS_MEMO.pop(next(iter(_FPS_MEMO)))
         _FPS_MEMO[key] = winnow_fingerprints(
             _docs(spark, sf_dir), "doc_id", "text", K_WORDS, W_WINDOW
         ).localCheckpoint(eager=True)

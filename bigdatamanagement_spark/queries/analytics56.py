@@ -277,7 +277,7 @@ def _sql_tabled() -> str:
 _SQL_PROBES = f"""
     qtab AS (
         SELECT vec_id AS query_id, vq AS qv, nrm AS nq, tbl, bucket,
-               p0, p1, p2, p3
+               {", ".join(f"p{j}" for j in range(N_PLANES))}
         FROM tabled WHERE vec_id < {TOPK_QUERY_IDS}
     ),
     margins AS (

@@ -38,3 +38,29 @@ def test_multiprobe_recall_lift_is_real(spark, sf_dir):
     cm = sum(r.cand_multi for r in rows)
     # each of the 8 tables adds at most P extra buckets per query
     assert cm <= cs * (1 + analytics56.P_FLIPS) + n * 10, (cs, cm)
+
+
+def test_probe_pflips_clamped_to_n_planes(spark):
+    """p_flips > n_planes must clamp, not silently misassign table
+    indices via a too-wide 'pos DIV per_table' (ADVICE r4): with B
+    planes only B flip buckets exist, so requesting more must yield
+    exactly the p_flips=B probe set, with every table index in range."""
+    from bigdatamanagement_spark.operators import similarity as S
+
+    planes = [[[1.0, 0.0], [0.0, 1.0]], [[1.0, 1.0], [1.0, -1.0]]]
+    df = spark.createDataFrame(
+        [(1, [0.3, -0.7]), (2, [-0.2, 0.9]), (3, [0.5, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    want = sorted(
+        S.lsh_query_probe_buckets(
+            df, planes, "vec_id", "embedding", "id", "v", p_flips=2
+        ).select("id", "table", "bucket").collect()
+    )
+    got = sorted(
+        S.lsh_query_probe_buckets(
+            df, planes, "vec_id", "embedding", "id", "v", p_flips=99
+        ).select("id", "table", "bucket").collect()
+    )
+    assert got == want
+    assert all(0 <= r.table < len(planes) for r in got)
