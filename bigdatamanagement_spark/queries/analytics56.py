@@ -32,13 +32,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from bigdatamanagement_spark.queries.ann_fixed import (
     _COS_MICRO,
     _SQL_BASE,
-    _dot_lit,
+    _one_row_param_df,
     _quantized,
-    _sql_dot,
+    ANN_PARAMS_DIR,
     DIM,
     N_PLANES,
     N_TABLES,
-    PLANES,
     TOPK,
 )
 from bigdatamanagement_spark.queries.extensions import TOPK_QUERY_IDS
@@ -48,21 +47,23 @@ P_FLIPS = 2
 
 def _tabled_with_projs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, vq, nrm, tbl, bucket, projs): per (vector, table) the
-    bucket AND the raw projection array (margins come free)."""
-    base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
-    structs = []
-    for t in range(N_TABLES):
-        projs = (
-            "array("
-            + ",".join(_dot_lit("vq", PLANES[t][j]) for j in range(N_PLANES))
-            + ")"
-        )
-        structs.append(f"struct(CAST({t} AS BIGINT) AS tbl, {projs} AS projs)")
+    bucket AND the raw projection array (margins come free). The planes
+    arrive as broadcast DATA (pm[tbl][j][dim]) from the shared parquet
+    fixture — same integers as the literal era, tiny expression tree."""
+    base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0).join(
+        F.broadcast(_one_row_param_df(spark, "planes"))
+    )
+    structs = (
+        f"transform(sequence(0, {N_TABLES - 1}), t ->"
+        " named_struct('tbl', CAST(t AS BIGINT), 'projs',"
+        " transform(pm[t], pl -> aggregate(zip_with(vq, pl,"
+        " (x, y) -> x * y), 0L, (a, x) -> a + x))))"
+    )
     ex = base.select(
         "vec_id",
         "vq",
         "nrm",
-        F.explode(F.expr("array(" + ",".join(structs) + ")")).alias("s"),
+        F.explode(F.expr(structs)).alias("s"),
     )
     bucket = " + ".join(
         f"(CASE WHEN s.projs[{j}] > 0 THEN CAST({1 << j} AS BIGINT)"
@@ -256,36 +257,39 @@ QUERIES = {
 
 
 def _sql_tabled() -> str:
-    """CTE: per (vector, table) projections p0..p3 + bucket."""
-    branches = []
-    for t in range(N_TABLES):
-        pcols = ", ".join(
-            f"{_sql_dot('vq', PLANES[t][j])} AS p{j}" for j in range(N_PLANES)
-        )
-        bits = " + ".join(
-            f"(CASE WHEN {_sql_dot('vq', PLANES[t][j])} > 0"
-            f" THEN {1 << j} ELSE 0 END)"
-            for j in range(N_PLANES)
-        )
-        branches.append(
-            f"SELECT vec_id, vq, nrm, CAST({t} AS BIGINT) AS tbl,"
-            f" CAST({bits} AS BIGINT) AS bucket, {pcols} FROM nz"
-        )
-    return "tabled AS (" + " UNION ALL ".join(branches) + ")"
+    """CTEs: per (vector, table) projections + bucket, relationally from
+    the shared planes parquet (read_parquet — same fixture Spark
+    broadcasts)."""
+    return f"""planes AS (SELECT tbl, j, coefs
+               FROM read_parquet('{ANN_PARAMS_DIR}/planes.parquet')),
+    proj AS (
+        SELECT n.vec_id, p.tbl, p.j,
+               CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                    i -> n.vq[i] * p.coefs[i])) AS BIGINT) AS dot
+        FROM nz n CROSS JOIN planes p
+    ),
+    bucketed AS (
+        SELECT vec_id, CAST(tbl AS BIGINT) AS tbl,
+               CAST(SUM(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id, tbl
+    ),
+    tabled AS (
+        SELECT n.vec_id, n.vq, n.nrm, b.tbl, b.bucket
+        FROM nz n JOIN bucketed b USING (vec_id)
+    )"""
 
 
 _SQL_PROBES = f"""
     qtab AS (
-        SELECT vec_id AS query_id, vq AS qv, nrm AS nq, tbl, bucket,
-               {", ".join(f"p{j}" for j in range(N_PLANES))}
+        SELECT vec_id AS query_id, vq AS qv, nrm AS nq, tbl, bucket
         FROM tabled WHERE vec_id < {TOPK_QUERY_IDS}
     ),
     margins AS (
-        {" UNION ALL ".join(
-            f"SELECT query_id, qv, nq, tbl, bucket, {j} AS j,"
-            f" abs(p{j}) AS margin FROM qtab"
-            for j in range(N_PLANES)
-        )}
+        SELECT q.query_id, q.qv, q.nq, q.tbl, q.bucket, p.j,
+               abs(p.dot) AS margin
+        FROM qtab q JOIN proj p
+          ON p.vec_id = q.query_id AND CAST(p.tbl AS BIGINT) = q.tbl
     ),
     flips AS (
         SELECT query_id, qv, nq, tbl,

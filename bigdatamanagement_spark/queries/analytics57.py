@@ -30,14 +30,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bigdatamanagement_spark.queries.ann_fixed import (
+    _param_rows,
     _SQL_BASE,
     _quantized,
-    CENTROIDS,
+    ANN_PARAMS_DIR,
     DIM,
-    N_CELLS,
     NPROBE,
-    PQ_CODEBOOKS,
-    PQ_K,
     PQ_M,
     PQ_SUB,
     TOPK,
@@ -46,19 +44,19 @@ from bigdatamanagement_spark.queries.extensions import TOPK_QUERY_IDS
 
 
 def _centroids(spark: SparkSession) -> DataFrame:
+    """(cell, cv) from the shared ANN-params parquet fixture — the same
+    8 rows the DuckDB oracle read_parquet()s."""
     return spark.createDataFrame(
-        [(c, CENTROIDS[c]) for c in range(N_CELLS)],
+        [(r["cell"], r["cv"]) for r in _param_rows("centroids")],
         "cell int, cv array<bigint>",
     )
 
 
 def _codebooks(spark: SparkSession) -> DataFrame:
+    """(m, k, cb) from the shared ANN-params parquet fixture — the same
+    128 rows the DuckDB oracle read_parquet()s."""
     return spark.createDataFrame(
-        [
-            (m, k, PQ_CODEBOOKS[m][k])
-            for m in range(PQ_M)
-            for k in range(PQ_K)
-        ],
+        [(r["m"], r["k"], r["cb"]) for r in _param_rows("codebooks")],
         "m int, k int, cb array<bigint>",
     )
 
@@ -204,30 +202,13 @@ def ivfpq_ann_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {"ext_ivfpq_ann_topk_fixed": ivfpq_ann_topk_fixed}
 
 
-def _sql_values(rows: list[tuple]) -> str:
-    out = []
-    for r in rows:
-        cells = []
-        for v in r:
-            if isinstance(v, list):
-                cells.append("[" + ",".join(str(x) for x in v) + "]")
-            else:
-                cells.append(str(v))
-        out.append("(" + ", ".join(cells) + ")")
-    return ", ".join(out)
-
-
 _SQL_CENTS = (
-    "centroids(cell, cv) AS (SELECT * FROM (VALUES "
-    + _sql_values([(c, CENTROIDS[c]) for c in range(N_CELLS)])
-    + "))"
+    "centroids AS (SELECT cell, cv FROM read_parquet("
+    f"'{ANN_PARAMS_DIR}/centroids.parquet'))"
 )
 _SQL_CBS = (
-    "codebooks(m, k, cb) AS (SELECT * FROM (VALUES "
-    + _sql_values(
-        [(m, k, PQ_CODEBOOKS[m][k]) for m in range(PQ_M) for k in range(PQ_K)]
-    )
-    + "))"
+    "codebooks AS (SELECT m, k, cb FROM read_parquet("
+    f"'{ANN_PARAMS_DIR}/codebooks.parquet'))"
 )
 
 ORACLE = {

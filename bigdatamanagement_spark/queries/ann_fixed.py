@@ -57,6 +57,71 @@ PLANES = [
 # 8 centroids × 64 dims in micro units, within the data range (~±0.5e6)
 CENTROIDS = [_lcg_ints(777 + c, DIM, -300_000, 300_000) for c in range(N_CELLS)]
 
+# The parameters live in ONE parquet fixture both engines read
+# (tools/gen_ann_params.py regenerates it from the LCG constants above;
+# tests/test_ann_fixed.py pins fixture == constants). Round 5: the
+# queries attach them as broadcast param tables instead of inlining
+# them as literal expression trees — identical integers, but the Spark
+# plans shrink from 1000+-node literal walls (8.5 s warm analysis +
+# codegen for the PQ twin) to small data-driven expressions, and the
+# DuckDB oracles become read_parquet joins instead of VALUES walls.
+ANN_PARAMS_DIR = "/root/repo/fixtures/ann_params"
+
+_PARAM_CACHE: dict[str, list] = {}
+
+
+def _param_rows(name: str) -> list[dict]:
+    """Rows of one param table, read once per process via pyarrow (the
+    fixture is <=128 rows — bounded index metadata, not row-grain
+    data)."""
+    if name not in _PARAM_CACHE:
+        import pyarrow.parquet as _pq
+
+        _PARAM_CACHE[name] = _pq.read_table(
+            f"{ANN_PARAMS_DIR}/{name}.parquet"
+        ).to_pylist()
+    return _PARAM_CACHE[name]
+
+
+_PARAM_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _one_row_param_df(spark: SparkSession, name: str) -> DataFrame:
+    """One-row DataFrame carrying a param table as ONE nested-array cell
+    (LocalTableScan — the plan gate's bounded-broadcast literal source).
+    Queries crossJoin(broadcast(...)) it so the parameters arrive as
+    DATA, keeping per-row math in a small lambda expression instead of
+    a giant literal tree."""
+    key = (id(spark), name)
+    if key not in _PARAM_DF_CACHE:
+        if name == "planes":  # pm[tbl][j][dim]
+            rows = _param_rows("planes")
+            pm = [
+                [r["coefs"] for r in sorted(rows, key=lambda r: (r["tbl"], r["j"]))
+                 if r["tbl"] == t]
+                for t in range(N_TABLES)
+            ]
+            df = spark.createDataFrame(
+                [(pm,)], "pm array<array<array<bigint>>>"
+            )
+        elif name == "centroids":  # cm[cell][dim]
+            rows = sorted(_param_rows("centroids"), key=lambda r: r["cell"])
+            df = spark.createDataFrame(
+                [([r["cv"] for r in rows],)], "cm array<array<bigint>>"
+            )
+        else:  # codebooks: cb[m][k][dim]
+            rows = _param_rows("codebooks")
+            cb = [
+                [r["cb"] for r in sorted(rows, key=lambda r: (r["m"], r["k"]))
+                 if r["m"] == m]
+                for m in range(PQ_M)
+            ]
+            df = spark.createDataFrame(
+                [(cb,)], "cb array<array<array<bigint>>>"
+            )
+        _PARAM_DF_CACHE[key] = df
+    return _PARAM_DF_CACHE[key]
+
 _VQ = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"
 _COS_MICRO = (
     "CAST(floor(1000000.0 * CAST(dot AS DOUBLE)"
@@ -68,14 +133,6 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_testdata(spark, sf_dir, tables=("embeddings",), register=False)[
         "embeddings"
     ]
-
-
-def _dot_lit(vec_col: str, lits: list[int]) -> str:
-    arr = "array(" + ",".join(f"{x}L" for x in lits) + ")"
-    return (
-        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y),"
-        " 0L, (a, x) -> a + x)"
-    )
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,21 +155,21 @@ def lsh_ann_topk_fixed(spark, sf_dir) -> DataFrame:
     candidate join keys on (table, bucket) — at 100 TB the corpus side
     is written bucketed by (table, bucket) so probes prune partitions."""
     base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
-    bucket_exprs = []
-    for t in range(N_TABLES):
-        bits = " + ".join(
-            f"(CASE WHEN {_dot_lit('vq', PLANES[t][j])} > 0"
-            f" THEN {1 << j}L ELSE 0L END)"
-            for j in range(N_PLANES)
-        )
-        bucket_exprs.append(f"({bits})")
-    tabled = base.select(
+    # bucket per table = Σ 2^j·[dot(vq, plane) > 0] with the planes
+    # arriving as broadcast DATA (pm[tbl][j][dim]) — same integers as
+    # the literal era, tiny expression tree
+    buckets = (
+        "transform(pm, tp -> aggregate("
+        f"transform(sequence(0, {N_PLANES - 1}), j -> CASE WHEN"
+        " aggregate(zip_with(vq, tp[j], (x, y) -> x * y), 0L,"
+        " (a, x) -> a + x) > 0 THEN shiftleft(1L, j) ELSE 0L END),"
+        " 0L, (a, x) -> a + x))"
+    )
+    tabled = base.join(F.broadcast(_one_row_param_df(spark, "planes"))).select(
         "vec_id",
         "vq",
         "nrm",
-        F.posexplode(F.expr("array(" + ",".join(bucket_exprs) + ")")).alias(
-            "tbl", "bucket"
-        ),
+        F.posexplode(F.expr(buckets)).alias("tbl", "bucket"),
     )
     q = tabled.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
         F.col("vec_id").alias("query_id"),
@@ -156,29 +213,27 @@ def lsh_ann_topk_fixed(spark, sf_dir) -> DataFrame:
     )
 
 
-def _ivf_cells_expr() -> str:
-    """Spark SQL expr: cells sorted by exact-BIGINT L2 to the literal
-    centroids (ties by cell id) — shared by the twin and the
-    partitioned-layout probe (queries/index_layout.py)."""
-    d2_exprs = []
-    for c_id, cvec in enumerate(CENTROIDS):
-        arr = "array(" + ",".join(f"{x}L" for x in cvec) + ")"
-        d2_exprs.append(
-            f"named_struct('d2', aggregate(zip_with(vq, {arr},"
-            f" (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x),"
-            f" 'cell', {c_id})"
-        )
-    return (
-        "array_sort(array(" + ",".join(d2_exprs) + "),"
-        " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2 THEN 1"
-        " WHEN l.cell < r.cell THEN -1 ELSE 1 END)"
-    )
+# Spark SQL expr: cells sorted by exact-BIGINT L2 to the centroids
+# (ties by cell id), with the centroids arriving as broadcast DATA
+# (cm[cell][dim]) -- shared by the twin, SemDeDup, and the
+# partitioned-layout probe (queries/index_layout.py).
+_CELLS_SORTED_EXPR = (
+    f"array_sort(transform(sequence(0, {N_CELLS - 1}),"
+    " c -> named_struct('d2', aggregate(zip_with(vq, cm[c],"
+    " (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x), 'cell', c)),"
+    " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2 THEN 1"
+    " WHEN l.cell < r.cell THEN -1 ELSE 1 END)"
+)
 
 
 def ivf_assigned(spark, sf_dir) -> DataFrame:
     """Quantized corpus rows with the sorted candidate-cell array."""
     base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
-    return base.withColumn("cells", F.expr(_ivf_cells_expr()))
+    return (
+        base.join(F.broadcast(_one_row_param_df(spark, "centroids")))
+        .withColumn("cells", F.expr(_CELLS_SORTED_EXPR))
+        .drop("cm")
+    )
 
 
 def ivf_ann_topk_fixed(spark, sf_dir) -> DataFrame:
@@ -241,14 +296,6 @@ QUERIES = {
 }
 
 
-def _sql_dot(vec: str, lits: list[int]) -> str:
-    arr = "[" + ",".join(str(x) for x in lits) + "]"
-    return (
-        f"CAST(list_sum(list_transform(range(1, {DIM + 1}),"
-        f" i -> {vec}[i] * ({arr})[i])) AS BIGINT)"
-    )
-
-
 _SQL_VQ = (
     "list_transform(embedding::DOUBLE[],"
     " x -> CAST(round(x * 1000000) AS BIGINT))"
@@ -264,21 +311,27 @@ _SQL_BASE = f"""
 
 
 def _lsh_oracle() -> str:
-    per_table = []
-    for t in range(N_TABLES):
-        bits = " + ".join(
-            f"(CASE WHEN {_sql_dot('vq', PLANES[t][j])} > 0"
-            f" THEN {1 << j} ELSE 0 END)"
-            for j in range(N_PLANES)
-        )
-        per_table.append(
-            f"SELECT vec_id, vq, nrm, {t} AS tbl,"
-            f" CAST({bits} AS BIGINT) AS bucket FROM nz"
-        )
     return (
         _SQL_BASE
         + f""",
-    tabled AS ({" UNION ALL ".join(per_table)}),
+    planes AS (SELECT tbl, j, coefs
+               FROM read_parquet('{ANN_PARAMS_DIR}/planes.parquet')),
+    proj AS (
+        SELECT n.vec_id, p.tbl, p.j,
+               CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                    i -> n.vq[i] * p.coefs[i])) AS BIGINT) AS dot
+        FROM nz n CROSS JOIN planes p
+    ),
+    bucketed AS (
+        SELECT vec_id, tbl,
+               CAST(SUM(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id, tbl
+    ),
+    tabled AS (
+        SELECT n.vec_id, n.vq, n.nrm, b.tbl, b.bucket
+        FROM nz n JOIN bucketed b USING (vec_id)
+    ),
     q AS (SELECT vec_id AS query_id, vq AS qv, nrm AS nq, tbl, bucket
           FROM tabled WHERE vec_id < {TOPK_QUERY_IDS}),
     cand AS (
@@ -311,23 +364,18 @@ def _lsh_oracle() -> str:
 
 
 def _ivf_oracle() -> str:
-    # per-centroid exact L2: Σ (vq[i]−c[i])² — one UNION ALL branch per
-    # cell over nz (lambda capture of LATERAL-correlated columns is not
-    # supported inside list_transform, so no lateral here)
-    d2_cases = []
-    for c_id, cvec in enumerate(CENTROIDS):
-        arr = "[" + ",".join(str(x) for x in cvec) + "]"
-        d2_cases.append(
-            f"SELECT vec_id, vq, nrm, {c_id} AS cell,"
-            f" CAST(list_sum(list_transform(range(1, {DIM + 1}),"
-            f" i -> (vq[i] - ({arr})[i]) * (vq[i] - ({arr})[i])))"
-            f" AS BIGINT) AS d2 FROM nz"
-        )
-    d2_table = " UNION ALL ".join(d2_cases)
     return (
         _SQL_BASE
         + f""",
-    dists AS ({d2_table}),
+    cents AS (SELECT cell, cv
+              FROM read_parquet('{ANN_PARAMS_DIR}/centroids.parquet')),
+    dists AS (
+        SELECT n.vec_id, n.vq, n.nrm, c.cell,
+               CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                    i -> (n.vq[i] - c.cv[i]) * (n.vq[i] - c.cv[i])))
+                    AS BIGINT) AS d2
+        FROM nz n CROSS JOIN cents c
+    ),
     ranked_cells AS (
         SELECT vec_id, vq, nrm, cell,
                row_number() OVER (PARTITION BY vec_id
@@ -383,58 +431,48 @@ PQ_CODEBOOKS = [
 
 
 def pq_ann_topk_fixed(spark, sf_dir) -> DataFrame:
-    """ext — PQ top-10 with LITERAL integer codebooks and pure ADC
+    """ext — PQ top-10 with FIXED integer codebooks and pure ADC
     scoring: corpus vectors encode to the argmin exact-L2 centroid per
-    subspace (ties by code id); each query precomputes its 8×16
+    subspace (ties by code id); each query precomputes its 8x16
     distance table; the asymmetric distance is the exact BIGINT sum of
     table lookups at the corpus codes; top-10 by (adc asc, neighbor
     asc). No float anywhere, so DuckDB mirrors the index bit-for-bit —
     the oracle-checked face of the trained-PQ entry (whose k-means
     codebooks are not SQL-expressible; its recall stays pinned in
-    tests).
+    tests). The codebooks arrive as broadcast DATA from the shared
+    parquet fixture (cb[m][k][dim]) — same integers as the literal
+    era, but the plan is a small lambda expression instead of a
+    1024-term literal tree.
 
     Scale: the scoring join ships 8 small ints per corpus vector
     (codes) instead of 64 floats — the compression that makes 100 TB
-    ANN shippable; query tables are |Q|·128 ints broadcast."""
-    base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
-    # Spark arrays are 0-indexed in expr subscripts; _sub_d2 emits
-    # 1-based indexing for DuckDB, so build the Spark variant separately
-    code_exprs = []
-    for m in range(PQ_M):
-        structs = []
-        for k in range(PQ_K):
-            terms = " + ".join(
-                f"(vq[{m * PQ_SUB + i}] - {PQ_CODEBOOKS[m][k][i]})"
-                f" * (vq[{m * PQ_SUB + i}] - {PQ_CODEBOOKS[m][k][i]})"
-                for i in range(PQ_SUB)
-            )
-            structs.append(f"named_struct('d2', ({terms}), 'k', {k})")
-        code_exprs.append(
-            "array_sort(array(" + ",".join(structs) + "),"
-            " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2"
-            " THEN 1 WHEN l.k < r.k THEN -1 ELSE 1 END)[0].k"
-        )
+    ANN shippable; query tables are |Q|*128 ints broadcast."""
+    base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0).join(
+        F.broadcast(_one_row_param_df(spark, "codebooks"))
+    )
+    codes_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> array_sort("
+        f"transform(sequence(0, {PQ_K - 1}), k -> named_struct('d2',"
+        f" aggregate(zip_with(slice(vq, m * {PQ_SUB} + 1, {PQ_SUB}),"
+        " cb[m][k], (x, c) -> (x - c) * (x - c)), 0L, (a, x) -> a + x),"
+        " 'k', k)),"
+        " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2"
+        " THEN 1 WHEN l.k < r.k THEN -1 ELSE 1 END)[0].k)"
+    )
     corpus = base.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.expr("array(" + ",".join(code_exprs) + ")").alias("codes"),
+        F.expr(codes_expr).alias("codes"),
     )
-    # query-side 8×16 distance tables (array<array<bigint>>)
-    tab_exprs = []
-    for m in range(PQ_M):
-        row = ",".join(
-            "("
-            + " + ".join(
-                f"(vq[{m * PQ_SUB + i}] - {PQ_CODEBOOKS[m][k][i]})"
-                f" * (vq[{m * PQ_SUB + i}] - {PQ_CODEBOOKS[m][k][i]})"
-                for i in range(PQ_SUB)
-            )
-            + ")"
-            for k in range(PQ_K)
-        )
-        tab_exprs.append(f"array({row})")
+    # query-side 8x16 distance tables (array<array<bigint>>)
+    qtab_expr = (
+        f"transform(sequence(0, {PQ_M - 1}), m ->"
+        f" transform(sequence(0, {PQ_K - 1}), k ->"
+        f" aggregate(zip_with(slice(vq, m * {PQ_SUB} + 1, {PQ_SUB}),"
+        " cb[m][k], (x, c) -> (x - c) * (x - c)), 0L, (a, x) -> a + x)))"
+    )
     q = base.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
         F.col("vec_id").alias("query_id"),
-        F.expr("array(" + ",".join(tab_exprs) + ")").alias("qtab"),
+        F.expr(qtab_expr).alias("qtab"),
     )
     scored = (
         corpus.join(F.broadcast(q))
@@ -481,22 +519,16 @@ def semdedup_fixed(spark, sf_dir) -> DataFrame:
     stage is one cell-keyed self-join — expected cell size is bounded
     when n_cells grows with the corpus (paper: ~1e5 cells)."""
     base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
-    d2_exprs = []
-    for c_id, cvec in enumerate(CENTROIDS):
-        arr = "array(" + ",".join(f"{x}L" for x in cvec) + ")"
-        d2_exprs.append(
-            f"named_struct('d2', aggregate(zip_with(vq, {arr},"
-            f" (x, y) -> (x - y) * (x - y)), 0L, (a, x) -> a + x),"
-            f" 'cell', {c_id})"
+    assigned = (
+        base.join(F.broadcast(_one_row_param_df(spark, "centroids")))
+        .select(
+            "vec_id",
+            "vq",
+            "nrm",
+            F.expr(_CELLS_SORTED_EXPR + "[0].cell").alias("cell"),
         )
-    cells_sorted = (
-        "array_sort(array(" + ",".join(d2_exprs) + "),"
-        " (l, r) -> CASE WHEN l.d2 < r.d2 THEN -1 WHEN l.d2 > r.d2 THEN 1"
-        " WHEN l.cell < r.cell THEN -1 ELSE 1 END)[0].cell"
+        .localCheckpoint()
     )
-    assigned = base.select(
-        "vec_id", "vq", "nrm", F.expr(cells_sorted).alias("cell")
-    ).localCheckpoint()
     a = assigned.select(
         F.col("vec_id").alias("qid"),
         F.col("vq").alias("qv"),
@@ -549,25 +581,19 @@ QUERIES["ext_semdedup_fixed"] = semdedup_fixed
 
 
 def _pq_oracle() -> str:
-    # per (vec, m, k) subspace distances via one UNION ALL branch per
-    # (m, k) — 128 branches over nz, each an exact 8-term BIGINT sum
-    branches = []
-    for m in range(PQ_M):
-        for k in range(PQ_K):
-            terms = " + ".join(
-                f"(vq[{m * PQ_SUB + i + 1}] - {PQ_CODEBOOKS[m][k][i]})"
-                f" * (vq[{m * PQ_SUB + i + 1}] - {PQ_CODEBOOKS[m][k][i]})"
-                for i in range(PQ_SUB)
-            )
-            branches.append(
-                f"SELECT vec_id, {m} AS m, {k} AS k,"
-                f" CAST(({terms}) AS BIGINT) AS d2 FROM nz"
-            )
-    d2_table = " UNION ALL ".join(branches)
     return (
         _SQL_BASE
         + f""",
-    subd AS ({d2_table}),
+    cbs AS (SELECT m, k, cb
+            FROM read_parquet('{ANN_PARAMS_DIR}/codebooks.parquet')),
+    subd AS (
+        SELECT n.vec_id, b.m, b.k,
+               CAST(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+                    i -> (n.vq[b.m * {PQ_SUB} + i] - b.cb[i])
+                       * (n.vq[b.m * {PQ_SUB} + i] - b.cb[i])))
+                    AS BIGINT) AS d2
+        FROM nz n CROSS JOIN cbs b
+    ),
     coded AS (
         SELECT vec_id, m, k, d2,
                row_number() OVER (PARTITION BY vec_id, m
@@ -600,20 +626,18 @@ def _pq_oracle() -> str:
 
 
 def _semdedup_oracle() -> str:
-    d2_cases = []
-    for c_id, cvec in enumerate(CENTROIDS):
-        arr = "[" + ",".join(str(x) for x in cvec) + "]"
-        d2_cases.append(
-            f"SELECT vec_id, vq, nrm, {c_id} AS cell,"
-            f" CAST(list_sum(list_transform(range(1, {DIM + 1}),"
-            f" i -> (vq[i] - ({arr})[i]) * (vq[i] - ({arr})[i])))"
-            f" AS BIGINT) AS d2 FROM nz"
-        )
-    d2_table = " UNION ALL ".join(d2_cases)
     return (
         _SQL_BASE
         + f""",
-    dists AS ({d2_table}),
+    cents AS (SELECT cell, cv
+              FROM read_parquet('{ANN_PARAMS_DIR}/centroids.parquet')),
+    dists AS (
+        SELECT n.vec_id, n.vq, n.nrm, c.cell,
+               CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                    i -> (n.vq[i] - c.cv[i]) * (n.vq[i] - c.cv[i])))
+                    AS BIGINT) AS d2
+        FROM nz n CROSS JOIN cents c
+    ),
     assigned AS (
         SELECT vec_id, vq, nrm, cell FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -57,3 +57,28 @@ def test_semdedup_fixed_policy(spark, sf_dir):
 
     n = _quantized(spark, sf_dir).filter(F.col("nrm") > 0).count()
     assert total == n
+
+
+def test_ann_params_fixture_matches_lcg_constants():
+    """The parquet params fixture (fixtures/ann_params/) must equal the
+    LCG streams the module defines — a drifted regeneration of the
+    fixture (or a constant change without regeneration) fails loudly,
+    since both engines now read the fixture at query time."""
+    from bigdatamanagement_spark.queries import ann_fixed as A
+
+    planes = {(r["tbl"], r["j"]): r["coefs"] for r in A._param_rows("planes")}
+    assert len(planes) == A.N_TABLES * A.N_PLANES
+    for t in range(A.N_TABLES):
+        for j in range(A.N_PLANES):
+            assert planes[(t, j)] == A.PLANES[t][j]
+
+    cents = {r["cell"]: r["cv"] for r in A._param_rows("centroids")}
+    assert len(cents) == A.N_CELLS
+    for c in range(A.N_CELLS):
+        assert cents[c] == A.CENTROIDS[c]
+
+    cbs = {(r["m"], r["k"]): r["cb"] for r in A._param_rows("codebooks")}
+    assert len(cbs) == A.PQ_M * A.PQ_K
+    for m in range(A.PQ_M):
+        for k in range(A.PQ_K):
+            assert cbs[(m, k)] == A.PQ_CODEBOOKS[m][k]
