@@ -61,10 +61,14 @@ def _codebooks(spark: SparkSession) -> DataFrame:
     )
 
 
-def _assigned_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _assigned_residuals(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     """(vec_id, cell, res): nearest-centroid cell (exact L2, cell-id
-    tiebreak) and the residual vector."""
+    tiebreak) and the residual vector. ``pred`` (optional Column)
+    restricts the encoded rows — the incremental-maintenance path
+    (queries/index_layout.py) encodes only the arriving batch."""
     base = _quantized(spark, sf_dir).filter(F.col("nrm") > 0)
+    if pred is not None:
+        base = base.filter(pred)
     d2 = (
         base.join(F.broadcast(_centroids(spark)))
         .select(
@@ -90,10 +94,10 @@ def _assigned_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _corpus_codes(spark: SparkSession, sf_dir: str, pred=None) -> DataFrame:
     """(vec_id, cell, m, k): the stored index — per subspace, the
     argmin-L2 codebook entry for the residual (code-id tiebreak)."""
-    ar = _assigned_residuals(spark, sf_dir)
+    ar = _assigned_residuals(spark, sf_dir, pred)
     subs = ar.select(
         "vec_id",
         "cell",

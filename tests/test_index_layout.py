@@ -63,3 +63,48 @@ def test_band_index_collision_safety(spark, sf_dir):
     emitted pair meets the threshold."""
     out = index_layout.incremental_persisted_index(spark, sf_dir)
     assert out.filter(F.col("jaccard") < extensions.JACCARD_T).count() == 0
+
+
+def test_ivfpq_incremental_equals_rebuild_twin(spark, sf_dir):
+    """Append-only maintenance against frozen quantizers must equal the
+    full rebuild (ext_ivfpq_ann_topk_fixed) exactly — and a SECOND call
+    (store already appended) must return the same rows, proving the
+    ingest is idempotent, not re-appending."""
+    from bigdatamanagement_spark.queries import analytics57
+
+    got = index_layout.ivfpq_incremental(spark, sf_dir).collect()
+    want = analytics57.ivfpq_ann_topk_fixed(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got, "probe must return rows"
+    again = index_layout.ivfpq_incremental(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in got]
+
+
+def test_ivfpq_incremental_prunes_partitions(spark, sf_dir):
+    """The probed-cell literal must reach the code-store scan as
+    PartitionFilters (directory pruning — nprobe as partition
+    pruning)."""
+    plan = executed_plan(index_layout.ivfpq_incremental(spark, sf_dir))
+    pf = re.findall(r"PartitionFilters: \[[^\]]*", plan)
+    assert any("cell" in f and " IN " in f for f in pf), pf
+
+
+def test_ivfpq_store_holds_standing_plus_batch(spark, sf_dir):
+    """After the incremental ingest the cell-partitioned store holds
+    EVERY corpus vector's codes exactly once (standing + appended
+    batch, no duplicates), 8 code rows per vector."""
+    from bigdatamanagement_spark.queries.analytics57 import PQ_M
+
+    index_layout.ivfpq_incremental(spark, sf_dir).collect()
+    st = index_layout._ivfpq_store(spark, sf_dir)
+    cells = sorted(d for d in os.listdir(st["path"]) if d.startswith("cell="))
+    assert len(cells) >= 2, cells
+    codes = spark.read.parquet(st["path"])
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == PQ_M for r in per_vec)
+    n_corpus = (
+        ann_fixed._quantized(spark, sf_dir)
+        .filter(F.col("nrm") > 0)
+        .count()
+    )
+    assert len(per_vec) == n_corpus
