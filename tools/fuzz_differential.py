@@ -1,0 +1,500 @@
+"""Differential SQL fuzzer: Spark vs DuckDB on the same parquet tables.
+
+The 478-query registry is enumerative — it proves the declared queries,
+not the semantic corners between them. This tool generates seeded random
+queries from a dual-dialect ANSI grammar (projections, filters with
+null-heavy literals, FK joins, grouped aggregates, HAVING, deterministic
+windows, set ops, scalar subqueries) over the driver's testdata schema,
+runs each statement on BOTH engines, and compares results with the same
+order-insensitive canonicalization the driver uses (sorted column names,
+normalized sorted row tuples).
+
+Determinism rules baked into the grammar (so a divergence means a real
+semantics bug, not an ordering artifact):
+- no LIMIT/OFFSET; comparison is order-insensitive;
+- no SUM/AVG over raw doubles (order-dependent low bits) — doubles are
+  cent-quantized to BIGINT first (the repo-wide discipline); MIN/MAX on
+  doubles is allowed (no arithmetic);
+- ROW_NUMBER/LAG windows always order by a unique key; RANK/DENSE_RANK
+  and RANGE-frame sums may order by non-unique columns (peers tie);
+- division always lands on NULLIF(_, 0) (ANSI Spark errors on /0);
+- string concat uses || (both engines: NULL if either side NULL —
+  concat() differs between engines on NULLs).
+
+Usage:
+    python tools/fuzz_differential.py --seed 20260816 --n 100
+    python tools/fuzz_differential.py --seed 1 --n 50 --sf-dir /root/testdata/sf0.001
+
+Exit 0 = all match; exit 1 = divergences (each printed with its SQL so
+it can be frozen into a regression fixture). A pinned-seed pytest run
+lives in tests/test_fuzz_differential.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# --------------------------------------------------------------------------
+# Schema (matches /root/testdata/sf*/; see TESTDATA.md)
+# --------------------------------------------------------------------------
+
+SCHEMA: dict[str, dict[str, list[str]]] = {
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "num": ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "str": ["l_returnflag", "l_linestatus"],
+        "ts": ["l_shipdate"],
+        # the SYNTHETIC lineitem has duplicate (l_orderkey, l_linenumber)
+        # pairs (unlike real TPC-H), so it has NO unique key: windows that
+        # need a total order (ROW_NUMBER/LAG/ROWS-frame sums) must skip it
+        # — with ties, intra-tie order is engine-arbitrary and a running
+        # sum legitimately differs (found by seed 4242 before this guard).
+        "unique": [],
+    },
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "num": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+        "ts": ["o_orderdate"],
+        "unique": ["o_orderkey"],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "num": ["c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+        "ts": [],
+        "unique": ["c_custkey"],
+    },
+    "part": {
+        "int": ["p_partkey", "p_size"],
+        "num": ["p_retailprice"],
+        "str": ["p_name", "p_brand", "p_type"],
+        "ts": [],
+        "unique": ["p_partkey"],
+    },
+    "supplier": {
+        "int": ["s_suppkey", "s_nationkey"],
+        "num": ["s_acctbal"],
+        "str": ["s_name"],
+        "ts": [],
+        "unique": ["s_suppkey"],
+    },
+    "nation": {
+        "int": ["n_nationkey", "n_regionkey"],
+        "num": [],
+        "str": ["n_name"],
+        "ts": [],
+        "unique": ["n_nationkey"],
+    },
+    "region": {
+        "int": ["r_regionkey"],
+        "num": [],
+        "str": ["r_name"],
+        "ts": [],
+        "unique": ["r_regionkey"],
+    },
+    "events": {
+        "int": ["event_id", "user_id"],
+        "num": ["value"],
+        "str": ["event_type"],
+        "ts": ["ts"],
+        "unique": ["event_id"],
+    },
+    "documents": {
+        "int": ["doc_id", "n_chars"],
+        "str": ["lang", "source"],
+        "num": [],
+        "ts": [],
+        "unique": ["doc_id"],
+    },
+}
+
+# FK pairs (left_table, right_table, left_key, right_key)
+JOINS = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+]
+
+INT_LITS = ["0", "1", "-1", "2", "5", "42", "100", "1000", "999999"]
+STR_LITS = ["''", "'A'", "'O'", "'F'", "'BUILDING'", "'zzz'", "'en'", "'web'"]
+TS_LITS = [
+    "TIMESTAMP '1995-06-15 00:00:00'",
+    "TIMESTAMP '1997-01-01 00:00:00'",
+    "TIMESTAMP '1992-03-03 12:00:00'",
+    "TIMESTAMP '2024-01-05 00:00:00'",
+]
+NUM_LITS = ["0.0", "1.5", "-2.25", "10.0", "5000.0", "0.05"]
+
+
+class Gen:
+    """Seeded query generator. Every statement is valid, deterministic
+    SQL in both Spark SQL and DuckDB."""
+
+    def __init__(self, seed: int):
+        self.r = random.Random(seed)
+
+    # -- scalar expressions (depth-limited) --------------------------------
+
+    def int_expr(self, t: str, depth: int = 0) -> str:
+        cols = SCHEMA[t]["int"]
+        r = self.r
+        if depth >= 2 or r.random() < 0.45:
+            return r.choice(cols) if r.random() < 0.8 else r.choice(INT_LITS)
+        pick = r.randrange(8)
+        a = self.int_expr(t, depth + 1)
+        b = self.int_expr(t, depth + 1)
+        if pick == 0:
+            return f"(CAST({a} AS BIGINT) + CAST({b} AS BIGINT))"
+        if pick == 1:
+            return f"(CAST({a} AS BIGINT) - CAST({b} AS BIGINT))"
+        if pick == 2:
+            return f"(CAST({a} AS BIGINT) * {r.choice(['2', '3', '-1', '7'])})"
+        if pick == 3:
+            return f"(CAST({a} AS BIGINT) % {r.choice(['7', '13', '97'])})"
+        if pick == 4:
+            return f"ABS(CAST({a} AS BIGINT))"
+        if pick == 5:
+            return (
+                f"(CASE WHEN {self.pred(t, depth + 1)} THEN {a}"
+                f" ELSE {b} END)"
+            )
+        if pick == 6:
+            return f"COALESCE(NULLIF({a}, {r.choice(INT_LITS)}), {b})"
+        return f"LENGTH({self.str_expr(t, depth + 1)})"
+
+    def str_expr(self, t: str, depth: int = 0) -> str:
+        cols = SCHEMA[t]["str"]
+        r = self.r
+        if not cols:
+            return r.choice(STR_LITS)
+        if depth >= 2 or r.random() < 0.5:
+            return r.choice(cols) if r.random() < 0.85 else r.choice(STR_LITS)
+        pick = r.randrange(4)
+        a = self.str_expr(t, depth + 1)
+        if pick == 0:
+            return f"UPPER({a})"
+        if pick == 1:
+            return f"LOWER({a})"
+        if pick == 2:
+            return f"SUBSTR({a}, 1, {r.choice(['1', '2', '3', '5'])})"
+        return f"({a} || {r.choice(STR_LITS)})"
+
+    def pred(self, t: str, depth: int = 0) -> str:
+        r = self.r
+        if depth < 2 and r.random() < 0.35:
+            a = self.pred(t, depth + 1)
+            b = self.pred(t, depth + 1)
+            op = r.choice(["AND", "OR"])
+            neg = "NOT " if r.random() < 0.2 else ""
+            return f"{neg}(({a}) {op} ({b}))"
+        pick = r.randrange(10)
+        if pick in (0, 1):  # int comparison
+            op = r.choice(["=", "<>", "<", "<=", ">", ">="])
+            return f"{self.int_expr(t, 2)} {op} {r.choice(INT_LITS)}"
+        if pick == 2 and SCHEMA[t]["num"]:
+            op = r.choice(["<", "<=", ">", ">=", "=", "<>"])
+            return f"{r.choice(SCHEMA[t]['num'])} {op} {r.choice(NUM_LITS)}"
+        if pick == 3 and SCHEMA[t]["str"]:
+            col = r.choice(SCHEMA[t]["str"])
+            if r.random() < 0.5:
+                pat = r.choice(["'A%'", "'%a%'", "'%e'", "'B%g'"])
+                return f"{col} LIKE {pat}"
+            op = r.choice(["=", "<>", "<", ">"])
+            return f"{col} {op} {r.choice(STR_LITS)}"
+        if pick == 4 and SCHEMA[t]["ts"]:
+            col = r.choice(SCHEMA[t]["ts"])
+            if r.random() < 0.5:
+                a, b = sorted(r.sample(TS_LITS, 2))
+                return f"{col} BETWEEN {a} AND {b}"
+            return f"{col} {r.choice(['<', '>=', '<>'])} {r.choice(TS_LITS)}"
+        if pick == 5:
+            col = r.choice(SCHEMA[t]["int"])
+            lits = ", ".join(r.sample(INT_LITS, r.randrange(2, 5)))
+            neg = "NOT " if r.random() < 0.3 else ""
+            return f"{col} {neg}IN ({lits})"
+        if pick == 6:
+            col = r.choice(
+                SCHEMA[t]["int"] + SCHEMA[t]["str"] + SCHEMA[t]["num"]
+            )
+            return f"{col} IS {'NOT ' if r.random() < 0.5 else ''}NULL"
+        if pick == 7:
+            a, b = self.int_expr(t, 2), sorted(
+                [int(r.choice(INT_LITS)), int(r.choice(INT_LITS))]
+            )
+            return f"{a} BETWEEN {b[0]} AND {b[1]}"
+        if pick == 8 and SCHEMA[t]["ts"]:
+            col = r.choice(SCHEMA[t]["ts"])
+            part = r.choice(["YEAR", "MONTH", "DAY"])
+            return (
+                f"EXTRACT({part} FROM {col}) ="
+                f" {r.choice(['1995', '1997', '3', '6', '15'])}"
+            )
+        # division with guarded denominator (ANSI Spark errors on /0)
+        a = self.int_expr(t, 2)
+        b = self.int_expr(t, 2)
+        return f"(CAST({a} AS DOUBLE) / NULLIF(CAST({b} AS DOUBLE), 0.0)) > 2.0"
+
+    # quantized BIGINT face of a double column (exact on both engines)
+    def cents(self, col: str) -> str:
+        return f"CAST(ROUND(CAST({col} AS DOUBLE) * 100, 0) AS BIGINT)"
+
+    def agg_expr(self, t: str) -> str:
+        r = self.r
+        pick = r.randrange(8)
+        if pick == 0:
+            return "COUNT(*)"
+        if pick == 1:
+            return f"COUNT({r.choice(SCHEMA[t]['int'] + SCHEMA[t]['str'])})"
+        if pick == 2:
+            return f"COUNT(DISTINCT {r.choice(SCHEMA[t]['int'] + SCHEMA[t]['str'])})"
+        if pick == 3:
+            return f"SUM(CAST({self.int_expr(t, 1)} AS BIGINT))"
+        if pick == 4 and SCHEMA[t]["num"]:
+            return f"SUM({self.cents(r.choice(SCHEMA[t]['num']))})"
+        if pick == 5:
+            col = r.choice(
+                SCHEMA[t]["int"] + SCHEMA[t]["str"] + SCHEMA[t]["num"]
+                + SCHEMA[t]["ts"]
+            )
+            return f"{r.choice(['MIN', 'MAX'])}({col})"
+        if pick == 6:
+            return f"AVG(CAST({r.choice(SCHEMA[t]['int'])} AS BIGINT))"
+        return f"SUM(CASE WHEN {self.pred(t, 1)} THEN 1 ELSE 0 END)"
+
+    def group_key(self, t: str) -> str:
+        r = self.r
+        opts = []
+        if SCHEMA[t]["str"]:
+            opts.append(r.choice(SCHEMA[t]["str"]))
+        if SCHEMA[t]["ts"]:
+            col = r.choice(SCHEMA[t]["ts"])
+            opts.append(f"EXTRACT({r.choice(['YEAR', 'MONTH'])} FROM {col})")
+        opts.append(f"({r.choice(SCHEMA[t]['int'])} % {r.choice(['2', '5', '10'])})")
+        return r.choice(opts)
+
+    # -- statements --------------------------------------------------------
+
+    def _from_clause(self) -> tuple[str, str]:
+        """(table-for-columns, FROM ... clause). Joined tables expose the
+        union of both column sets via a merged pseudo-table entry."""
+        r = self.r
+        if r.random() < 0.35:
+            lt, rt, lk, rk = r.choice(JOINS)
+            how = r.choice(["JOIN", "LEFT JOIN", "JOIN", "JOIN"])
+            key = f"__join__{lt}__{rt}"
+            if key not in SCHEMA:
+                merged = {
+                    k: SCHEMA[lt][k] + SCHEMA[rt][k]
+                    for k in ("int", "num", "str", "ts")
+                }
+                # LEFT JOIN makes right-side "unique" cols nullable and
+                # non-unique per left row; unique keys stay left-only
+                merged["unique"] = SCHEMA[lt]["unique"]
+                SCHEMA[key] = merged
+            return key, f"{lt} {how} {rt} ON {lk} = {rk}"
+        t = r.choice(list(k for k in SCHEMA if not k.startswith("__join__")))
+        return t, t
+
+    def statement(self) -> str:
+        r = self.r
+        kind = r.randrange(10)
+        t, frm = self._from_clause()
+        where = f" WHERE {self.pred(t)}" if r.random() < 0.8 else ""
+        if kind < 4:  # grouped aggregate
+            nkeys = r.randrange(1, 3)
+            keys = [self.group_key(t) for _ in range(nkeys)]
+            aggs = [self.agg_expr(t) for _ in range(r.randrange(1, 4))]
+            cols = ", ".join(
+                [f"{k} AS g{i}" for i, k in enumerate(keys)]
+                + [f"{a} AS a{i}" for i, a in enumerate(aggs)]
+            )
+            having = (
+                f" HAVING COUNT(*) > {r.choice(['1', '2', '10'])}"
+                if r.random() < 0.3
+                else ""
+            )
+            pos = ", ".join(str(i + 1) for i in range(nkeys))
+            return f"SELECT {cols} FROM {frm}{where} GROUP BY {pos}{having}"
+        if kind < 6:  # plain projection (maybe DISTINCT)
+            exprs = []
+            for i in range(r.randrange(1, 4)):
+                pick = r.randrange(3)
+                if pick == 0:
+                    exprs.append(f"{self.int_expr(t)} AS c{i}")
+                elif pick == 1 and SCHEMA[t]["str"]:
+                    exprs.append(f"{self.str_expr(t)} AS c{i}")
+                else:
+                    exprs.append(
+                        f"(CASE WHEN {self.pred(t, 1)} THEN 1 ELSE 0 END)"
+                        f" AS c{i}"
+                    )
+            d = "DISTINCT " if r.random() < 0.5 else ""
+            return f"SELECT {d}{', '.join(exprs)} FROM {frm}{where}"
+        if kind < 7:  # scalar-subquery filter (single table only)
+            t = r.choice([k for k in SCHEMA if not k.startswith("__join__")])
+            col = r.choice(SCHEMA[t]["int"])
+            sub_agg = r.choice(["MIN", "MAX", "AVG"])
+            return (
+                f"SELECT COUNT(*) AS n, COALESCE(SUM(CAST({col} AS BIGINT)), 0)"
+                f" AS s FROM {t} WHERE CAST({col} AS DOUBLE) >"
+                f" (SELECT {sub_agg}(CAST({col} AS DOUBLE)) FROM {t})"
+            )
+        if kind < 8:  # set operation over one table, two filters
+            t = r.choice([k for k in SCHEMA if not k.startswith("__join__")])
+            col_i = r.choice(SCHEMA[t]["int"])
+            col_s = (
+                r.choice(SCHEMA[t]["str"]) if SCHEMA[t]["str"] else "'x'"
+            )
+            op = r.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+            p1, p2 = self.pred(t, 1), self.pred(t, 1)
+            sel = f"SELECT {col_i} AS k, {col_s} AS v FROM {t}"
+            return f"{sel} WHERE {p1} {op} {sel} WHERE {p2}"
+        # window over a single table (deterministic by construction:
+        # only tables with a genuinely unique order key qualify)
+        t = r.choice(
+            [
+                k
+                for k in SCHEMA
+                if not k.startswith("__join__") and SCHEMA[k]["unique"]
+            ]
+        )
+        uniq = ", ".join(SCHEMA[t]["unique"])
+        gk = self.group_key(t)
+        wpick = r.randrange(4)
+        if wpick == 0:
+            win = f"ROW_NUMBER() OVER (PARTITION BY {gk} ORDER BY {uniq})"
+        elif wpick == 1:
+            oc = r.choice(SCHEMA[t]["int"] + SCHEMA[t]["str"])
+            fn = r.choice(["RANK()", "DENSE_RANK()"])
+            win = f"{fn} OVER (PARTITION BY {gk} ORDER BY {oc})"
+        elif wpick == 2:
+            sc = r.choice(SCHEMA[t]["int"])
+            win = (
+                f"SUM(CAST({sc} AS BIGINT)) OVER (PARTITION BY {gk}"
+                f" ORDER BY {uniq} ROWS BETWEEN UNBOUNDED PRECEDING"
+                f" AND CURRENT ROW)"
+            )
+        else:
+            lc = r.choice(SCHEMA[t]["int"])
+            win = (
+                f"{r.choice(['LAG', 'LEAD'])}({lc}, 1) OVER"
+                f" (PARTITION BY {gk} ORDER BY {uniq})"
+            )
+        where = f" WHERE {self.pred(t)}" if r.random() < 0.6 else ""
+        return (
+            f"SELECT {uniq.split(', ')[0]} AS k, {gk} AS g, {win} AS w"
+            f" FROM {t}{where}"
+        )
+
+
+# --------------------------------------------------------------------------
+# Execution + comparison (the driver's canonicalization)
+# --------------------------------------------------------------------------
+
+
+def _norm(v):
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<NULL>"
+        return f"{v:.6g}"
+    if hasattr(v, "isoformat"):
+        if getattr(v, "tzinfo", None) is not None:
+            import datetime as _dt
+
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def canonicalize(rows):
+    if not rows:
+        return [], []
+    cols = sorted(rows[0].keys())
+    return cols, sorted(tuple(_norm(r[c]) for c in cols) for r in rows)
+
+
+def run_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
+    """Generate n queries from the seed; run both engines; return the
+    divergences (empty list == all match)."""
+    gen = Gen(seed)
+    failures = []
+    for i in range(n):
+        sql = gen.statement()
+        try:
+            got_cols, got = canonicalize(spark.sql(sql).toArrow().to_pylist())
+        except Exception as exc:  # engine rejected/failed — report as bug
+            failures.append({"i": i, "sql": sql, "err": f"spark: {exc!r:.300}"})
+            continue
+        try:
+            want_cols, want = canonicalize(duck.execute(sql).arrow().to_pylist())
+        except Exception as exc:
+            failures.append({"i": i, "sql": sql, "err": f"duckdb: {exc!r:.300}"})
+            continue
+        if (got or want) and got_cols != want_cols:
+            failures.append(
+                {"i": i, "sql": sql,
+                 "err": f"schema: spark={got_cols} duck={want_cols}"}
+            )
+        elif len(got) != len(want):
+            failures.append(
+                {"i": i, "sql": sql,
+                 "err": f"rowcount: spark={len(got)} duck={len(want)}"}
+            )
+        else:
+            for g, w in zip(got, want):
+                if g != w:
+                    failures.append(
+                        {"i": i, "sql": sql,
+                         "err": f"values: spark={g} duck={w}"}
+                    )
+                    break
+    return failures
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=20260816)
+    ap.add_argument("--n", type=int, default=100)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from bigdatamanagement_spark.catalog import TESTDATA_TABLES, load_testdata
+    from bigdatamanagement_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz-differential", shuffle_partitions=8)
+    load_testdata(spark, args.sf_dir, register=True)
+    duck = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        path = os.path.join(args.sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            duck.execute(
+                f"CREATE OR REPLACE VIEW {name} AS"
+                f" SELECT * FROM read_parquet('{path}')"
+            )
+
+    failures = run_fuzz(spark, duck, args.seed, args.n)
+    print(f"fuzz: seed={args.seed} n={args.n} divergences={len(failures)}")
+    for f in failures:
+        print(f"--- #{f['i']}: {f['err']}\n    {f['sql']}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
