@@ -71,6 +71,100 @@ def partitionless_windows(df: DataFrame) -> list[str]:
     return out
 
 
+def _spec_is_partitionless(s: str) -> bool:
+    """True if any windowspecdefinition in the node line has NO
+    partition columns (first top-level arg is a sort spec or the
+    frame)."""
+    for spec in re.finditer(r"windowspecdefinition\(", s):
+        i, depth, cur, args = spec.end(), 1, spec.end(), []
+        while i < len(s) and depth:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(s[cur:i])
+            elif ch == "," and depth == 1:
+                args.append(s[cur:i])
+                cur = i + 1
+            i += 1
+        first = args[0].strip() if args else ""
+        if first.startswith("specifiedwindowframe") or re.search(
+            r" (ASC|DESC) NULLS", first
+        ):
+            return True
+    return False
+
+
+_ROW_METRICS = ("recordsRead", "numOutputRows", "shuffleRecordsWritten")
+
+
+def partitionless_window_input_rows(df: DataFrame) -> list[int]:
+    """EXECUTES the query and returns, for every partition-less Window
+    node in the final plan, the number of rows that flowed into it
+    (from SQL metrics of the nearest row-counting descendant — the
+    single-task sort size the plan gate's allowlist claims is bounded).
+    -1 for a window whose input metric could not be located, so a
+    caller asserting bounds fails loudly instead of skipping."""
+    df.collect()  # populate SQL metrics
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def unwrap(n):
+        name = n.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return unwrap(n.executedPlan())
+        if name.endswith("QueryStage"):
+            return unwrap(n.plan())
+        return n
+
+    def metrics(n) -> dict:
+        out = {}
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = kv._2().value()
+        return out
+
+    def kids(n):
+        out = []
+        ch = n.children()
+        for i in range(ch.size()):
+            out.append(unwrap(ch.apply(i)))
+        inner = n.innerChildren()
+        for i in range(inner.size()):
+            out.append(unwrap(inner.apply(i)))
+        return out
+
+    def first_rows_below(n) -> int:
+        # BFS below the window for the first node carrying a row count
+        frontier = kids(n)
+        while frontier:
+            nxt = []
+            for c in frontier:
+                m = metrics(c)
+                for key in _ROW_METRICS:
+                    if key in m:
+                        return int(m[key])
+                nxt.extend(kids(c))
+            frontier = nxt
+        return -1
+
+    rows: list[int] = []
+
+    def walk(n):
+        n = unwrap(n)
+        if n.nodeName() == "Window" and _spec_is_partitionless(
+            n.simpleString(100000)
+        ):
+            rows.append(first_rows_below(n))
+        for c in kids(n):
+            walk(c)
+
+    walk(plan)
+    return rows
+
+
 def filter_exprs(df: DataFrame) -> list[str]:
     """Conditions of Filter nodes in the optimized logical plan.
 
