@@ -52,9 +52,31 @@ def load_testdata(
     Missing files are skipped so the same call works on testdata dirs
     that lack the extension tables.
     """
+    # "layout:<base_sf_dir>:<prefix>" resolves each table through the
+    # STANDING LAYOUT CATALOG first: a saved table "<prefix>_<name>"
+    # (partitioned/bucketed — see tools/layout_bench.py) is used when it
+    # exists, else the flat parquet under base_sf_dir. Query code is
+    # untouched — the same callables run against either physical layout,
+    # which is exactly how a 100 TB deployment swaps in materialized
+    # fact-table layouts without rewriting queries.
+    layout_prefix = None
+    if sf_dir.startswith("layout:"):
+        _, sf_dir, layout_prefix = sf_dir.split(":", 2)
     dfs: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        if layout_prefix is not None:
+            tbl = f"{layout_prefix}_{name}"
+            key = (session_key(spark), f"table:{tbl}:{path}")
+            df = _DF_MEMO.get(key)
+            if df is None and spark.catalog.tableExists(tbl):
+                df = spark.table(tbl)
+                _DF_MEMO[key] = df
+            if df is not None:
+                dfs[name] = df
+                if register:
+                    df.createOrReplaceTempView(name)
+                continue
         key = (session_key(spark), path)
         df = _DF_MEMO.get(key)
         if df is None:
