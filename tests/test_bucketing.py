@@ -31,3 +31,32 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_catalog_layout_resolution(spark, sf_dir):
+    """The 'layout:<base>:<prefix>' sf_dir resolves each table through
+    the standing layout catalog (saved table '<prefix>_<name>') and
+    falls back to flat parquet for tables not materialized — query code
+    swaps physical layouts without rewrites (tools/layout_bench.py)."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.catalog import load_testdata
+
+    base = load_testdata(spark, sf_dir, tables=("region",), register=False)[
+        "region"
+    ]
+    base.withColumn("marker", F.lit(1)).write.mode("overwrite").saveAsTable(
+        "laytest_region"
+    )
+    try:
+        t = load_testdata(
+            spark,
+            f"layout:{sf_dir}:laytest",
+            tables=("region", "nation"),
+            register=False,
+        )
+        assert "marker" in t["region"].columns  # resolved via the table
+        assert "marker" not in t["nation"].columns  # flat fallback
+        assert t["nation"].count() == 25
+    finally:
+        spark.sql("DROP TABLE IF EXISTS laytest_region")
