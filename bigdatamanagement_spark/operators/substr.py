@@ -112,3 +112,39 @@ def duplicated_token_coverage(
         .groupBy("doc_id")
         .agg(F.sum("newly").cast("long").alias("dup_tokens"))
     )
+
+
+def duplicated_run_spans(seeds: DataFrame, k: int = K_SUB) -> DataFrame:
+    """(doc_id, run_id, span_tokens): each MAXIMAL duplicated run — a
+    chain of overlapping [pos, pos+k) seed intervals — with its token
+    length. A new run starts where a seed's interval does not touch the
+    running max end of the preceding intervals; run length is then
+    max(pos)+k - min(pos) within the run (interval chains are gap-free
+    by construction). Two doc-keyed windows sharing one sort."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w_prev)
+    starts = seeds.select(
+        "doc_id",
+        "pos",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_start"),
+    )
+    runs = starts.select(
+        "doc_id", "pos", F.sum("is_start").over(w_run).alias("run_id")
+    )
+    return (
+        runs.groupBy("doc_id", "run_id")
+        .agg(
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("span_tokens")
+        )
+    )

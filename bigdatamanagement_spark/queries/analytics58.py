@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bigdatamanagement_spark.catalog import load_testdata
 from bigdatamanagement_spark.operators.substr import (
     K_SUB,
+    duplicated_run_spans,
     duplicated_seed_positions,
     duplicated_token_coverage,
     grams_with_text,
@@ -120,10 +121,28 @@ def substr_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def substr_span_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T76d — the duplicated-SPAN length distribution (the paper's
+    headline figure): per maximal contiguous duplicated region, its
+    token length; histogram = spans and total tokens per exact length.
+    Consistency: sum(total_tokens) here == sum(dup_tokens) of T76a."""
+    g = grams_with_text(_docs(spark, sf_dir), "doc_id", "text", K_SUB)
+    spans = duplicated_run_spans(duplicated_seed_positions(g), K_SUB)
+    return (
+        spans.groupBy("span_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("span_tokens")
+    )
+
+
 QUERIES = {
     "t76_substr_dup_stats": substr_dup_stats,
     "t76_substr_top_spans": substr_top_spans,
     "t76_substr_doc_pairs": substr_doc_pairs,
+    "t76_substr_span_histogram": substr_span_histogram,
 }
 
 
@@ -220,3 +239,40 @@ ORACLE = {
     LIMIT {TOP_PAIRS}
 """,
 }
+
+
+ORACLE["t76_substr_span_histogram"] = f"""
+    WITH {_G_CTES},
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    seeds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+    flags AS (
+        SELECT doc_id, pos,
+               CASE WHEN prev_end IS NULL OR pos > prev_end
+                    THEN 1 ELSE 0 END AS is_start
+        FROM (
+            SELECT doc_id, pos,
+                   MAX(pos + {K_SUB}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_end
+            FROM seeds
+        )
+    ),
+    runs AS (
+        SELECT doc_id, pos,
+               SUM(is_start) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS run_id
+        FROM flags
+    ),
+    spans AS (
+        SELECT doc_id, run_id,
+               MAX(pos) + {K_SUB} - MIN(pos) AS span_tokens
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT CAST(span_tokens AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS total_tokens
+    FROM spans GROUP BY 1 ORDER BY 1
+"""

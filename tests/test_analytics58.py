@@ -84,3 +84,41 @@ def test_seed_identity_matches_bruteforce(spark, sf_dir):
     a = {r.doc_id: r.dup_tokens for r in got.collect()}
     b = {r.doc_id: r.dup_tokens for r in want.collect()}
     assert a == b
+
+
+def test_span_histogram_consistency(spark, sf_dir):
+    """sum(total_tokens) over the span histogram == sum(dup_tokens) of
+    the per-source stats (the runs partition the covered set), and the
+    minimum span length is >= K_SUB."""
+    hist = analytics58.substr_span_histogram(spark, sf_dir).collect()
+    stats = analytics58.substr_dup_stats(spark, sf_dir).collect()
+    assert hist
+    assert min(r.span_tokens for r in hist) >= K_SUB
+    assert sum(r.total_tokens for r in hist) == sum(
+        r.dup_tokens for r in stats
+    )
+
+
+def test_micro_fixture_run_spans(spark):
+    """The 10-token shared run must appear as exactly ONE maximal span
+    of length 10 in each of the two docs."""
+    from bigdatamanagement_spark.operators.substr import (
+        duplicated_run_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, "a0 a1 a2 " + shared + " a3 a4"),
+            (1, "b0 " + shared + " b1 b2 b3 b4 b5"),
+        ],
+        "doc_id long, text string",
+    )
+    g = grams_with_text(docs, "doc_id", "text", K_SUB)
+    spans = duplicated_run_spans(
+        duplicated_seed_positions(g), K_SUB
+    ).collect()
+    assert sorted((r.doc_id, r.span_tokens) for r in spans) == [
+        (0, 10),
+        (1, 10),
+    ]
