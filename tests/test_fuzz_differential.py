@@ -35,3 +35,21 @@ def test_generator_is_deterministic():
     a = [Gen(99).statement() for _ in range(30)]
     b = [Gen(99).statement() for _ in range(30)]
     assert a == b
+
+
+def test_known_divergence_empty_input_grouping_sets(spark, duck, sf_dir):
+    """FUZZER FINDING (round 5): on an EMPTY input, GROUP BY ROLLUP /
+    CUBE / GROUPING SETS that includes the () grouping set yields the
+    grand-total super-aggregate row (count 0) in DuckDB (ANSI /
+    Postgres behavior) but ZERO rows in Spark. This pin documents the
+    divergence; if it ever starts failing, Spark fixed the behavior —
+    delete _is_known_empty_groupingsets_divergence and re-tighten the
+    fuzzer. None of the engine's own ROLLUP/CUBE queries (setops pack)
+    can hit it: their inputs are non-empty at every SF (oracle-gated)."""
+    load_testdata(spark, sf_dir, register=True)
+    sql = (
+        "SELECT l_returnflag AS g0, COUNT(*) AS n FROM lineitem"
+        " WHERE l_linenumber = 1000 GROUP BY ROLLUP(l_returnflag)"
+    )
+    assert spark.sql(sql).collect() == []  # Spark: no rows
+    assert duck.execute(sql).fetchall() == [(None, 0)]  # ANSI: grand total
