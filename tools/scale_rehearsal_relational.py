@@ -85,7 +85,8 @@ def main() -> None:
         "from sf0.1 so selectivities match across multipliers;",
         "nation/region fixed dims),",
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]. "
-        "alpha = least-squares slope of log t vs log n over m=1/3/10.",
+        "alpha = least-squares slope of log t vs log n over the measured"
+        " multipliers.",
         "JVM fixed overhead makes sub-second queries sub-linear; joins and",
         "aggregates under AQE should stay near alpha <= ~1.2.",
         "",
