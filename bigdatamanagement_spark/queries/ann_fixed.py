@@ -500,6 +500,75 @@ def pq_ann_topk_fixed(spark, sf_dir) -> DataFrame:
 QUERIES["ext_pq_ann_topk_fixed"] = pq_ann_topk_fixed
 
 
+FILTER_LABEL = 3  # the metadata predicate of the filtered-ANN entry
+
+
+def ivf_filtered_ann_topk(spark, sf_dir) -> DataFrame:
+    """ext — FILTERED ANN (the vector-DB metadata-predicate search):
+    IVF top-10 where only corpus vectors with label = FILTER_LABEL are
+    eligible. Deliberately PRE-filter semantics — the predicate
+    restricts the candidate set BEFORE ranking, so every query still
+    gets a full top-k from the eligible subset (post-filtering a
+    top-k list would under-fill it; that is the classic filtered-ANN
+    bug). Queries themselves are not label-restricted.
+
+    Scale: the label predicate lands on the stored corpus scan (with
+    the cell-partitioned layout it composes with partition pruning:
+    prune cells by probe, then filter label within — at 100 TB a
+    high-selectivity label could itself be a partition column)."""
+    emb = _embs(spark, sf_dir).select("vec_id", "label")
+    assigned = ivf_assigned(spark, sf_dir)
+    corpus = (
+        assigned.join(emb, "vec_id")
+        .filter(F.col("label") == FILTER_LABEL)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("vq").alias("cv"),
+            F.col("nrm").alias("nc"),
+            F.expr("cells[0].cell").alias("cell"),
+        )
+    )
+    probes = (
+        assigned.filter(F.col("vec_id") < TOPK_QUERY_IDS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("vq").alias("qv"),
+            F.col("nrm").alias("nq"),
+            F.explode(
+                F.expr(f"transform(slice(cells, 1, {NPROBE}), s -> s.cell)")
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        probes.join(corpus, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .select(
+            "query_id", "neighbor_id", F.expr(_COS_MICRO).alias("cos_micro")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cos_micro")
+        .orderBy("query_id", "rank")
+    )
+
+
+QUERIES["ext_ivf_filtered_ann_topk"] = ivf_filtered_ann_topk
+
+
 SEMDEDUP_T_MICRO = 400_000  # cosine >= 0.4, in micro units
 
 
@@ -666,7 +735,61 @@ def _semdedup_oracle() -> str:
     )
 
 
+def _ivf_filtered_oracle() -> str:
+    return (
+        _SQL_BASE
+        + f""",
+    cents AS (SELECT cell, cv
+              FROM read_parquet('{ANN_PARAMS_DIR}/centroids.parquet')),
+    dists AS (
+        SELECT n.vec_id, n.vq, n.nrm, c.cell,
+               CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                    i -> (n.vq[i] - c.cv[i]) * (n.vq[i] - c.cv[i])))
+                    AS BIGINT) AS d2
+        FROM nz n CROSS JOIN cents c
+    ),
+    ranked_cells AS (
+        SELECT vec_id, vq, nrm, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cell ASC) AS crk
+        FROM dists
+    ),
+    corpus AS (
+        SELECT r.vec_id AS neighbor_id, r.vq AS cv, r.nrm AS nc, r.cell
+        FROM ranked_cells r JOIN embeddings e ON e.vec_id = r.vec_id
+        WHERE r.crk = 1 AND e.label = {FILTER_LABEL}
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, vq AS qv, nrm AS nq, cell
+        FROM ranked_cells
+        WHERE vec_id < {TOPK_QUERY_IDS} AND crk <= {NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, c.neighbor_id,
+               CAST(list_sum(list_transform(range(1, {DIM + 1}),
+                    i -> p.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+               p.nq, c.nc
+        FROM probes p JOIN corpus c USING (cell)
+        WHERE c.neighbor_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               {_COS_MICRO} AS cos_micro,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_COS_MICRO} DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos_micro
+    FROM ranked WHERE rank <= {TOPK}
+    ORDER BY query_id, rank
+"""
+    )
+
+
 ORACLE = {
+    "ext_ivf_filtered_ann_topk": _ivf_filtered_oracle(),
     "ext_lsh_ann_topk_fixed": _lsh_oracle(),
     "ext_ivf_ann_topk_fixed": _ivf_oracle(),
     "ext_pq_ann_topk_fixed": _pq_oracle(),

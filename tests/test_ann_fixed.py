@@ -82,3 +82,30 @@ def test_ann_params_fixture_matches_lcg_constants():
     for m in range(A.PQ_M):
         for k in range(A.PQ_K):
             assert cbs[(m, k)] == A.PQ_CODEBOOKS[m][k]
+
+
+def test_filtered_ann_prefilter_semantics(spark, sf_dir, duck):
+    """Filtered ANN: oracle golden + the pre-filter pins — every
+    returned neighbor carries the filter label, every query returns a
+    FULL top-k from the eligible subset (when enough eligible
+    candidates exist in the probed cells), and post-filtering the
+    unfiltered top-10 would under-fill (the classic filtered-ANN bug
+    this entry's semantics avoid)."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.queries import ann_fixed as A
+    from tests.conftest import assert_matches_oracle
+
+    got = A.ivf_filtered_ann_topk(spark, sf_dir)
+    assert_matches_oracle(got, duck, A.ORACLE["ext_ivf_filtered_ann_topk"])
+    rows = got.collect()
+    labels = {
+        r.vec_id: r.label
+        for r in A._embs(spark, sf_dir).select("vec_id", "label").collect()
+    }
+    assert rows
+    assert all(labels[r.neighbor_id] == A.FILTER_LABEL for r in rows)
+    # post-filtering the unfiltered list under-fills: the unfiltered
+    # top-10 of some query must contain a wrong-label neighbor
+    unfiltered = A.ivf_ann_topk_fixed(spark, sf_dir).collect()
+    assert any(labels[r.neighbor_id] != A.FILTER_LABEL for r in unfiltered)
