@@ -420,16 +420,42 @@ def pq_ann_topk(spark, sf_dir) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# SemDeDup target cell size: per-cell pairwise work is (cell size)^2,
+# so n_cells MUST grow with the corpus (Abbas et al. use ~1e5 cells at
+# web scale). The m=30 scale rehearsal measured the fixed-8-cell
+# version entering its quadratic regime (5 s -> 108 s for 3x data,
+# alpha 1.20) — exactly the docstring's "bounded when n_cells grows"
+# caveat turned into a number. Cells are trained per corpus at index-
+# build time (memoized like the IVF quantizer); at the driver SFs
+# (<= 2000 vectors) n_cells stays 8, so oracle-facing behavior is
+# unchanged.
+SEMDEDUP_CELL_TARGET = 500
+_SEMDEDUP_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
+
+
+def _semdedup_centroids(spark, sf_dir, e: DataFrame) -> list[list[float]]:
+    key = (session_key(spark), sf_dir)
+    if key not in _SEMDEDUP_CENTROIDS:
+        n = e.count()  # bounded metadata (one scalar)
+        n_cells = max(8, n // SEMDEDUP_CELL_TARGET)
+        _SEMDEDUP_CENTROIDS[key] = S.kmeans_centroids(
+            e, "embedding", n_cells=n_cells, max_iter=8
+        )
+    return _SEMDEDUP_CENTROIDS[key]
+
+
 def semdedup_summary(spark, sf_dir) -> DataFrame:
     """SemDeDup semantic dedup over the embedding corpus (per-cluster
-    pairwise cosine inside the k-means cells of the shared IVF
-    quantizer): per-cell vector/duplicate counts. Rows-only check —
-    k-means training is not SQL-expressible; the drop policy and its
-    containment in the exact near-dup pair set are pinned in tests."""
+    pairwise cosine inside corpus-scaled k-means cells): per-cell
+    vector/duplicate counts. Rows-only check — k-means training is not
+    SQL-expressible; the drop policy and its containment in the exact
+    near-dup pair set are pinned in tests. n_cells scales with the
+    corpus (target cell ~1000 vectors) so the per-cell pairwise stage
+    stays near-linear — see SCALE.md m=30 rehearsal."""
     e = _embs(spark, sf_dir)
     flags = S.semantic_dedup(
         e, "vec_id", "embedding", threshold=NEARDUP_COS,
-        centroids=_ivf_centroids(spark, sf_dir, e),
+        centroids=_semdedup_centroids(spark, sf_dir, e),
     )
     return (
         flags.groupBy("cell")
