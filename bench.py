@@ -27,11 +27,22 @@ def _stage_metrics_reader(spark):
     records per-query shuffle read/write and spill bytes so a volume
     regression is visible in the artifact without plan archaeology).
     The store lists stages NEWEST-FIRST, so reading stops at the first
-    already-seen stage id — O(new stages) py4j roundtrips per query."""
-    sc = spark.sparkContext
-    store = sc._jsc.sc().statusStore()
-    jl = sc._gateway.jvm.java.util.ArrayList()
-    defaults = [getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+    already-seen stage id — O(new stages) py4j roundtrips per query.
+
+    Construction touches fragile py4j internals (statusStore, scala
+    default-arg accessors); if any of that drifts across Spark versions
+    the bench must lose the metrics column, not abort — so failures here
+    return a no-op reader."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jl = sc._gateway.jvm.java.util.ArrayList()
+        defaults = [
+            getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)
+        ]
+        store.stageList(jl, *defaults)  # probe the call shape up front
+    except Exception:  # metrics must never fail the bench
+        return lambda last_max: (last_max, (0, 0, 0))
 
     def read_new(last_max: int) -> tuple[int, tuple[int, int, int]]:
         """(new max stage id, (shuffle_read, shuffle_write, spill) bytes
@@ -87,7 +98,11 @@ def main() -> None:
     failed: dict[str, str] = {}
     shuffle: dict[str, dict[str, float]] = {}
     read_stages = _stage_metrics_reader(spark)
-    last_stage, _ = read_stages(-1)  # drain warm-up stages
+    try:
+        last_stage, _ = read_stages(-1)  # drain warm-up stages
+    except Exception:  # metrics must never fail the bench
+        read_stages = lambda last_max: (last_max, (0, 0, 0))  # noqa: E731
+        last_stage = -1
     mb = 1.0 / (1024 * 1024)
     for pass_i in range(n_pass):
         sink = timings if pass_i == 0 else warm

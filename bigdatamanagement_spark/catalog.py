@@ -71,6 +71,18 @@ def load_testdata(
             df = _DF_MEMO.get(key)
             if df is None and spark.catalog.tableExists(tbl):
                 df = spark.table(tbl)
+                # Materialized layouts carry extra PHYSICAL columns
+                # (partition keys like ship_month — tools/layout_bench.py);
+                # project back to the flat parquet's logical column set so
+                # both layouts present identical schemas to queries
+                # (star-expansion / columns-driven code would otherwise
+                # silently diverge between layouts).
+                if os.path.exists(path):
+                    import pyarrow.parquet as _pq
+
+                    flat_cols = _pq.read_schema(path).names
+                    if [c for c in df.columns if c not in flat_cols]:
+                        df = df.select(*flat_cols)
                 _DF_MEMO[key] = df
             if df is not None:
                 dfs[name] = df

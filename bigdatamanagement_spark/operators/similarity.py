@@ -422,19 +422,20 @@ def semantic_dedup(
         import numpy as np
 
         cm = np.array(centroids)
-        cn = (cm * cm).sum(axis=1)
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf["v"].to_numpy())
-            d2 = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cm.T) + cn[None, :]
-            yield pd.DataFrame(
-                {
-                    "vid": pdf["vid"],
-                    "v": pdf["v"],
-                    "cell": d2.argmin(axis=1).astype("int32"),
-                }
-            )
+            # Exact Σ(x-y)² (chunked to bound the n×cells×dim temp), not
+            # the expanded x²-2xy+y² form: the expansion cancels
+            # catastrophically on near-ties and can flip argmin vs the
+            # documented nearest_cells semantics.
+            cell = np.empty(len(x), dtype="int32")
+            step = max(1, 8_388_608 // (cm.shape[0] * cm.shape[1]))
+            for lo in range(0, len(x), step):
+                d2 = ((x[lo : lo + step, None, :] - cm) ** 2).sum(axis=-1)
+                cell[lo : lo + step] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vid": pdf["vid"], "v": pdf["v"], "cell": cell})
 
     rows = rows.mapInPandas(assign, "vid long, v array<double>, cell int")
 

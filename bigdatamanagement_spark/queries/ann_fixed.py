@@ -24,10 +24,13 @@ cross-engine oracle gate (the judge's round-2 item 6).
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from bigdatamanagement_spark.catalog import load_testdata
+from bigdatamanagement_spark.session import session_key
 from bigdatamanagement_spark.queries.extensions import TOPK_QUERY_IDS
 
 DIM = 64
@@ -65,7 +68,9 @@ CENTROIDS = [_lcg_ints(777 + c, DIM, -300_000, 300_000) for c in range(N_CELLS)]
 # plans shrink from 1000+-node literal walls (8.5 s warm analysis +
 # codegen for the PQ twin) to small data-driven expressions, and the
 # DuckDB oracles become read_parquet joins instead of VALUES walls.
-ANN_PARAMS_DIR = "/root/repo/fixtures/ann_params"
+ANN_PARAMS_DIR = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "fixtures", "ann_params")
+)
 
 _PARAM_CACHE: dict[str, list] = {}
 
@@ -83,7 +88,7 @@ def _param_rows(name: str) -> list[dict]:
     return _PARAM_CACHE[name]
 
 
-_PARAM_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PARAM_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _one_row_param_df(spark: SparkSession, name: str) -> DataFrame:
@@ -91,8 +96,10 @@ def _one_row_param_df(spark: SparkSession, name: str) -> DataFrame:
     (LocalTableScan — the plan gate's bounded-broadcast literal source).
     Queries crossJoin(broadcast(...)) it so the parameters arrive as
     DATA, keeping per-row math in a small lambda expression instead of
-    a giant literal tree."""
-    key = (id(spark), name)
+    a giant literal tree. Keyed on session_key (app id), not id(spark):
+    CPython reuses ids after GC, which would hand a new session a
+    DataFrame bound to a dead one (see session.session_key)."""
+    key = (session_key(spark), name)
     if key not in _PARAM_DF_CACHE:
         if name == "planes":  # pm[tbl][j][dim]
             rows = _param_rows("planes")

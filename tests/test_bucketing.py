@@ -37,7 +37,12 @@ def test_catalog_layout_resolution(spark, sf_dir):
     """The 'layout:<base>:<prefix>' sf_dir resolves each table through
     the standing layout catalog (saved table '<prefix>_<name>') and
     falls back to flat parquet for tables not materialized — query code
-    swaps physical layouts without rewrites (tools/layout_bench.py)."""
+    swaps physical layouts without rewrites (tools/layout_bench.py).
+
+    Extra PHYSICAL columns a layout carries (partition keys like
+    ship_month) must be projected away: both layouts present the flat
+    parquet's logical schema, so star-expansion / columns-driven queries
+    cannot diverge between layouts."""
     import pyspark.sql.functions as F
 
     from bigdatamanagement_spark.catalog import load_testdata
@@ -55,7 +60,13 @@ def test_catalog_layout_resolution(spark, sf_dir):
             tables=("region", "nation"),
             register=False,
         )
-        assert "marker" in t["region"].columns  # resolved via the table
+        # Resolved via the saved table (plan scans the catalog table,
+        # not the flat parquet path) ...
+        plan = t["region"]._jdf.queryExecution().optimizedPlan().toString()
+        assert "laytest_region" in plan
+        # ... but the physical-only column is hidden: identical logical
+        # schema across layouts.
+        assert t["region"].columns == base.columns
         assert "marker" not in t["nation"].columns  # flat fallback
         assert t["nation"].count() == 25
     finally:
