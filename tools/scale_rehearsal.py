@@ -99,26 +99,42 @@ def main() -> None:
         "should stay near alpha <= ~1.2; JVM fixed overhead makes tiny",
         "queries sub-linear.",
         "",
-        "| query | " + " | ".join(f"m={m:g} (s)" for m in mults) + " | alpha |",
-        "|---|" + "---|" * (len(mults) + 1),
+        "| query | "
+        + " | ".join(f"m={m:g} (s)" for m in mults)
+        + " | alpha | max leg slope |",
+        "|---|" + "---|" * (len(mults) + 2),
     ]
+    from tools.rehearsal_stats import SLOPE_FLAG, fit_stats
+
+    flagged = []
     for q in REHEARSAL:
-        xs = [math.log(m) for m in mults]
-        ys = [math.log(max(times[q][m], 1e-3)) for m in mults]
-        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
-        denom = sum((x - mx) ** 2 for x in xs)
-        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+        alpha, max_slope = fit_stats(mults, [times[q][m] for m in mults])
         row = " | ".join(f"{times[q][m]:.2f}" for m in mults)
-        lines.append(f"| {q} | {row} | {alpha:.2f} |")
-    marker = "<!-- scale-rehearsal -->"
-    section = marker + "\n" + "\n".join(lines) + "\n"
-    path = "/root/repo/SCALE.md"
-    text = open(path).read() if os.path.exists(path) else ""
-    if marker in text:
-        text = text.split(marker, 1)[0]
-    with open(path, "w") as fh:
-        fh.write(text.rstrip("\n") + "\n\n" + section)
+        mark = " ⚠" if max_slope > SLOPE_FLAG else ""
+        lines.append(f"| {q} | {row} | {alpha:.2f} | {max_slope:.2f}{mark} |")
+        if max_slope > SLOPE_FLAG:
+            flagged.append((q, max_slope))
+    if flagged:
+        lines += [
+            "",
+            f"FLAGGED (adjacent-leg slope > {SLOPE_FLAG}): "
+            + ", ".join(f"{q} ({s:.2f})" for q, s in flagged)
+            + " — a tail cliff the fitted alpha cannot see; scale bug to file.",
+        ]
+    # Splice ONLY this tool's marker-to-next-marker span: the round-5
+    # split(marker)[0] form clobbered every section after the marker,
+    # deleting the relational rehearsal table from SCALE.md.
+    from tools.md_section import splice_section
+
+    splice_section(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"),
+        "<!-- scale-rehearsal -->",
+        "\n".join(lines),
+    )
     print("updated SCALE.md rehearsal section")
+    if flagged:
+        print(f"FLAGGED: {flagged}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":
