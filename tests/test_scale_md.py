@@ -21,6 +21,7 @@ def test_scale_md_contains_both_rehearsal_sections():
     text = open(os.path.join(REPO, "SCALE.md")).read()
     assert "<!-- scale-rehearsal -->" in text
     assert "<!-- scale-rehearsal-relational -->" in text
+    assert "<!-- layout-bench -->" in text  # also clobbered at r5 close
     # Each marker heads a non-empty measured table.
     corpus = text.split("<!-- scale-rehearsal -->", 1)[1]
     assert "| ext_minhash_lsh_pairs |" in corpus

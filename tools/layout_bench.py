@@ -246,14 +246,14 @@ def _render(artifact: dict, rows: dict, names: list[str]) -> None:
         " (first run measured t01 at 0 -> 3.9 MB shuffled; ANALYZE"
         " restored every broadcast).",
     ]
-    marker = "<!-- layout-bench -->"
-    section = marker + "\n" + "\n".join(lines) + "\n"
-    path = os.path.join(REPO, "SCALE.md")
-    text = open(path).read()
-    if marker in text:
-        text = text.split(marker, 1)[0]
-    with open(path, "w") as fh:
-        fh.write(text.rstrip("\n") + "\n\n" + section)
+    # Shared marker-to-next-marker splice (tools/md_section.py): the
+    # old split(marker)[0] form clobbered every section after its own —
+    # it deleted this very section at round-5 close.
+    from tools.md_section import splice_section
+
+    splice_section(
+        os.path.join(REPO, "SCALE.md"), "<!-- layout-bench -->", "\n".join(lines)
+    )
 
 
 if __name__ == "__main__":
