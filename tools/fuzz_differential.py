@@ -9,6 +9,16 @@ runs each statement on BOTH engines, and compares results with the same
 order-insensitive canonicalization the driver uses (sorted column names,
 normalized sorted row tuples).
 
+Round-6 grammar families (the corners where engines actually disagree):
+- outer joins: LEFT/FULL NULL-extension — COUNT(col) vs COUNT(*), NULL
+  group rows, anti-join shapes, ON-clause vs WHERE-clause filters;
+- nested array/struct: explode/unnest flattening, array indexing
+  (emitted as a DIALECT PAIR — Spark is 0-based, DuckDB 1-based),
+  size()/len(), struct build + dotted access;
+- DECIMAL near width edges: (19,0)x(19,0) -> 38-digit derivation,
+  scale-preserving SUMs, string-cast rounding at the half boundary
+  (values compared scale-insensitively).
+
 Determinism rules baked into the grammar (so a divergence means a real
 semantics bug, not an ordering artifact):
 - no LIMIT/OFFSET; comparison is order-insensitive;
@@ -357,6 +367,205 @@ class Gen:
             f" FROM base GROUP BY 1{having}"
         )
 
+    def outer_join_stmt(self) -> str:
+        """Outer-join NULL-extension corners (round-6 grammar family):
+        LEFT / FULL joins where the interesting behavior is what happens
+        to the null-extended side — COUNT(col) vs COUNT(*), grouping by
+        a null-extended key (the NULL group row), IS NULL anti-join
+        shapes, and the ON-clause-vs-WHERE-clause filter placement
+        distinction (a WHERE filter on the right side silently turns a
+        left join back into an inner join — engines must agree)."""
+        r = self.r
+        lt, rt, lk, rk = r.choice(JOINS)
+        inner_pred = self.pred(rt, 1)
+        shape = r.randrange(5)
+        if shape == 0:
+            # anti-join: left rows with no (filtered) right match
+            return (
+                f"SELECT COUNT(*) AS n,"
+                f" COALESCE(SUM(CAST({lk} AS BIGINT)), 0) AS s"
+                f" FROM {lt} LEFT JOIN (SELECT * FROM {rt}"
+                f" WHERE {inner_pred}) r ON {lk} = r.{rk}"
+                f" WHERE r.{rk} IS NULL"
+            )
+        if shape == 1:
+            # COUNT(*) counts null-extended rows; COUNT(right col) skips
+            gk = self.group_key(lt)
+            return (
+                f"SELECT {gk} AS g0, COUNT(*) AS n_all,"
+                f" COUNT(r.{rk}) AS n_matched,"
+                f" SUM(CASE WHEN r.{rk} IS NULL THEN 1 ELSE 0 END)"
+                f" AS n_unmatched"
+                f" FROM {lt} LEFT JOIN (SELECT * FROM {rt}"
+                f" WHERE {inner_pred}) r ON {lk} = r.{rk}"
+                f" GROUP BY 1"
+            )
+        if shape == 2:
+            # grouping by the null-extended RIGHT side key: the NULL
+            # group collects every unmatched left row
+            rgk = (
+                r.choice(SCHEMA[rt]["str"])
+                if SCHEMA[rt]["str"]
+                else f"CAST(r.{rk} % 5 AS BIGINT)"
+            )
+            rgk = f"r.{rgk}" if not rgk.startswith("CAST") else rgk
+            return (
+                f"SELECT {rgk} AS g0, COUNT(*) AS n"
+                f" FROM {lt} LEFT JOIN (SELECT * FROM {rt}"
+                f" WHERE {inner_pred}) r ON {lk} = r.{rk}"
+                f" GROUP BY 1"
+            )
+        if shape == 3:
+            # FULL OUTER with both sides filtered: rows fall in LEFT-only,
+            # RIGHT-only, and matched buckets — engines must agree on all
+            left_pred = self.pred(lt, 1)
+            return (
+                f"SELECT COUNT(*) AS n,"
+                f" SUM(CASE WHEN l.{lk} IS NULL THEN 1 ELSE 0 END)"
+                f" AS right_only,"
+                f" SUM(CASE WHEN r.{rk} IS NULL THEN 1 ELSE 0 END)"
+                f" AS left_only"
+                f" FROM (SELECT * FROM {lt} WHERE {left_pred}) l"
+                f" FULL JOIN (SELECT * FROM {rt} WHERE {inner_pred}) r"
+                f" ON l.{lk} = r.{rk}"
+            )
+        # extra ON-clause predicate (join-time filter) vs the same
+        # predicate in WHERE (post-join filter) — materially different
+        # results under LEFT JOIN; compare each against DuckDB
+        on_extra = self.pred(rt, 1)
+        in_where = r.random() < 0.5
+        if in_where:
+            return (
+                f"SELECT COUNT(*) AS n, COUNT({rt}.{rk}) AS m"
+                f" FROM {lt} LEFT JOIN {rt} ON {lk} = {rk}"
+                f" WHERE ({on_extra}) OR {rt}.{rk} IS NULL"
+            )
+        return (
+            f"SELECT COUNT(*) AS n, COUNT({rt}.{rk}) AS m"
+            f" FROM {lt} LEFT JOIN {rt} ON {lk} = {rk}"
+            f" AND ({on_extra})"
+        )
+
+    def nested_stmt(self) -> tuple[str, str]:
+        """Nested array/struct corners (round-6): returns a
+        (spark_sql, duckdb_sql) DIALECT PAIR — same semantics, per-engine
+        syntax — because this is exactly the family where surface syntax
+        differs: explode vs UNNEST, 0- vs 1-based array indexing,
+        size() vs len(), named_struct vs struct literals. The
+        order-insensitive row-multiset compare makes value-only unnest
+        deterministic."""
+        r = self.r
+        shape = r.randrange(4)
+        if shape == 0:
+            # value-only flatten + aggregate (multiset must match)
+            g = r.choice(["vec_id % 7", "vec_id % 3", "label"])
+            spark = (
+                f"SELECT {g} AS g0, COUNT(*) AS n,"
+                f" MIN(val) AS mn, MAX(val) AS mx FROM"
+                f" (SELECT vec_id, label, explode(embedding) AS val"
+                f" FROM embeddings) t GROUP BY 1"
+            )
+            duck = (
+                f"SELECT {g} AS g0, COUNT(*) AS n,"
+                f" MIN(val) AS mn, MAX(val) AS mx FROM"
+                f" (SELECT vec_id, label, unnest(embedding) AS val"
+                f" FROM embeddings) t GROUP BY 1"
+            )
+            return spark, duck
+        if shape == 1:
+            # the classic: Spark arrays are 0-based, DuckDB 1-based
+            k = r.randrange(0, 8)
+            pred = f"vec_id % {r.choice(['2', '5'])} = 0"
+            spark = (
+                f"SELECT vec_id AS k, embedding[{k}] AS c0"
+                f" FROM embeddings WHERE {pred}"
+            )
+            duck = (
+                f"SELECT vec_id AS k, embedding[{k + 1}] AS c0"
+                f" FROM embeddings WHERE {pred}"
+            )
+            return spark, duck
+        if shape == 2:
+            # array length + a length-derived filter
+            n = r.choice(["0", "16", "64"])
+            spark = (
+                f"SELECT COUNT(*) AS n, MIN(size(embedding)) AS mn,"
+                f" MAX(size(embedding)) AS mx FROM embeddings"
+                f" WHERE size(embedding) > {n}"
+            )
+            duck = (
+                f"SELECT COUNT(*) AS n, MIN(len(embedding)) AS mn,"
+                f" MAX(len(embedding)) AS mx FROM embeddings"
+                f" WHERE len(embedding) > {n}"
+            )
+            return spark, duck
+        # struct build + dotted field access (documents)
+        f1, f2 = "lang", "n_chars"
+        pred = self.pred("documents", 1)
+        spark = (
+            f"SELECT named_struct('a', {f1}, 'b', {f2}).a AS c0,"
+            f" SUM(named_struct('a', {f1}, 'b', {f2}).b) AS c1,"
+            f" COUNT(*) AS n FROM documents WHERE {pred} GROUP BY 1"
+        )
+        duck = (
+            f"SELECT ({{'a': {f1}, 'b': {f2}}}).a AS c0,"
+            f" SUM(({{'a': {f1}, 'b': {f2}}}).b) AS c1,"
+            f" COUNT(*) AS n FROM documents WHERE {pred} GROUP BY 1"
+        )
+        return spark, duck
+
+    def decimal_stmt(self) -> str:
+        """Exact DECIMAL arithmetic near type-width edges (round-6):
+        max-precision derivations (19,0 x 19,0 -> 38), scale-preserving
+        SUMs, string-cast rounding at the half boundary. Magnitudes are
+        chosen to stay inside DECIMAL(38) on BOTH engines (Spark ANSI
+        errors on true overflow; DuckDB rejects >38-wide derived types)
+        — the corners exercised are type derivation and rounding, with
+        values compared scale-insensitively (canonical decimal string)."""
+        r = self.r
+        shape = r.randrange(4)
+        if shape == 0:
+            t = r.choice(["lineitem", "orders", "customer", "part"])
+            col = r.choice(SCHEMA[t]["num"])
+            gk = self.group_key(t)
+            return (
+                f"SELECT {gk} AS g0,"
+                f" SUM(CAST({col} AS DECIMAL(18,2))) AS a0,"
+                f" COUNT(*) AS n FROM {t} GROUP BY 1"
+            )
+        if shape == 1:
+            # 19,0 x 19,0 -> the full 38-digit width on both engines
+            t = r.choice(["orders", "customer", "supplier"])
+            col = r.choice(SCHEMA[t]["int"])
+            lit = r.choice(
+                ["999999999999999", "1000000000000000", "123456789012345"]
+            )
+            return (
+                f"SELECT COUNT(*) AS n,"
+                f" MIN(CAST({col} AS DECIMAL(19,0))"
+                f" * CAST({lit} AS DECIMAL(19,0))) AS mn,"
+                f" MAX(CAST({col} AS DECIMAL(19,0))"
+                f" * CAST({lit} AS DECIMAL(19,0))) AS mx"
+                f" FROM {t}"
+            )
+        if shape == 2:
+            # decimal x decimal products, scale 2+2 -> 4
+            return (
+                "SELECT l_returnflag AS g0,"
+                " SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST(l_discount AS DECIMAL(18,2))) AS a0,"
+                " COUNT(*) AS n FROM lineitem GROUP BY 1"
+            )
+        # string-cast rounding at the exact half boundary
+        lit = r.choice(["'123.455'", "'-123.455'", "'0.005'", "'99.995'"])
+        t = r.choice(["nation", "region"])
+        k = SCHEMA[t]["int"][0]
+        return (
+            f"SELECT {k} AS k,"
+            f" CAST({lit} AS DECIMAL(10,2)) AS c0,"
+            f" CAST({lit} AS DECIMAL(10,1)) AS c1 FROM {t}"
+        )
+
     def interval_stmt(self) -> str:
         """Timestamp interval arithmetic across an FK join (shipdate vs
         orderdate + INTERVAL)."""
@@ -370,9 +579,12 @@ class Gen:
             f" WHERE l_shipdate {cmp} o_orderdate + INTERVAL {days} DAY"
         )
 
-    def statement(self) -> str:
+    def statement(self) -> str | tuple[str, str]:
+        """One statement: a plain string runs verbatim on both engines;
+        a (spark_sql, duckdb_sql) tuple is a dialect pair (nested
+        array/struct family — same semantics, per-engine syntax)."""
         r = self.r
-        extra = r.randrange(20)
+        extra = r.randrange(26)
         if extra == 0:
             return self.exists_stmt()
         if extra == 1:
@@ -381,6 +593,12 @@ class Gen:
             return self.cte_stmt()
         if extra == 3:
             return self.interval_stmt()
+        if extra in (4, 5):
+            return self.outer_join_stmt()
+        if extra in (6, 7):
+            return self.nested_stmt()
+        if extra in (8, 9):
+            return self.decimal_stmt()
         kind = r.randrange(10)
         t, frm = self._from_clause()
         where = f" WHERE {self.pred(t)}" if r.random() < 0.8 else ""
@@ -477,8 +695,16 @@ class Gen:
 
 
 def _norm(v):
+    import decimal
+
     if v is None:
         return "<NULL>"
+    if isinstance(v, decimal.Decimal):
+        # scale-insensitive: engines derive different result scales for
+        # the same exact value (Spark DECIMAL(28,2) vs DuckDB (38,2))
+        if v == 0:
+            return "0"
+        return format(v.normalize(), "f")
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"
@@ -530,19 +756,26 @@ def run_fuzz(spark, duck, seed: int, n: int) -> list[dict]:
     gen = Gen(seed)
     failures = []
     for i in range(n):
-        sql = gen.statement()
+        stmt = gen.statement()
+        if isinstance(stmt, tuple):  # dialect pair (nested family)
+            s_sql, d_sql = stmt
+            sql = f"spark: {s_sql}\n    duck:  {d_sql}"
+        else:
+            s_sql = d_sql = sql = stmt
         try:
-            got_cols, got = canonicalize(spark.sql(sql).toArrow().to_pylist())
+            got_cols, got = canonicalize(
+                spark.sql(s_sql).toArrow().to_pylist()
+            )
         except Exception as exc:  # engine rejected/failed — report as bug
             failures.append({"i": i, "sql": sql, "err": f"spark: {exc!r:.300}"})
             continue
         try:
-            want_rows = duck.execute(sql).arrow().to_pylist()
+            want_rows = duck.execute(d_sql).arrow().to_pylist()
             want_cols, want = canonicalize(want_rows)
         except Exception as exc:
             failures.append({"i": i, "sql": sql, "err": f"duckdb: {exc!r:.300}"})
             continue
-        if _is_known_empty_groupingsets_divergence(sql, got, want_rows):
+        if _is_known_empty_groupingsets_divergence(s_sql, got, want_rows):
             continue
         if (got or want) and got_cols != want_cols:
             failures.append(
@@ -570,6 +803,12 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=20260816)
     ap.add_argument("--n", type=int, default=100)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--sweep", type=int, default=0, metavar="N_SEEDS",
+        help="run N_SEEDS consecutive seeds (seed..seed+N-1) x --n each"
+        " and write the FUZZ.json artifact (reproducible provenance for"
+        " the committed sweep)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -587,6 +826,45 @@ def main() -> int:
                 f"CREATE OR REPLACE VIEW {name} AS"
                 f" SELECT * FROM read_parquet('{path}')"
             )
+
+    if args.sweep:
+        import json
+
+        all_failures = []
+        for s in range(args.seed, args.seed + args.sweep):
+            fs = run_fuzz(spark, duck, s, args.n)
+            all_failures += [{**f, "seed": s} for f in fs]
+            print(f"seed={s}: {args.n} queries, {len(fs)} divergences", flush=True)
+        artifact = {
+            "sf_dir": args.sf_dir,
+            "base_seed": args.seed,
+            "n_per_seed": args.n,
+            "seeds": args.sweep,
+            "total_queries": args.sweep * args.n,
+            "total_divergences": len(all_failures),
+            "grammar_families": (
+                "projections, null-heavy filters, FK joins, grouped aggs,"
+                " HAVING, deterministic windows, set ops, scalar"
+                " subqueries, EXISTS, ROLLUP/CUBE, CTEs, intervals;"
+                " round 6: outer-join NULL extension, nested"
+                " array/struct (dialect pairs), DECIMAL width edges"
+            ),
+            "known_divergences": (
+                "empty-input GROUP BY ROLLUP/CUBE grand-total row: Spark"
+                " emits no rows where ANSI/DuckDB emit the count-0"
+                " super-aggregate row — classified + pinned"
+                " (tests/test_fuzz_differential.py)"
+            ),
+            "divergences": all_failures[:50],
+        }
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "FUZZ.json"), "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(
+            f"sweep: {artifact['total_queries']} queries,"
+            f" {len(all_failures)} divergences -> FUZZ.json"
+        )
+        return 1 if all_failures else 0
 
     failures = run_fuzz(spark, duck, args.seed, args.n)
     print(f"fuzz: seed={args.seed} n={args.n} divergences={len(failures)}")
