@@ -452,3 +452,36 @@ def test_lsh_multiprobe_improves_trained_recall(spark, sf_dir):
     # in aggregate; assert mean lift and a high absolute floor
     assert sum(rm) / len(rm) >= sum(rs) / len(rs)
     assert sum(rm) / len(rm) >= 0.7, sum(rm) / len(rm)
+
+
+def test_semdedup_centroids_persist_and_reload(spark, sf_dir):
+    """Trained SemDeDup centroids persist to the content-keyed disk
+    cache (the index-build artifact, like the IVF/PQ stores): a fresh
+    session-key reloads the identical centroids without retraining, and
+    a changed corpus identity keys a different cache file."""
+    import os
+
+    from bigdatamanagement_spark.queries.extensions import (
+        _SEMDEDUP_CENTROIDS,
+        _semdedup_cache_path,
+        _semdedup_centroids,
+        _embs,
+    )
+
+    e = _embs(spark, sf_dir)
+    cache = _semdedup_cache_path(sf_dir)
+    assert cache is not None
+    if os.path.exists(cache):
+        os.remove(cache)
+    # Train fresh -> writes the cache file.
+    _SEMDEDUP_CENTROIDS.clear()
+    trained = _semdedup_centroids(spark, sf_dir, e)
+    assert os.path.exists(cache)
+    # Drop the in-memory memo: the reload path must hit the disk cache
+    # and return the identical centroid matrix (exact — json roundtrip
+    # of the same floats), without a Spark training job.
+    _SEMDEDUP_CENTROIDS.clear()
+    reloaded = _semdedup_centroids(spark, sf_dir, e)
+    assert reloaded == trained
+    # Cache key tracks corpus identity: a different sf_dir -> different file.
+    assert _semdedup_cache_path("/nonexistent") is None
