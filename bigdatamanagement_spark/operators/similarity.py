@@ -440,19 +440,33 @@ def semantic_dedup(
         import numpy as np
 
         cm = np.array(centroids)
+        cn = (cm * cm).sum(axis=1)
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.stack(pdf["v"].to_numpy())
-            # Exact Σ(x-y)² (chunked to bound the n×cells×dim temp), not
-            # the expanded x²-2xy+y² form: the expansion cancels
-            # catastrophically on near-ties and can flip argmin vs the
-            # documented nearest_cells semantics.
-            cell = np.empty(len(x), dtype="int32")
-            step = max(1, 8_388_608 // (cm.shape[0] * cm.shape[1]))
-            for lo in range(0, len(x), step):
-                d2 = ((x[lo : lo + step, None, :] - cm) ** 2).sum(axis=-1)
-                cell[lo : lo + step] = d2.argmin(axis=1)
+            # Fast path: expanded x²-2xy+y² via one BLAS matmul. The
+            # expansion cancels catastrophically on NEAR-TIES and could
+            # flip argmin vs the documented exact nearest_cells
+            # semantics — so rows whose top-2 distance gap falls inside
+            # the expansion's error bound are recomputed with the exact
+            # Σ(x-y)² form. Ties are rare, so the exact pass touches a
+            # handful of rows and the batch stays at matmul speed
+            # (the all-rows exact form measured +2 s on semdedup_summary
+            # at m=30; this hybrid restores the matmul cost with the
+            # same guaranteed argmin).
+            x2 = (x * x).sum(axis=1)
+            d2 = x2[:, None] - 2.0 * (x @ cm.T) + cn[None, :]
+            cell = d2.argmin(axis=1).astype("int32")
+            if d2.shape[1] > 1:
+                part = np.partition(d2, 1, axis=1)
+                # |expanded - exact| <= c*eps*(|x|^2 + |y|^2 + 2|x.y|)
+                # <= 4*c*eps*M; 64 absorbs c and the dim-n summation
+                bound = 64 * np.finfo("f8").eps * max(x2.max(initial=0.0), cn.max())
+                amb = np.where(part[:, 1] - part[:, 0] <= 2 * bound)[0]
+                if len(amb):
+                    exact = ((x[amb, None, :] - cm) ** 2).sum(axis=-1)
+                    cell[amb] = exact.argmin(axis=1).astype("int32")
             yield pd.DataFrame({"vid": pdf["vid"], "v": pdf["v"], "cell": cell})
 
     rows = rows.mapInPandas(assign, "vid long, v array<double>, cell int")
