@@ -40,7 +40,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from bigdatamanagement_spark.catalog import load_testdata
 
@@ -492,9 +492,18 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late, some other supplier also participated, and no other supplier
     was late.
 
-    Plan: one orderkey-bucketed aggregate computes, per (orderkey,
-    suppkey): late flag + per-order supplier/late-supplier distinct
-    counts via window-free semi/anti joins.
+    Plan: dedupe to (orderkey, suppkey) grain FIRST (max(late) — no
+    distinct aggregates at fact grain), then a plain per-order count.
+    countDistinct here would plan as Expand + an exchange keyed
+    (l_orderkey, l_suppkey, gid), which HashPartitioning(l_orderkey)
+    cannot satisfy — it re-shuffled the fact rows even under the
+    orderkey-bucketed layout (round-6 layout leg: 8 MB residual
+    shuffle). groupBy(l_orderkey, l_suppkey) IS satisfied by
+    orderkey partitioning (subset rule), so under the bucketed layout
+    every fact-grain stage — the orders join, both aggregates, and the
+    late⋈per_order join — runs exchange-free; on flat parquet the one
+    orderkey shuffle is reused by all of them. The only remaining
+    distinct agg sits at (s_name, orderkey) grain — post-filter, tiny.
     """
     t = _t(spark, sf_dir, ("orders", "lineitem", "supplier", "nation"))
     orders_f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
@@ -507,9 +516,24 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
         )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # (orderkey, suppkey) grain: did this supplier ship anything late
+    # on this order? Partitioning on l_orderkey satisfies this grouping
+    # (subset rule), so the bucketed layout feeds it exchange-free.
+    order_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("late_any")
+    )
+    # Per-order counts as a WINDOW over order_supp, not a second
+    # aggregate branch joined back: the self-referenced branch planned
+    # twice (two scans + two fact-grain exchanges — no canonical
+    # exchange reuse, the branches push different filters), while the
+    # window reuses the one aggregated stream.
+    w = Window.partitionBy("l_orderkey")
+    flagged = order_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late_any",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late_any").over(w).alias("n_late_supp"),
     )
     nat = t["nation"].filter(F.col("n_name") == "NATION_0").select("n_nationkey")
     supp = (
@@ -518,9 +542,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        li.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        flagged.filter(
+            (F.col("late_any") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))

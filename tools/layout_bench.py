@@ -56,6 +56,17 @@ def build_layout(spark, sf_dir: str) -> None:
     t = load_testdata(
         spark, sf_dir, tables=("lineitem", "orders"), register=False
     )
+    # The default (in-memory) catalog forgets saved tables between
+    # sessions but their spark-warehouse directories persist; a rerun
+    # then fails with LOCATION_ALREADY_EXISTS. Reap orphaned locations.
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for tbl in (f"{PREFIX}_lineitem", f"{PREFIX}_orders"):
+        loc = os.path.join(warehouse, tbl)
+        if not spark.catalog.tableExists(tbl) and os.path.exists(loc):
+            shutil.rmtree(loc)
+
     if not spark.catalog.tableExists(f"{PREFIX}_lineitem"):
         (
             t["lineitem"]
@@ -113,19 +124,25 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument(
+        "--out", default="LAYOUT_BENCH.json",
+        help="artifact filename (repo-relative); a non-default name also"
+        " writes its own SCALE.md marker section, so the m=10 relational"
+        " leg coexists with the sf0.1 leg",
+    )
+    ap.add_argument(
         "--render-only", action="store_true",
-        help="rebuild the SCALE.md section from LAYOUT_BENCH.json "
+        help="rebuild the SCALE.md section from the artifact "
         "without re-running the bench",
     )
     args = ap.parse_args()
 
     if args.render_only:
-        artifact = json.load(open(os.path.join(REPO, "LAYOUT_BENCH.json")))
+        artifact = json.load(open(os.path.join(REPO, args.out)))
         rows = artifact["queries"]
         names = list(rows)
         mismatches = artifact["hash_mismatches"]
-        _render(artifact, rows, names)
-        print("rendered SCALE.md from existing LAYOUT_BENCH.json")
+        _render(artifact, rows, names, args.out)
+        print(f"rendered SCALE.md from existing {args.out}")
         return 1 if mismatches else 0
 
     from bench import _stage_metrics_reader
@@ -179,9 +196,9 @@ def main() -> int:
             for m in ("flat", "layout")
         },
     }
-    with open(os.path.join(REPO, "LAYOUT_BENCH.json"), "w") as fh:
+    with open(os.path.join(REPO, args.out), "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
-    _render(artifact, rows, names)
+    _render(artifact, rows, names, args.out)
     print(
         f"layout bench: {len(names)} queries, {len(mismatches)} hash"
         f" mismatches; totals {artifact['totals']}"
@@ -189,11 +206,14 @@ def main() -> int:
     return 1 if mismatches else 0
 
 
-def _render(artifact: dict, rows: dict, names: list[str]) -> None:
+def _render(
+    artifact: dict, rows: dict, names: list[str], out: str = "LAYOUT_BENCH.json"
+) -> None:
     lines = [
-        "## Measured layout leg (round 5)",
+        f"## Measured layout leg ({artifact['sf_dir']})",
         "",
-        "Headline relational queries at sf0.1, flat parquet vs the",
+        f"Headline relational queries at {artifact['sf_dir']},"
+        " flat parquet vs the",
         "materialized fact layout (lineitem/orders month-partitioned,",
         f"{N_BUCKETS}-bucket orderkey-bucketed, bucket-sorted; same query",
         "code via the catalog's layout: resolution). Warm times;",
@@ -220,12 +240,17 @@ def _render(artifact: dict, rows: dict, names: list[str]) -> None:
         if rows[n]["flat"]["shuffle_write_mb"]
         - rows[n]["layout"]["shuffle_write_mb"] > 0.1
     ]
+    faster = [
+        n for n in names
+        if rows[n]["layout"]["warm_s"] < rows[n]["flat"]["warm_s"]
+    ]
     lines += [
         "",
         f"Totals: flat {t['flat']['warm_s']}s /"
         f" {t['flat']['shuffle_write_mb']} MB shuffled; layout"
         f" {t['layout']['warm_s']}s /"
-        f" {t['layout']['shuffle_write_mb']} MB shuffled.",
+        f" {t['layout']['shuffle_write_mb']} MB shuffled;"
+        f" layout faster on {len(faster)}/{len(names)} queries.",
         "",
         "Reading the numbers (the honest, scale-dependent story):",
         "- **Co-location win is real and structural**: every query keyed"
@@ -233,13 +258,14 @@ def _render(artifact: dict, rows: dict, names: list[str]) -> None:
         + "; ".join(f"{n} {a:.2f}->{b:.2f} MB" for n, a, b in orderkey_wins)
         + ". That exchange grows with the fact table at 100 TB; the"
         " bucketed write paid it once at ingest.",
-        "- **At sf0.1 the layout loses wall-clock**: a 12 MB fact table"
-        " split into ~80 month dirs x 16 buckets is ~1280 tiny files,"
-        " and the per-query file-open/listing tax (~1 s) dwarfs the"
-        " shuffle saved. At 100 TB the same layout yields 256 MB-1 GB"
-        " files (sinks.write_compacted) and the tax amortizes to zero"
-        " while the saved exchange is terabytes. Layout choice is"
-        " scale-dependent; this leg measures both sides of that trade.",
+        "- **The wall-clock crossover is data-size-dependent**: at sf0.1"
+        " (~12 MB fact table) ~80 month dirs x 16 buckets is ~1280 tiny"
+        " files and the per-query open/listing tax dwarfs the shuffle"
+        " saved; as the fact table grows the tax is constant while the"
+        " saved exchange grows linearly. The m=10 relational leg"
+        " (LAYOUT_BENCH_M10.json) measures where the trade flips. At"
+        " 100 TB the same layout yields 256 MB-1 GB files"
+        " (sinks.write_compacted) and bucketing wins outright.",
         "- **Stats are part of the layout**: without ANALYZE TABLE the"
         " partitioned tables lose their size estimates, Catalyst stops"
         " broadcasting small sides, and joins regress to shuffles"
@@ -251,8 +277,13 @@ def _render(artifact: dict, rows: dict, names: list[str]) -> None:
     # it deleted this very section at round-5 close.
     from tools.md_section import splice_section
 
+    suffix = ""
+    if out != "LAYOUT_BENCH.json":
+        suffix = "-" + out.removesuffix(".json").removeprefix("LAYOUT_BENCH_").lower()
     splice_section(
-        os.path.join(REPO, "SCALE.md"), "<!-- layout-bench -->", "\n".join(lines)
+        os.path.join(REPO, "SCALE.md"),
+        f"<!-- layout-bench{suffix} -->",
+        "\n".join(lines),
     )
 
 
