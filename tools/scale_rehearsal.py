@@ -64,28 +64,64 @@ REHEARSAL = [
 ]
 
 
-def main() -> None:
-    mults = [float(a) for a in sys.argv[1:]] or [1.0, 3.0, 10.0]
+def _leg(tag: str, out_path: str) -> None:
+    """Child mode: measure ONE multiplier in a fresh process and dump
+    {query: warm_seconds} JSON. One process per leg keeps a leg's
+    measurements clean — in the single-process design every earlier
+    multiplier's localCheckpointed memo blocks stayed resident, and the
+    accumulated executor-memory pressure inflated the LAST leg's times
+    ~3x (round 6 measured multi_signal at 41 s inside the old rehearsal
+    vs 13 s isolated): the slope flag would cry wolf on a measurement
+    artifact, not a plan property."""
+    import json
+
     import __spark_entry__ as entrymod
     from bigdatamanagement_spark.session import get_spark
 
-    spark = get_spark(app_name="scale-rehearsal")
+    spark = get_spark(app_name=f"scale-rehearsal-m{tag}")
     qs = entrymod.queries()
+    sf_dir = f"/root/repo/fixtures/scale/m{tag}"
+    out: dict[str, float] = {}
+    for q in REHEARSAL:
+        fn = qs[q]
+        best = None
+        for _ in range(2):  # second pass = warm
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = time.perf_counter() - t0
+        out[q] = round(best, 3)
+        print(f"m={tag} {q}: {out[q]}s", flush=True)
+    with open(out_path, "w") as fh:
+        json.dump(out, fh)
+
+
+def main() -> None:
+    import json
+    import subprocess
+    import tempfile
+
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--leg":
+        _leg(argv[1], argv[2])
+        return
+    mults = [float(a) for a in argv] or [1.0, 3.0, 10.0]
     times: dict[str, dict[float, float]] = {q: {} for q in REHEARSAL}
     for m in mults:
         tag = f"{m:g}"
         sf_dir = f"/root/repo/fixtures/scale/m{tag}"
         if not os.path.isdir(sf_dir):
             os.system(f"python tools/gen_scale_data.py {tag} {sf_dir}")
-        for q in REHEARSAL:
-            fn = qs[q]
-            best = None
-            for _ in range(2):  # second pass = warm
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = time.perf_counter() - t0
-            times[q][m] = round(best, 3)
-            print(f"m={tag} {q}: {times[q][m]}s", flush=True)
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", tag, out_path],
+            check=True,
+        )
+        with open(out_path) as fh:
+            leg = json.load(fh)
+        os.unlink(out_path)
+        for q, t in leg.items():
+            times[q][m] = t
 
     lines = [
         "## Measured sf1 rehearsal (round 4)",

@@ -39,14 +39,8 @@ REHEARSAL = [f"tpch_q{i:02d}" for i in range(1, 23)] + [
 ]
 
 
-def main() -> None:
-    mults = [float(a) for a in sys.argv[1:]] or [1.0, 3.0, 10.0]
-    import __spark_entry__ as entrymod
-    from bigdatamanagement_spark.session import get_spark
-
-    spark = get_spark(app_name="scale-rehearsal-relational")
-    qs = entrymod.queries()
-    # resolve tpch prefixes to full registry names
+def _resolve_names(qs) -> list[str]:
+    """Resolve tpch prefixes to full registry names."""
     names = []
     for q in REHEARSAL:
         if q in qs:
@@ -55,8 +49,47 @@ def main() -> None:
             hits = [k for k in qs if k.startswith(q + "_") or k.startswith(q)]
             assert len(hits) == 1, (q, hits)
             names.append(hits[0])
+    return names
 
-    times: dict[str, dict[float, float]] = {q: {} for q in names}
+
+def _leg(tag: str, out_path: str) -> None:
+    """Child mode: one multiplier per fresh process (see
+    scale_rehearsal._leg — accumulated memo residency in a shared
+    session inflates the last leg's measurements)."""
+    import json
+
+    import __spark_entry__ as entrymod
+    from bigdatamanagement_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scale-rehearsal-relational-m{tag}")
+    qs = entrymod.queries()
+    sf_dir = f"/root/repo/fixtures/scale/m{tag}"
+    out: dict[str, float] = {}
+    for q in _resolve_names(qs):
+        fn = qs[q]
+        best = None
+        for _ in range(2):  # second pass = warm
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = time.perf_counter() - t0
+        out[q] = round(best, 3)
+        print(f"m={tag} {q}: {out[q]}s", flush=True)
+    with open(out_path, "w") as fh:
+        json.dump(out, fh)
+
+
+def main() -> None:
+    import json
+    import subprocess
+    import tempfile
+
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--leg":
+        _leg(argv[1], argv[2])
+        return
+    mults = [float(a) for a in argv] or [1.0, 3.0, 10.0]
+    names: list[str] = []
+    times: dict[str, dict[float, float]] = {}
     for m in mults:
         tag = f"{m:g}"
         sf_dir = f"/root/repo/fixtures/scale/m{tag}"
@@ -65,15 +98,18 @@ def main() -> None:
                 f"python tools/gen_scale_data.py {tag} {sf_dir}"
                 " --relational-only"
             )
-        for q in names:
-            fn = qs[q]
-            best = None
-            for _ in range(2):  # second pass = warm
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = time.perf_counter() - t0
-            times[q][m] = round(best, 3)
-            print(f"m={tag} {q}: {times[q][m]}s", flush=True)
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", tag, out_path],
+            check=True,
+        )
+        with open(out_path) as fh:
+            leg = json.load(fh)
+        os.unlink(out_path)
+        names = names or list(leg)
+        for q, t in leg.items():
+            times.setdefault(q, {})[m] = t
 
     lines = [
         "## Measured relational-core rehearsal (round 5)",
