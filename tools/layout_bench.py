@@ -45,14 +45,24 @@ N_BUCKETS = 16
 PREFIX = "layout"
 
 
-def build_layout(spark, sf_dir: str) -> None:
+def build_layout(spark, sf_dir: str, coarse: bool = False) -> None:
     """Materialize the SCALE.md fact layout once: month-partitioned,
     orderkey-bucketed lineitem and orders (bucket-sorted on the join
-    key so the co-located SortMergeJoin skips its sort too)."""
+    key so the co-located SortMergeJoin skips its sort too).
+
+    ``coarse=True`` drops the month partitioning and quarters the
+    bucket count: layout GRANULARITY must scale with data volume.
+    Monthly x 16 buckets targets 100 TB (files land at 256 MB-1 GB);
+    applied to an sf1-shaped table it fragments ~250 MB into ~1280
+    200 KB files and the open/listing tax swamps every saved exchange
+    (the m=10 leg measured layout slower on all 26 queries). The coarse
+    variant keeps the co-location property with file sizes matched to
+    the corpus — the knob a 100 TB deployment tunes per table size."""
     import pyspark.sql.functions as F
 
     from bigdatamanagement_spark.catalog import load_testdata
 
+    n_buckets = max(2, N_BUCKETS // 4) if coarse else N_BUCKETS
     t = load_testdata(
         spark, sf_dir, tables=("lineitem", "orders"), register=False
     )
@@ -68,22 +78,30 @@ def build_layout(spark, sf_dir: str) -> None:
             shutil.rmtree(loc)
 
     if not spark.catalog.tableExists(f"{PREFIX}_lineitem"):
+        w = t["lineitem"]
+        if not coarse:
+            w = w.withColumn(
+                "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+            )
+        w = w.write.mode("overwrite")
+        if not coarse:
+            w = w.partitionBy("ship_month")
         (
-            t["lineitem"]
-            .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
-            .write.mode("overwrite")
-            .partitionBy("ship_month")
-            .bucketBy(N_BUCKETS, "l_orderkey")
+            w.bucketBy(n_buckets, "l_orderkey")
             .sortBy("l_orderkey")
             .saveAsTable(f"{PREFIX}_lineitem")
         )
     if not spark.catalog.tableExists(f"{PREFIX}_orders"):
+        w = t["orders"]
+        if not coarse:
+            w = w.withColumn(
+                "order_month", F.date_format("o_orderdate", "yyyy-MM")
+            )
+        w = w.write.mode("overwrite")
+        if not coarse:
+            w = w.partitionBy("order_month")
         (
-            t["orders"]
-            .withColumn("order_month", F.date_format("o_orderdate", "yyyy-MM"))
-            .write.mode("overwrite")
-            .partitionBy("order_month")
-            .bucketBy(N_BUCKETS, "o_orderkey")
+            w.bucketBy(n_buckets, "o_orderkey")
             .sortBy("o_orderkey")
             .saveAsTable(f"{PREFIX}_orders")
         )
@@ -130,6 +148,12 @@ def main() -> int:
         " leg coexists with the sf0.1 leg",
     )
     ap.add_argument(
+        "--coarse", action="store_true",
+        help="right-size the layout for a small corpus: no month"
+        " partitioning, N_BUCKETS/4 buckets (file sizes matched to the"
+        " data volume instead of the 100 TB target)",
+    )
+    ap.add_argument(
         "--render-only", action="store_true",
         help="rebuild the SCALE.md section from the artifact "
         "without re-running the bench",
@@ -150,7 +174,7 @@ def main() -> int:
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="layout-bench")
-    build_layout(spark, args.sf_dir)
+    build_layout(spark, args.sf_dir, coarse=args.coarse)
     qs = entrymod.queries()
     names = []
     for q in QUERIES:
@@ -183,7 +207,8 @@ def main() -> int:
         rows[name] = rec
     artifact = {
         "sf_dir": args.sf_dir,
-        "n_buckets": N_BUCKETS,
+        "n_buckets": max(2, N_BUCKETS // 4) if args.coarse else N_BUCKETS,
+        "coarse": args.coarse,
         "queries": rows,
         "hash_mismatches": mismatches,
         "totals": {
