@@ -66,3 +66,29 @@ def test_queries_md_matches_registry():
     assert (int(m.group(1)), int(m.group(2))) == (len(qs), len(oracles)), (
         "QUERIES.md header counts drifted — regenerate"
     )
+
+
+def test_committed_sweep_artifacts_cover_full_registry():
+    """Round-5 postmortem: PLAN_GATE.json (482) and INVARIANCE.json (479)
+    were generated BEFORE the registry reached 484 — the last additions
+    shipped unswept in the committed artifacts. Stale artifacts now fail
+    CI: both must carry exactly the live registry's query count (and the
+    plan gate zero violations, the invariance sweep zero mismatches)."""
+    import json
+
+    n = len(entry.queries())
+    root = os.path.dirname(entry.__file__)
+
+    gate = json.load(open(os.path.join(root, "PLAN_GATE.json")))
+    assert gate["n_swept"] == n, (
+        f"PLAN_GATE.json is stale: swept {gate['n_swept']} of {n} "
+        f"registered queries — rerun `python tools/plan_gate.py`"
+    )
+    assert gate["n_violations"] == 0
+
+    inv = json.load(open(os.path.join(root, "INVARIANCE.json")))
+    assert inv["n_queries"] == n, (
+        f"INVARIANCE.json is stale: swept {inv['n_queries']} of {n} "
+        f"registered queries — rerun `python tools/invariance_sweep.py`"
+    )
+    assert inv["n_mismatches"] == 0 and inv["n_errors"] == 0
