@@ -605,50 +605,44 @@ def semdedup_fixed(spark, sf_dir) -> DataFrame:
         )
         .localCheckpoint()
     )
-    a = assigned.select(
-        F.col("vec_id").alias("qid"),
-        F.col("vq").alias("qv"),
-        F.col("nrm").alias("nq"),
-        "cell",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("vq").alias("cv"),
-        F.col("nrm").alias("nc"),
-        "cell",
-    )
-    dups = (
-        a.join(b, "cell")
-        .filter(F.col("neighbor_id") < F.col("qid"))
-        .select(
-            "cell",
-            "qid",
-            F.expr(
-                "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
-            ).alias("dot"),
-            "nq",
-            "nc",
+    # Per-cell pairwise stage as ONE exact float64 matmul per cell
+    # instead of an interpreted aggregate(zip_with(...)) per pair: at
+    # sf0.1 that was 50M pairs x 64 interpreted lambda steps = the
+    # suite's single most expensive warm query (6.05 s). float64 dgemm
+    # is EXACT here — |vq| <= ~2e6 (micro-quantized unit-ish vectors),
+    # so every product (<= 4e12) and every partial dot sum (<= 2.6e14)
+    # is an integer below 2^53; cos_micro then replays the oracle's
+    # floor(1e6 * dot / sqrt(nq*nc)) in the same double arithmetic.
+    import pandas as pd
+
+    t_micro = SEMDEDUP_T_MICRO
+
+    def cell_report(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        n_dups = 0
+        if n > 1:
+            v = np.stack(pdf["vq"].to_numpy()).astype("float64")
+            nrm = pdf["nrm"].to_numpy().astype("float64")
+            dot = v @ v.T  # exact: integer values < 2^53 throughout
+            cos = np.floor(1e6 * dot / np.sqrt(nrm[:, None] * nrm[None, :]))
+            # row i duplicates iff ANY smaller-vec_id cellmate (strict
+            # lower triangle after the vec_id sort) scores >= threshold
+            dup = np.tril(cos >= t_micro, k=-1).any(axis=1)
+            n_dups = int(dup.sum())
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_vectors": [n],
+                "n_dups": [n_dups],
+            }
         )
-        .select("cell", "qid", F.expr(_COS_MICRO).alias("cos_micro"))
-        .filter(F.col("cos_micro") >= SEMDEDUP_T_MICRO)
-        .select("cell", "qid")
-        .distinct()
-    )
+
     return (
         assigned.groupBy("cell")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-        .join(
-            dups.groupBy("cell").agg(
-                F.count(F.lit(1)).cast("long").alias("n_dups")
-            ),
-            "cell",
-            "left",
-        )
-        .select(
-            F.col("cell").cast("long").alias("cell"),
-            "n_vectors",
-            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
-        )
+        .applyInPandas(cell_report, "cell long, n_vectors long, n_dups long")
         .orderBy("cell")
     )
 
