@@ -32,7 +32,11 @@ def _stage_metrics_reader(spark):
     Construction touches fragile py4j internals (statusStore, scala
     default-arg accessors); if any of that drifts across Spark versions
     the bench must lose the metrics column, not abort — so failures here
-    return a no-op reader."""
+    return a reader yielding ``None`` metrics. ``None`` (not zeros):
+    an artifact full of 0.0 shuffle MB is indistinguishable from a
+    genuinely exchange-free run, so py4j drift instead drops the
+    ``shuffle_mb`` block and sets a top-level ``metrics_unavailable``
+    flag."""
     try:
         sc = spark.sparkContext
         store = sc._jsc.sc().statusStore()
@@ -42,7 +46,7 @@ def _stage_metrics_reader(spark):
         ]
         store.stageList(jl, *defaults)  # probe the call shape up front
     except Exception:  # metrics must never fail the bench
-        return lambda last_max: (last_max, (0, 0, 0))
+        return lambda last_max: (last_max, None)
 
     def read_new(last_max: int) -> tuple[int, tuple[int, int, int]]:
         """(new max stage id, (shuffle_read, shuffle_write, spill) bytes
@@ -105,14 +109,17 @@ def main() -> None:
     # builds in production; here they get named memo_build: lines.
     from bigdatamanagement_spark.memos import build_all
 
-    memo_builds = build_all(spark, sf_dir)
+    memo_builds, memo_failed = build_all(spark, sf_dir)
 
     read_stages = _stage_metrics_reader(spark)
+    metrics_unavailable = False
     try:
-        last_stage, _ = read_stages(-1)  # drain warm-up + memo stages
+        last_stage, probe = read_stages(-1)  # drain warm-up + memo stages
+        metrics_unavailable = probe is None
     except Exception:  # metrics must never fail the bench
-        read_stages = lambda last_max: (last_max, (0, 0, 0))  # noqa: E731
+        read_stages = lambda last_max: (last_max, None)  # noqa: E731
         last_stage = -1
+        metrics_unavailable = True
     mb = 1.0 / (1024 * 1024)
     for pass_i in range(n_pass):
         sink = timings if pass_i == 0 else warm
@@ -127,14 +134,18 @@ def main() -> None:
                     failed[name] = f"{type(exc).__name__}: {exc}"
             if pass_i == 0:
                 try:
-                    last_stage, (rd, wr, sp) = read_stages(last_stage)
-                    shuffle[name] = {
-                        "read_mb": round(rd * mb, 2),
-                        "write_mb": round(wr * mb, 2),
-                        "spill_mb": round(sp * mb, 2),
-                    }
+                    last_stage, vols = read_stages(last_stage)
+                    if vols is None:
+                        metrics_unavailable = True
+                    else:
+                        rd, wr, sp = vols
+                        shuffle[name] = {
+                            "read_mb": round(rd * mb, 2),
+                            "write_mb": round(wr * mb, 2),
+                            "spill_mb": round(sp * mb, 2),
+                        }
                 except Exception:  # metrics must never fail the bench
-                    pass
+                    metrics_unavailable = True
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -151,6 +162,8 @@ def main() -> None:
         "memo_builds": memo_builds,
         "memo_build_total": round(sum(memo_builds.values()), 3),
     }
+    if memo_failed:
+        detail["memo_build_failed"] = memo_failed
     warm_cold_geomean = None
     if warm:
         detail["queries_warm"] = warm
@@ -175,6 +188,8 @@ def main() -> None:
     # query whose shuffle-write bytes grew >2x AND >16 MB vs the previous
     # committed BENCH_FULL.json (absolute floor keeps sub-MB noise out).
     shuffle_regressions: dict[str, dict] = {}
+    if metrics_unavailable:
+        detail["metrics_unavailable"] = True
     if shuffle:
         detail["shuffle_mb"] = shuffle
         prev_path = os.path.join(here, "BENCH_FULL.json")
@@ -242,6 +257,8 @@ def main() -> None:
         "memo_build_total": round(sum(memo_builds.values()), 3),
         "detail": "BENCH_FULL.json",
     }
+    if memo_failed:
+        result["n_memo_build_failed"] = len(memo_failed)
     if warm_cold_geomean is not None:
         result["warm_total"] = round(sum(warm.values()), 3)
         result["warm_cold_geomean"] = warm_cold_geomean

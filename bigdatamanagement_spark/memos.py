@@ -118,23 +118,44 @@ MEMO_BUILDERS: dict[str, Callable[[SparkSession, str], None]] = {
 }
 
 
-def build_all(spark: SparkSession, sf_dir: str) -> dict[str, float]:
-    """Run every builder, returning name -> seconds. Missing source
-    tables (corpora without the extension files) skip that builder."""
+def build_all(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Run every builder, returning (name -> seconds, name -> error).
+
+    Only EXPECTED absences skip silently-ish (stderr note): a corpus
+    without the extension tables raises AnalysisException or
+    FileNotFoundError from the reader, and that's by design. Any other
+    exception is a real builder regression — it is recorded in the
+    second dict so the bench artifact carries a ``memo_build_failed``
+    block CI can surface, instead of silently re-billing the substrate's
+    first-touch cost to the first query that needs it (the exact
+    mis-attribution this module exists to fix)."""
     import sys
     import time
 
+    from pyspark.errors import AnalysisException
+
     out: dict[str, float] = {}
+    failed: dict[str, str] = {}
     for name, fn in MEMO_BUILDERS.items():
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir)
-        except Exception as exc:  # corpus lacks this substrate's source
+        except (AnalysisException, FileNotFoundError) as exc:
+            # corpus lacks this substrate's source tables — by design
             print(
                 f"memo_build:{name} skipped: {type(exc).__name__}: "
                 f"{str(exc)[:200]}",
                 file=sys.stderr,
             )
             continue
+        except Exception as exc:  # unexpected: a real builder regression
+            failed[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+            print(
+                f"memo_build:{name} FAILED: {failed[name]}",
+                file=sys.stderr,
+            )
+            continue
         out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    return out, failed

@@ -68,3 +68,14 @@ def test_fit_stats_flags_tail_cliff():
     # A clean near-linear series stays unflagged.
     _, ok_slope = fit_stats([1, 3, 10, 30], [1.0, 2.8, 9.0, 27.5])
     assert ok_slope < 1.2
+
+
+def test_fit_stats_single_multiplier_no_crash():
+    # `python tools/scale_rehearsal.py 10` passes one leg; fitting a
+    # slope through one point must degrade to (nan, 0.0), not raise
+    # ZeroDivisionError (round-6 ADVICE).
+    import math
+
+    alpha, max_slope = fit_stats([10.0], [5.0])
+    assert math.isnan(alpha)
+    assert max_slope == 0.0

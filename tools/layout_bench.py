@@ -234,13 +234,21 @@ def main() -> int:
 def _render(
     artifact: dict, rows: dict, names: list[str], out: str = "LAYOUT_BENCH.json"
 ) -> None:
+    n_buckets = artifact.get("n_buckets", N_BUCKETS)
+    coarse = artifact.get("coarse", False)
+    shape = (
+        f"right-sized for this data volume: no month partitioning,"
+        f" {n_buckets}-bucket"
+        if coarse
+        else f"100 TB-shaped: month-partitioned, {n_buckets}-bucket"
+    )
     lines = [
         f"## Measured layout leg ({artifact['sf_dir']})",
         "",
         f"Headline relational queries at {artifact['sf_dir']},"
         " flat parquet vs the",
-        "materialized fact layout (lineitem/orders month-partitioned,",
-        f"{N_BUCKETS}-bucket orderkey-bucketed, bucket-sorted; same query",
+        f"materialized fact layout (lineitem/orders {shape}",
+        "orderkey-bucketed, bucket-sorted; same query",
         "code via the catalog's layout: resolution). Warm times;",
         "shuffle-write MB from stage metrics. Result hashes equal on",
         "every query (the layout changes plans, never answers).",

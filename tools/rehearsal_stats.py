@@ -25,6 +25,11 @@ def fit_stats(mults: list[float], ts: list[float]) -> tuple[float, float]:
     Times are floored at 1 ms; JVM fixed overhead makes sub-second
     queries read sub-linear, which is fine — the flag is one-sided.
     """
+    if len(mults) < 2:
+        # A single leg has no slope to fit; return NaN alpha and a
+        # zero (never-flagging) max slope instead of ZeroDivisionError
+        # when a tool is invoked with one multiplier.
+        return float("nan"), 0.0
     xs = [math.log(m) for m in mults]
     ys = [math.log(max(t, 1e-3)) for t in ts]
     mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
