@@ -388,6 +388,110 @@ def blocked_neardup_pairs(
     )
 
 
+def cell_blocked_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    probe: int = 2,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Sub-quadratic near-dup cosine pairs via SemDeDup cell blocking
+    (Abbas et al. 2023, arXiv:2303.09540): k-means the embedding space
+    into corpus-scaled cells (k = ceil(n / BLOCK_TARGET)), assign every
+    vector to its ``probe`` nearest cells, and compare pairs ONLY inside
+    shared cells.
+
+    Semantics vs the exact ``blocked_neardup_pairs`` twin:
+    - PRECISION 1.0 by construction — a candidate pair's cosine is the
+      same exact normalized dot the exact path computes, so every
+      emitted (pair, cos) row also appears in the exact output.
+    - RECALL < 1.0: a qualifying pair whose two vectors share none of
+      their ``probe`` nearest cells is missed. probe=2 multi-assignment
+      recovers the classic cell-boundary misses; the residual recall is
+      pinned by tests/test_similarity_twins.py on fixture corpora.
+
+    Cost: within-cell FLOPs ≈ n · BLOCK_TARGET · probe² · d — LINEAR in
+    n because expected cell size stays ~BLOCK_TARGET as k scales with
+    the corpus (vs the exact triangle join's O(n²·d), which no blocking
+    can reduce). The assignment matmul is n·k·d = n²·d/BLOCK_TARGET;
+    it stays subdominant to the within-cell term below ~25M vectors
+    (n < BLOCK_TARGET²·probe²), past which a coarse quantizer over the
+    centroids (the in-repo IVF pattern) drops it to n·sqrt(k)·d.
+    Replication is ``probe`` rows per vector; one shuffle groups by
+    cell; each cell's cosine matrix is one Arrow-batched BLAS matmul,
+    chunked so a skew-degenerate giant cell stays memory-bounded.
+    """
+    import pandas as pd
+
+    if centroids is None:
+        n = df.count()  # one scalar to the driver — bounded metadata
+        k = max(4, -(-n // BLOCK_TARGET))
+        centroids = kmeans_centroids(df, vec_col, k, seed, max_iter=10)
+    probe = min(probe, len(centroids))
+    rows = df.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    )
+
+    def assign(batches):
+        import numpy as np
+
+        cm = np.array(centroids)
+        cn = (cm * cm).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["v"].to_numpy())
+            x2 = (x * x).sum(axis=1)
+            d2 = x2[:, None] - 2.0 * (x @ cm.T) + cn[None, :]
+            # stable argsort breaks distance ties on the lower cell id —
+            # deterministic regardless of Arrow batching (row-wise op).
+            near = np.argsort(d2, axis=1, kind="stable")[:, :probe]
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy().repeat(probe),
+                    "v": pdf["v"].to_numpy().repeat(probe),
+                    "cell": near.reshape(-1).astype("int32"),
+                }
+            )
+
+    member = rows.mapInPandas(assign, "vid long, v array<double>, cell int")
+
+    def pairs_in_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.drop_duplicates("vid").sort_values("vid")
+        ids = pdf["vid"].to_numpy()
+        vecs = np.stack(pdf["v"].to_numpy())
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        # chunk rows so a skew-degenerate cell's matrix stays bounded
+        step = max(1, BLOCK_TARGET)
+        for lo in range(0, len(ids), step):
+            chunk = slice(lo, lo + step)
+            cos = vecs[chunk] @ vecs[lo:].T
+            np.round(cos, 6, out=cos)
+            r, c = np.where(cos >= threshold)
+            keep = r < c  # strict upper triangle in global (sorted) order
+            out_a.append(ids[chunk][r[keep]])
+            out_b.append(ids[lo:][c[keep]])
+            out_c.append(cos[r[keep], c[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else [],
+                "vec_b": np.concatenate(out_b) if out_b else [],
+                "cos_sim": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    return (
+        member.groupBy("cell")
+        .applyInPandas(pairs_in_cell, "vec_a long, vec_b long, cos_sim double")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -461,8 +565,14 @@ def semantic_dedup(
             if d2.shape[1] > 1:
                 part = np.partition(d2, 1, axis=1)
                 # |expanded - exact| <= c*eps*(|x|^2 + |y|^2 + 2|x.y|)
-                # <= 4*c*eps*M; 64 absorbs c and the dim-n summation
-                bound = 64 * np.finfo("f8").eps * max(x2.max(initial=0.0), cn.max())
+                # where the x² summation and the BLAS dot each carry up
+                # to ~d·eps·M rounding — so scale the bound by d, not a
+                # fixed 64, to cover the per-dimension accumulation.
+                d = cm.shape[1]
+                bound = (
+                    4 * d * np.finfo("f8").eps
+                    * max(x2.max(initial=0.0), cn.max())
+                )
                 amb = np.where(part[:, 1] - part[:, 0] <= 2 * bound)[0]
                 if len(amb):
                     exact = ((x[amb, None, :] - cm) ** 2).sum(axis=-1)

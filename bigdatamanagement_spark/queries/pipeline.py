@@ -386,14 +386,33 @@ def curation_funnel(spark, sf_dir, sampled: bool = False) -> DataFrame:
 NEARDUP_COS = 0.4  # same threshold as the extensions pack's embedding pairs
 
 
+# Embedding-signal policy switch for multi_signal_dedup_pairs: exact
+# triangle-blocked all-pairs is O(n²·d) FLOPs NO MATTER how it is
+# blocked (the m=10→30 rehearsal leg measured slope 1.47 trending to
+# 2), so above this corpus size the embedding pairs come from the
+# sub-quadratic SemDeDup cell-blocked path instead (precision 1.0,
+# recall pinned by tests/test_similarity_twins.py). Every oracle-
+# checked corpus (sf0.001/0.01/0.1 ≤ 2k vectors, and the sampled twin)
+# sits far below the gate, so the DuckDB brute-force oracle stays an
+# exact mirror of the active path there; the m=10/30 rehearsal legs
+# (20k/60k vectors) exercise the cell path. This is the same
+# granularity-scales-with-volume policy as the layout crossover: exact
+# while exact is affordable AND verifiable, banded above.
+EXACT_EMB_PAIR_LIMIT = 8_000
+
+
 def multi_signal_dedup_pairs(spark, sf_dir, sampled: bool = False) -> DataFrame:
     """Near-dup pairs from BOTH signals on the doc-aligned id range:
     lexical (MinHash J ≥ 0.8, memoized pair graph) and embedding cosine
-    (≥ 0.4, triangle-blocked matmul), full-outer merged with a method
-    column (lexical / embedding / both). This is the production dedup
-    shape: surface-form near-dups (boilerplate, templating) and semantic
-    near-dups (paraphrase) are different populations, and the method
-    column is what a curation pipeline keys its drop policy on.
+    (≥ 0.4), full-outer merged with a method column (lexical /
+    embedding / both). This is the production dedup shape: surface-form
+    near-dups (boilerplate, templating) and semantic near-dups
+    (paraphrase) are different populations, and the method column is
+    what a curation pipeline keys its drop policy on.
+
+    The embedding signal is corpus-size-gated (EXACT_EMB_PAIR_LIMIT):
+    exact triangle-blocked matmul up to the gate, SemDeDup cell-blocked
+    (sub-quadratic, recall-pinned) above it.
 
     Scale: both pair sets are doc-keyed and sparse; the merge is a
     full-outer sort-merge on the pair key — negligible next to either
@@ -407,7 +426,16 @@ def multi_signal_dedup_pairs(spark, sf_dir, sampled: bool = False) -> DataFrame:
     e = _embs(spark, sf_dir, sampled).join(
         doc_ids, F.col("vec_id") == F.col("doc_id"), "left_semi"
     )
-    emb = SIM.blocked_neardup_pairs(e, "vec_id", "embedding", NEARDUP_COS).select(
+    n_vecs = e.count()  # one scalar to the driver — bounded metadata
+    if n_vecs <= EXACT_EMB_PAIR_LIMIT:
+        emb_pairs = SIM.blocked_neardup_pairs(
+            e, "vec_id", "embedding", NEARDUP_COS
+        )
+    else:
+        emb_pairs = SIM.cell_blocked_neardup_pairs(
+            e, "vec_id", "embedding", NEARDUP_COS
+        )
+    emb = emb_pairs.select(
         F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(True).alias("emb")
     )
     method = (

@@ -61,6 +61,11 @@ REHEARSAL = [
     "t71_curriculum_shards",
     "t72_jl_norm_concentration",
     "t73_histogram_quantile_windows",
+    # round-7: the t77 retrieval pack's linearity rested on the df-cap
+    # ARGUMENT (postings ≤ DF_CAP77 ⇒ pair join ships ≤ cap·|postings|
+    # rows); rounds 4-6 proved plausible isn't measured — rehearse it.
+    "t77_ngram_tfidf_pairs",
+    "t77_bm25_topk",
 ]
 
 
