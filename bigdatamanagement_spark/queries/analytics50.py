@@ -63,13 +63,22 @@ _FPS_MEMO_CAP = 4
 
 
 def _fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamanagement_spark import cache
+
     key = (session_key(spark), sf_dir)
     if key not in _FPS_MEMO:
         while len(_FPS_MEMO) >= _FPS_MEMO_CAP:
             _FPS_MEMO.pop(next(iter(_FPS_MEMO)))
-        _FPS_MEMO[key] = winnow_fingerprints(
-            _docs(spark, sf_dir), "doc_id", "text", K_WORDS, W_WINDOW
-        ).localCheckpoint(eager=True)
+        _FPS_MEMO[key] = cache.persistent_df(
+            spark,
+            "winnow_fingerprints",
+            sf_dir,
+            ("documents",),
+            f"k={K_WORDS} w={W_WINDOW} v1",
+            lambda: winnow_fingerprints(
+                _docs(spark, sf_dir), "doc_id", "text", K_WORDS, W_WINDOW
+            ),
+        )
     return _FPS_MEMO[key]
 
 

@@ -67,28 +67,32 @@ def copurchase_weighted_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation would shuffle lineitem twice)."""
     from bigdatamanagement_spark.session import session_key
 
+    from bigdatamanagement_spark import cache
+
     key = (session_key(spark), sf_dir)
     if key not in _COPURCHASE_MEMO:
-        li = load_testdata(
-            spark, sf_dir, tables=("lineitem",), register=False
-        )["lineitem"]
-        op = li.select("l_orderkey", "l_partkey").distinct()
-        baskets = op.groupBy("l_orderkey").agg(
-            F.sort_array(F.collect_set("l_partkey")).alias("parts")
-        )
-        pairs = baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, (x, i) -> "
-                    "transform(slice(parts, i + 2, size(parts)), "
-                    "y -> struct(x AS a, y AS b))))"
-                )
-            ).alias("p")
-        ).select("p.a", "p.b")
-        _COPURCHASE_MEMO[key] = (
-            pairs.groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .localCheckpoint(eager=True)
+
+        def _build() -> DataFrame:
+            li = load_testdata(
+                spark, sf_dir, tables=("lineitem",), register=False
+            )["lineitem"]
+            op = li.select("l_orderkey", "l_partkey").distinct()
+            baskets = op.groupBy("l_orderkey").agg(
+                F.sort_array(F.collect_set("l_partkey")).alias("parts")
+            )
+            pairs = baskets.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(parts, (x, i) -> "
+                        "transform(slice(parts, i + 2, size(parts)), "
+                        "y -> struct(x AS a, y AS b))))"
+                    )
+                ).alias("p")
+            ).select("p.a", "p.b")
+            return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+
+        _COPURCHASE_MEMO[key] = cache.persistent_df(
+            spark, "copurchase_edges", sf_dir, ("lineitem",), "v1", _build
         )
     return _COPURCHASE_MEMO[key]
 

@@ -361,12 +361,21 @@ _IVF_CENTROIDS: dict[tuple[str, str], list[list[float]]] = {}
 
 
 def _ivf_centroids(spark, sf_dir, e: DataFrame) -> list[list[float]]:
-    """Per-(session, corpus) trained coarse quantizer — index-build phase,
-    memoized (one Spark job per Lloyd iteration; happens at write time in
-    production, not per query)."""
+    """Per-corpus trained coarse quantizer — index-build phase, trained
+    once (one Spark job per Lloyd iteration; happens at write time in
+    production, not per query) and persisted content-keyed in
+    .bdm_cache so later sessions reload instead of retraining."""
+    from bigdatamanagement_spark import cache
+
     key = (session_key(spark), sf_dir)
     if key not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[key] = S.kmeans_centroids(e, "embedding", n_cells=8, max_iter=8)
+        _IVF_CENTROIDS[key] = cache.persistent_json(
+            "ivf_centroids",
+            sf_dir,
+            ("embeddings",),
+            "k=8 iters=8 v1",
+            lambda: S.kmeans_centroids(e, "embedding", n_cells=8, max_iter=8),
+        )
     return _IVF_CENTROIDS[key]
 
 

@@ -21,8 +21,10 @@ and the pruning/co-location behavior is plan-pinned
   verified by exact shingle Jaccard, so the composite-key hash cannot
   introduce false pairs. Result ≡ ext_incremental_neardup.
 
-Both materializations are per-(session, sf_dir) memoized — the write
-is the at-ingest cost a production pipeline pays once.
+Both materializations persist content-keyed under .bdm_cache
+(bigdatamanagement_spark/cache.py) — the write is the at-ingest cost a
+production pipeline pays ONCE per corpus; later sessions re-open (and
+for the bucketed band index, re-register) the stored files.
 """
 
 from __future__ import annotations
@@ -49,29 +51,54 @@ from bigdatamanagement_spark.queries.extensions import (
 from bigdatamanagement_spark.queries.analytics57 import (
     ORACLE as _IVFPQ_ORACLE,
 )
-from bigdatamanagement_spark.session import scratch_dir, session_key
+from bigdatamanagement_spark.session import session_key
 
 _IVF_STORE: dict = {}
 _BAND_TABLE: dict = {}
 
 
+def _ann_params_fingerprint() -> str:
+    """Identity of the shared ANN-params fixtures: the IVF/PQ stores'
+    codes derive from them, so a regenerated fixture must bust the
+    content-keyed store cache."""
+    import hashlib
+    import os
+
+    from bigdatamanagement_spark.queries.ann_fixed import ANN_PARAMS_DIR
+
+    parts = []
+    try:
+        for name in sorted(os.listdir(ANN_PARAMS_DIR)):
+            st = os.stat(os.path.join(ANN_PARAMS_DIR, name))
+            parts.append(f"{name}|{st.st_size}|{int(st.st_mtime)}")
+    except OSError:
+        return "absent"
+    return hashlib.sha1("||".join(parts).encode()).hexdigest()[:12]
+
+
 def _ivf_store_path(spark: SparkSession, sf_dir: str) -> str:
+    from bigdatamanagement_spark import cache
+
     key = (session_key(spark), sf_dir)
     if key not in _IVF_STORE:
-        path = scratch_dir("ivf_cells_")
-        (
-            ivf_assigned(spark, sf_dir)
-            .select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("vq").alias("cv"),
-                F.col("nrm").alias("nc"),
-                F.expr("cells[0].cell").alias("cell"),
+
+        def _build_into(path: str) -> None:
+            (
+                ivf_assigned(spark, sf_dir)
+                .select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("vq").alias("cv"),
+                    F.col("nrm").alias("nc"),
+                    F.expr("cells[0].cell").alias("cell"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(path)
             )
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(path)
+
+        _IVF_STORE[key] = cache.persistent_built_dir(
+            "ivf_store", sf_dir, ("embeddings",), "v1", _build_into
         )
-        _IVF_STORE[key] = path
     return _IVF_STORE[key]
 
 
@@ -142,15 +169,52 @@ def band_index_table(spark: SparkSession, sf_dir: str) -> str:
     bucket/join key. A (theoretical) bkey collision can only ADD a
     candidate pair, which exact-Jaccard verification then drops — the
     result set is collision-proof."""
+    import os
+
+    from bigdatamanagement_spark import cache
+
     key = (session_key(spark), sf_dir)
     if key not in _BAND_TABLE:
         from bigdatamanagement_spark.sources.bucketing import write_bucketed
 
-        name = f"band_idx_{abs(hash(key)) % 10**10}"
-        idx = _band_hashes(base_minhash_signatures(spark, sf_dir), 16, 4).select(
-            F.xxhash64("band", "band_hash").alias("bkey"), "doc_id"
+        ck = cache.content_key(sf_dir, ("documents",), "bands=16 r=4 v1")
+        name = (
+            f"band_idx_{ck}"
+            if ck
+            else f"band_idx_{abs(hash(key)) % 10**10}"
         )
-        write_bucketed(idx, name, "bkey", n_buckets=16, sort_col="bkey")
+        if not spark.catalog.tableExists(name):
+            loc = cache.artifact_path("band_index", ck) if ck else None
+            if loc is not None and os.path.isdir(loc):
+                # warm cache from a previous session: re-register the
+                # stored bucketed files as an external table — the
+                # bucket ids live in the file names, so the re-created
+                # table keeps the exchange-free stored-side scan
+                # (plan-pinned in tests/test_index_layout.py).
+                spark.sql(
+                    f"CREATE TABLE {name} (bkey BIGINT, doc_id BIGINT)"
+                    f" USING PARQUET CLUSTERED BY (bkey) SORTED BY (bkey)"
+                    f" INTO 16 BUCKETS LOCATION '{loc}'"
+                )
+            else:
+                idx = _band_hashes(
+                    base_minhash_signatures(spark, sf_dir), 16, 4
+                ).select(
+                    F.xxhash64("band", "band_hash").alias("bkey"), "doc_id"
+                )
+                if loc is not None:
+                    os.makedirs(os.path.dirname(loc), exist_ok=True)
+                write_bucketed(
+                    idx, name, "bkey", n_buckets=16, sort_col="bkey",
+                    path=loc,
+                )
+            # bucketed saveAsTable / external registration leaves
+            # Catalyst without size stats — broadcasts degrade to
+            # shuffle joins without this (measured on t01: 0 -> 3.9 MB
+            # shuffled). NOSCAN records sizeInBytes from the file
+            # listing (what join-strategy selection reads) without a
+            # full table scan.
+            spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS NOSCAN")
         _BAND_TABLE[key] = name
     return _BAND_TABLE[key]
 
@@ -227,20 +291,43 @@ def _ivfpq_store(spark: SparkSession, sf_dir: str) -> dict:
     inverted lists; ~32x smaller than raw vectors (8 int codes/row)."""
     from bigdatamanagement_spark.queries.analytics57 import _corpus_codes
 
+    import os
+
+    from bigdatamanagement_spark import cache
+
     key = (session_key(spark), sf_dir)
     if key not in _IVFPQ_STORE:
-        path = scratch_dir("ivfpq_codes_")
-        (
-            _corpus_codes(
-                spark,
-                sf_dir,
-                pred=F.col("vec_id") % IVFPQ_BATCH_MOD != IVFPQ_BATCH_MOD - 1,
+
+        def _build_into(path: str) -> None:
+            (
+                _corpus_codes(
+                    spark,
+                    sf_dir,
+                    pred=F.col("vec_id") % IVFPQ_BATCH_MOD
+                    != IVFPQ_BATCH_MOD - 1,
+                )
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(path)
             )
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(path)
+
+        path = cache.persistent_built_dir(
+            "ivfpq_store",
+            sf_dir,
+            ("embeddings",),
+            f"v1 annparams={_ann_params_fingerprint()}",
+            _build_into,
         )
-        _IVFPQ_STORE[key] = {"path": path, "appended": False}
+        # the appended state persists WITH the store: an underscore
+        # marker file (ignored by parquet listing) records whether the
+        # incremental batch was already merged in a prior session, so a
+        # warm cache never double-appends.
+        _IVFPQ_STORE[key] = {
+            "path": path,
+            "appended": os.path.exists(
+                os.path.join(path, "_BATCH_APPENDED")
+            ),
+        }
     return _IVFPQ_STORE[key]
 
 
@@ -276,6 +363,10 @@ def ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("cell")
             .parquet(st["path"])
         )
+        import os
+
+        with open(os.path.join(st["path"], "_BATCH_APPENDED"), "w") as fh:
+            fh.write("1")
         st["appended"] = True
     qtab = _query_tables(spark, sf_dir).localCheckpoint(eager=True)
     probed_cells = sorted(

@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from bigdatamanagement_spark import cache
 from bigdatamanagement_spark.catalog import load_testdata
 from bigdatamanagement_spark.session import session_key
 from bigdatamanagement_spark.operators import cluster as C
@@ -75,17 +76,26 @@ def _neardup_pairs(
 ) -> DataFrame:
     key = (session_key(spark), sf_dir, sampled)
     if key not in _PAIRS_MEMO:
-        docs = _docs(spark, sf_dir, sampled)
-        pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=JACCARD_T)
-        _PAIRS_MEMO[key] = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        _PAIRS_MEMO[key] = cache.persistent_df(
+            spark,
+            "lexical_pair_graph",
+            sf_dir,
+            ("documents",),
+            f"minhash_lsh J>={JACCARD_T} sampled={sampled} v1",
+            lambda: D.minhash_lsh_pairs(
+                _docs(spark, sf_dir, sampled), "doc_id", "text",
+                threshold=JACCARD_T,
+            ).select("doc_a", "doc_b"),
+        )
     return _PAIRS_MEMO[key]
 
 
 # Cluster labels and repetition metrics are likewise multi-consumer
 # intermediates (clusters: dedup_clusters + survivors + funnel — the
 # iterative star-contraction would otherwise run three times; repetition:
-# filter + funnel). Same memo pattern: one computation per (session,
-# corpus), materialized off the lineage with localCheckpoint.
+# filter + funnel). Same memo pattern: one computation per CORPUS —
+# content-keyed parquet in .bdm_cache (cache.persistent_df), reloaded
+# across sessions; the in-memory dict short-circuits within a session.
 _CLUSTERS_MEMO: dict[tuple[str, str], DataFrame] = {}
 _REP_MEMO: dict[tuple[str, str], DataFrame] = {}
 
@@ -95,10 +105,20 @@ def _cluster_labels(
 ) -> DataFrame:
     key = (session_key(spark), sf_dir, sampled)
     if key not in _CLUSTERS_MEMO:
-        docs = _docs(spark, sf_dir, sampled)
-        pairs = _neardup_pairs(spark, sf_dir, sampled)
-        labels = C.assign_clusters(docs, "doc_id", pairs, "doc_a", "doc_b")
-        _CLUSTERS_MEMO[key] = labels.localCheckpoint(eager=True)
+        _CLUSTERS_MEMO[key] = cache.persistent_df(
+            spark,
+            "cluster_labels",
+            sf_dir,
+            ("documents",),
+            f"star_contraction J>={JACCARD_T} sampled={sampled} v1",
+            lambda: C.assign_clusters(
+                _docs(spark, sf_dir, sampled),
+                "doc_id",
+                _neardup_pairs(spark, sf_dir, sampled),
+                "doc_a",
+                "doc_b",
+            ),
+        )
     return _CLUSTERS_MEMO[key]
 
 
@@ -109,10 +129,16 @@ def _repetition(
 
     key = (session_key(spark), sf_dir, sampled)
     if key not in _REP_MEMO:
-        m = repetition_metrics(
-            _docs(spark, sf_dir, sampled), "doc_id", "text", dup_k=3
+        _REP_MEMO[key] = cache.persistent_df(
+            spark,
+            "repetition_metrics",
+            sf_dir,
+            ("documents",),
+            f"dup_k=3 sampled={sampled} v1",
+            lambda: repetition_metrics(
+                _docs(spark, sf_dir, sampled), "doc_id", "text", dup_k=3
+            ),
         )
-        _REP_MEMO[key] = m.localCheckpoint(eager=True)
     return _REP_MEMO[key]
 
 

@@ -19,10 +19,16 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
+    """``path`` makes the table EXTERNAL at that location (used by the
+    cross-session .bdm_cache stores, which re-register the same files
+    in later sessions); default is a managed warehouse table."""
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

