@@ -579,12 +579,144 @@ class Gen:
             f" WHERE l_shipdate {cmp} o_orderdate + INTERVAL {days} DAY"
         )
 
+    def lateral_stmt(self) -> str:
+        """Correlated LATERAL subquery in FROM (round-7 family): the
+        registry exercises LATERAL but the grammar didn't. The lateral
+        body is always an aggregate (exactly one row per outer row —
+        COUNT + COALESCE'd BIGINT SUM), so comma-LATERAL and LEFT JOIN
+        LATERAL are semantically identical and deterministic; the outer
+        query aggregates per group so output stays bounded."""
+        r = self.r
+        lt, rt, lk, rk = r.choice(JOINS)
+        inner_pred = self.pred(rt, 1)
+        agg_col = r.choice(SCHEMA[rt]["int"])
+        gk = self.group_key(lt)
+        lat = (
+            f"(SELECT COUNT(*) AS lc,"
+            f" COALESCE(SUM(CAST({agg_col} AS BIGINT)), 0) AS ls"
+            f" FROM {rt} WHERE {rt}.{rk} = {lt}.{lk}"
+            f" AND ({inner_pred}))"
+        )
+        join = r.choice(
+            [f", LATERAL {lat} l", f" LEFT JOIN LATERAL {lat} l ON TRUE"]
+        )
+        where = f" WHERE {self.pred(lt)}" if r.random() < 0.5 else ""
+        return (
+            f"SELECT {gk} AS g0, COUNT(*) AS n,"
+            f" SUM(l.lc) AS slc, SUM(l.ls) AS sls,"
+            f" SUM(CASE WHEN l.lc = 0 THEN 1 ELSE 0 END) AS n_childless"
+            f" FROM {lt}{join}{where} GROUP BY 1"
+        )
+
+    def recursive_stmt(self) -> str:
+        """WITH RECURSIVE (round-7 family; Spark 4 feature the registry
+        uses but the grammar didn't). Three bounded shapes: a seq
+        spine joined to a fact's modulo bucket, a scalar accumulation,
+        and a string-growth chain — each with a strict depth bound so
+        both engines terminate identically."""
+        r = self.r
+        k = r.choice([3, 4, 5, 7, 10])
+        shape = r.randrange(3)
+        if shape == 0:
+            t, col = r.choice(
+                [
+                    ("lineitem", "l_linenumber"),
+                    ("orders", "o_custkey"),
+                    ("events", "user_id"),
+                    ("customer", "c_nationkey"),
+                ]
+            )
+            agg = self.agg_expr(t)
+            return (
+                f"WITH RECURSIVE seq(n) AS (SELECT 1 UNION ALL"
+                f" SELECT n+1 FROM seq WHERE n < {k})"
+                f" SELECT s.n AS g0, COUNT(*) AS n_rows, {agg} AS a0"
+                f" FROM seq s JOIN {t} ON CAST({col} % {k + 1} AS INT) = s.n"
+                f" GROUP BY 1"
+            )
+        if shape == 1:
+            step = r.choice(["s+n", "s*2", "s+n*n"])
+            return (
+                f"WITH RECURSIVE r(n, s) AS (SELECT 1, CAST(1 AS BIGINT)"
+                f" UNION ALL SELECT n+1, {step} FROM r WHERE n < {k})"
+                f" SELECT MAX(s) AS m, MIN(s) AS mn,"
+                f" SUM(s) AS t, COUNT(*) AS c FROM r"
+            )
+        ch = r.choice(["'x'", "'ab'", "'-'"])
+        return (
+            f"WITH RECURSIVE r(n, t) AS (SELECT 1, {ch} UNION ALL"
+            f" SELECT n+1, t || {ch} FROM r WHERE n < {k})"
+            f" SELECT MAX(t) AS m, COUNT(*) AS c,"
+            f" SUM(CAST(LENGTH(t) AS BIGINT)) AS lt FROM r"
+        )
+
+    def variant_stmt(self) -> tuple[str, str]:
+        """VARIANT / parse_json dialect pair (round-7 family): Spark
+        parses the events `props` JSON into a VARIANT and extracts with
+        variant_get; DuckDB extracts with json_extract_string + CAST.
+        Shapes: typed extraction with grouped aggregates, missing-path
+        NULL semantics, and a build-then-extract roundtrip
+        (to_json(named_struct) vs json_object)."""
+        r = self.r
+        shape = r.randrange(3)
+        if shape == 0:
+            s_k = "variant_get(parse_json(props), '$.k', 'long')"
+            d_k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+            cmp = r.choice(["> 50", "<= 10", "% 7 = 0", "BETWEEN 20 AND 60"])
+            tail = (
+                " AS k FROM events) SELECT event_type, COUNT(k) AS nk,"
+                " SUM(k) AS sk, MIN(k) AS mnk, MAX(k) AS mxk,"
+                f" SUM(CASE WHEN k {cmp} THEN 1 ELSE 0 END) AS n_hit"
+                " FROM v GROUP BY event_type"
+            )
+            return (
+                f"WITH v AS (SELECT event_type, {s_k}{tail}",
+                f"WITH v AS (SELECT event_type, {d_k}{tail}",
+            )
+        if shape == 1:
+            path = r.choice(["'$.missing'", "'$.k.nested'"])
+            s_m = f"variant_get(parse_json(props), {path}, 'string')"
+            d_m = f"json_extract_string(props, {path})"
+            tail = (
+                " AS m, user_id FROM events) SELECT COUNT(m) AS n_present,"
+                " COUNT(*) AS n, COUNT(DISTINCT user_id) AS u FROM v"
+            )
+            return (
+                f"WITH v AS (SELECT {s_m}{tail}",
+                f"WITH v AS (SELECT {d_m}{tail}",
+            )
+        icol = r.choice(["user_id", "event_id"])
+        s_b = (
+            f"variant_get(parse_json(to_json(named_struct("
+            f"'a', {icol}, 'b', event_type))), '$.a', 'long')"
+        )
+        d_b = (
+            f"CAST(json_extract_string(json_object("
+            f"'a', {icol}, 'b', event_type), '$.a') AS BIGINT)"
+        )
+        s_t = (
+            "variant_get(parse_json(to_json(named_struct("
+            "'t', event_type))), '$.t', 'string')"
+        )
+        d_t = (
+            "json_extract_string(json_object('t', event_type), '$.t')"
+        )
+        tail = (
+            " SELECT COUNT(*) AS n, SUM(a) AS sa,"
+            " COUNT(DISTINCT t) AS dt FROM v"
+        )
+        return (
+            f"WITH v AS (SELECT {s_b} AS a, {s_t} AS t FROM events){tail}",
+            f"WITH v AS (SELECT {d_b} AS a, {d_t} AS t FROM events){tail}",
+        )
+
     def statement(self) -> str | tuple[str, str]:
         """One statement: a plain string runs verbatim on both engines;
         a (spark_sql, duckdb_sql) tuple is a dialect pair (nested
-        array/struct family — same semantics, per-engine syntax)."""
+        array/struct and VARIANT families — same semantics, per-engine
+        syntax)."""
         r = self.r
-        extra = r.randrange(26)
+        extra = r.randrange(29)
         if extra == 0:
             return self.exists_stmt()
         if extra == 1:
@@ -599,6 +731,12 @@ class Gen:
             return self.nested_stmt()
         if extra in (8, 9):
             return self.decimal_stmt()
+        if extra == 26:
+            return self.lateral_stmt()
+        if extra == 27:
+            return self.recursive_stmt()
+        if extra == 28:
+            return self.variant_stmt()
         kind = r.randrange(10)
         t, frm = self._from_clause()
         where = f" WHERE {self.pred(t)}" if r.random() < 0.8 else ""
@@ -847,7 +985,9 @@ def main() -> int:
                 " HAVING, deterministic windows, set ops, scalar"
                 " subqueries, EXISTS, ROLLUP/CUBE, CTEs, intervals;"
                 " round 6: outer-join NULL extension, nested"
-                " array/struct (dialect pairs), DECIMAL width edges"
+                " array/struct (dialect pairs), DECIMAL width edges;"
+                " round 7: correlated LATERAL subqueries, recursive"
+                " CTEs, VARIANT/parse_json (dialect pairs)"
             ),
             "known_divergences": (
                 "empty-input GROUP BY ROLLUP/CUBE grand-total row: Spark"
