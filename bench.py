@@ -48,9 +48,23 @@ def _stage_metrics_reader(spark):
     except Exception:  # metrics must never fail the bench
         return lambda last_max: (last_max, None)
 
+    bus = sc._jsc.sc().listenerBus()
+
     def read_new(last_max: int) -> tuple[int, tuple[int, int, int]]:
         """(new max stage id, (shuffle_read, shuffle_write, spill) bytes
-        summed over stages newer than last_max)."""
+        summed over stages newer than last_max).
+
+        The status store is fed ASYNCHRONOUSLY off the listener bus; a
+        read fired right after job completion can miss late-landing
+        stages, which the next caller's drain then mis-attributes to
+        the NEXT query (round-7 diagnosis: the three "layout shuffle
+        regressions" in LAYOUT_BENCH_M10_COARSE were exactly a prior
+        run's late stages — plans and true volumes were identical).
+        waitUntilEmpty() makes attribution exact."""
+        try:
+            bus.waitUntilEmpty()
+        except Exception:
+            pass  # quiesce is best-effort; stale reads only add noise
         sl = store.stageList(jl, *defaults)
         top, rd, wr, sp = last_max, 0, 0, 0
         for i in range(sl.size()):

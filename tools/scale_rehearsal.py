@@ -2,7 +2,7 @@
 family's wall-time grows from m=1 (sf0.1-shaped) through m=10
 (sf1-shaped) on the consistent generator of tools/gen_scale_data.py,
 and fit the per-query scaling exponent alpha from t ~ c * n^alpha
-(least-squares over log n, three points m=1,3,10).
+(least-squares over log n across the measured multipliers).
 
 Each query runs twice per multiplier; the SECOND (warm) time is
 recorded so JVM/Python-worker startup does not contaminate the m=1
@@ -136,8 +136,8 @@ def main() -> None:
         "embeddings 2k/6k/20k, events 100k/300k/1M — m=10 is sf1-shaped),",
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', os.cpu_count())}]. "
         "Warm (second-run) times; alpha = least-squares slope of",
-        "log t vs log n over the three points. Banded/blocked designs",
-        "should stay near alpha <= ~1.2; JVM fixed overhead makes tiny",
+        "log t vs log n over the measured multipliers. Banded/blocked",
+        "designs should stay near alpha <= ~1.2; JVM overhead makes tiny",
         "queries sub-linear.",
         "",
         "| query | "
