@@ -101,6 +101,12 @@ def _nested_custorderitems(spark: SparkSession, sf_dir: str) -> None:
     custorderitems(spark, sf_dir)
 
 
+def _t77_postings(spark: SparkSession, sf_dir: str) -> None:
+    from bigdatamanagement_spark.queries.analytics59 import _postings
+
+    _postings(spark, sf_dir)
+
+
 # name -> builder; names become `memo_build:<name>` bench lines.
 MEMO_BUILDERS: dict[str, Callable[[SparkSession, str], None]] = {
     "band_index": _band_index,
@@ -115,6 +121,7 @@ MEMO_BUILDERS: dict[str, Callable[[SparkSession, str], None]] = {
     "copurchase_edges": _copurchase_edges,
     "nested_custorders": _nested_custorders,
     "nested_custorderitems": _nested_custorderitems,
+    "t77_postings": _t77_postings,
 }
 
 

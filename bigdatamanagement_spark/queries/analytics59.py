@@ -87,11 +87,36 @@ def _n_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
+_POSTINGS_MEMO: dict = {}
+
+
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df-capped weighted postings: (doc_id, gram, tf, df, idf_milli, w).
 
     idf is quantized once per gram to milli-nats; every downstream
-    weight is an exact BIGINT (w = tf·idf_milli)."""
+    weight is an exact BIGINT (w = tf·idf_milli).
+
+    This IS the docstring's "persisted ingest artifact": built once per
+    corpus, content-keyed in .bdm_cache (cache.persistent_df), so the
+    three t77 queries and later sessions read the stored index instead
+    of re-tokenizing the corpus."""
+    from bigdatamanagement_spark import cache
+    from bigdatamanagement_spark.session import session_key
+
+    key = (session_key(spark), sf_dir)
+    if key not in _POSTINGS_MEMO:
+        _POSTINGS_MEMO[key] = cache.persistent_df(
+            spark,
+            "t77_postings",
+            sf_dir,
+            ("documents",),
+            f"k={GRAM_K} dfcap={DF_CAP77} v1",
+            lambda: _postings_build(spark, sf_dir),
+        )
+    return _POSTINGS_MEMO[key]
+
+
+def _postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         _grams(spark, sf_dir)
         .groupBy("doc_id", "gram")

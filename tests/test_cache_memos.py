@@ -138,3 +138,13 @@ def test_band_index_reregisters_from_cache(spark):
     kv = {r.col_name: r.data_type for r in desc}
     assert "16" in kv.get("Num Buckets", "")
     assert "bkey" in kv.get("Bucket Columns", "")
+
+
+def test_t77_postings_reload(spark):
+    from bigdatamanagement_spark.queries import analytics59 as a59
+
+    first = _rows(a59._postings(spark, SF))
+    a59._POSTINGS_MEMO.clear()
+    second = _rows(a59._postings(spark, SF))
+    assert first == second and first
+    assert os.path.isdir(os.path.join(cache.CACHE_ROOT, "t77_postings"))

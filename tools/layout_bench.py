@@ -291,14 +291,49 @@ def _render(
         + "; ".join(f"{n} {a:.2f}->{b:.2f} MB" for n, a, b in orderkey_wins)
         + ". That exchange grows with the fact table at 100 TB; the"
         " bucketed write paid it once at ingest.",
-        "- **The wall-clock crossover is data-size-dependent**: at sf0.1"
-        " (~12 MB fact table) ~80 month dirs x 16 buckets is ~1280 tiny"
-        " files and the per-query open/listing tax dwarfs the shuffle"
-        " saved; as the fact table grows the tax is constant while the"
-        " saved exchange grows linearly. The m=10 relational leg"
-        " (LAYOUT_BENCH_M10.json) measures where the trade flips. At"
-        " 100 TB the same layout yields 256 MB-1 GB files"
-        " (sinks.write_compacted) and bucketing wins outright.",
+    ]
+    if coarse:
+        lines += [
+            "- **The q15/q17/t02b shuffle upticks are partial-aggregate"
+            " FAN-OUT, not a plan defect (round-7 diagnosis)**: partial-"
+            "agg shuffle volume = (tasks that emit) x (distinct keys per"
+            " task). The flat generator file is incidentally time-"
+            "ordered, so q15's quarter filter prunes row groups and only"
+            " ~6 of 28 splits emit — 58.6k supplier partials (0.95 MB"
+            " per branch). Hash-bucketing by orderkey scatters the"
+            " quarter across all 24 bucket files: identical plan and"
+            " rows, 147.6k partials (2.56 MB per branch). q17 (partkey)"
+            " and t02b (custkey) pay the same dimension-keyed scatter."
+            " The volume is bounded by tasks x key cardinality —"
+            " corpus-independent — and shrinks as files reach production"
+            " size (fewer, bigger tasks = higher combine ratio); wall-"
+            "clock is already equal-or-better on q17/t02b here.",
+        ]
+    else:
+        q15 = rows.get("tpch_q15_top_supplier")
+        q15_note = (
+            f" (q15 {q15['flat']['shuffle_write_mb']:.2f}->"
+            f"{q15['layout']['shuffle_write_mb']:.2f} MB: more emitting"
+            " tasks each re-emit the supplier domain)"
+            if q15
+            else ""
+        )
+        lines += [
+            "- **The wall-clock crossover is data-size-dependent**: at"
+            " small corpus sizes the month-dir x bucket fragmentation"
+            " (~1280 tiny files at this size) makes the per-query"
+            " open/listing tax dwarf the shuffle saved — and the same"
+            " fragmentation inflates dimension-keyed partial aggregates"
+            + q15_note
+            + ". The tax is constant while the saved exchange grows"
+            " linearly with the fact table; the coarse right-sized leg"
+            " (LAYOUT_BENCH_M10_COARSE.json) measures the same"
+            " co-location with files matched to the corpus. At 100 TB"
+            " this month x 16-bucket shape lands 256 MB-1 GB files"
+            " (sinks.write_compacted): minimal emitting tasks, pruning"
+            " AND co-location — bucketing wins outright.",
+        ]
+    lines += [
         "- **Stats are part of the layout**: without ANALYZE TABLE the"
         " partitioned tables lose their size estimates, Catalyst stops"
         " broadcasting small sides, and joins regress to shuffles"
