@@ -90,41 +90,85 @@ def _n_docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POSTINGS_MEMO: dict = {}
 
 
-def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+# The absolute cap was tuned on the sf0.1-shaped corpus (5,000 docs).
+# The relative-cap twins scale it as GREATEST(64, ceil(N·64/5000)) —
+# exact integer arithmetic, so at both oracle SFs (500 and 5,000 docs)
+# it resolves to precisely 64 and the twins equal the absolute entries,
+# while at the rehearsal multipliers it keeps the postings non-empty.
+# Why it exists: on THIS corpus the 31-word vocabulary saturates at
+# ~29.8k distinct 3-grams, so every gram's df crosses an absolute cap
+# as docs grow (measured kept grams 29,776 / 29,791 / 1,094 / 0 at
+# m=1/3/10/30) — the m≥10 absolute-cap rehearsal legs measure a
+# shrinking workload. Fractional stop-term rules (df ≤ c·N) are the
+# production form for fixed-vocabulary domains.
+DF_CAP_BASE_N77 = 5000
+# Pair-stage posting-list truncation for the relcap twin (impact-ordered
+# indexes, Anh & Moffat): each gram's pair fan-out is bounded at
+# C(PAIR_R77, 2) regardless of corpus size by keeping only its top-R
+# postings by weight (w DESC, doc_id tiebreak — deterministic). At the
+# oracle SFs the relative cap is 64 = PAIR_R77, so truncation is a
+# NO-OP there and the twin still equals the absolute entry exactly.
+# Without it the relcap pair join ships Σ df² rows with df ∝ N — the
+# measured m=30 cliff (161 s, leg slope 1.88, SCALE.md t77 subset).
+PAIR_R77 = 64
+
+
+def _rel_cap(n_col):
+    return F.greatest(
+        F.lit(64).cast("long"),
+        F.expr(f"(n * {DF_CAP77} + {DF_CAP_BASE_N77 - 1}) DIV {DF_CAP_BASE_N77}"),
+    )
+
+
+def _postings(
+    spark: SparkSession, sf_dir: str, relative: bool = False
+) -> DataFrame:
     """df-capped weighted postings: (doc_id, gram, tf, df, idf_milli, w).
 
     idf is quantized once per gram to milli-nats; every downstream
-    weight is an exact BIGINT (w = tf·idf_milli).
+    weight is an exact BIGINT (w = tf·idf_milli). ``relative`` switches
+    the df cap from the absolute DF_CAP77 to the corpus-relative rule
+    (see DF_CAP_BASE_N77 note).
 
     This IS the docstring's "persisted ingest artifact": built once per
     corpus, content-keyed in .bdm_cache (cache.persistent_df), so the
-    three t77 queries and later sessions read the stored index instead
-    of re-tokenizing the corpus."""
+    t77 queries and later sessions read the stored index instead of
+    re-tokenizing the corpus."""
     from bigdatamanagement_spark import cache
     from bigdatamanagement_spark.session import session_key
 
-    key = (session_key(spark), sf_dir)
+    key = (session_key(spark), sf_dir, relative)
     if key not in _POSTINGS_MEMO:
         _POSTINGS_MEMO[key] = cache.persistent_df(
             spark,
-            "t77_postings",
+            "t77_postings_rel" if relative else "t77_postings",
             sf_dir,
             ("documents",),
-            f"k={GRAM_K} dfcap={DF_CAP77} v1",
-            lambda: _postings_build(spark, sf_dir),
+            f"k={GRAM_K} dfcap={'rel' if relative else 'abs'}{DF_CAP77} v1",
+            lambda: _postings_build(spark, sf_dir, relative),
         )
     return _POSTINGS_MEMO[key]
 
 
-def _postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _postings_build(
+    spark: SparkSession, sf_dir: str, relative: bool = False
+) -> DataFrame:
     tf = (
         _grams(spark, sf_dir)
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     df = tf.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    if relative:
+        capped = (
+            df.crossJoin(F.broadcast(_n_docs_df(spark, sf_dir)))
+            .filter(F.col("df") <= _rel_cap("n"))
+            .select("gram", "df")
+        )
+    else:
+        capped = df.filter(F.col("df") <= DF_CAP77)
     return (
-        tf.join(df.filter(F.col("df") <= DF_CAP77), "gram")
+        tf.join(capped, "gram")
         .crossJoin(F.broadcast(_n_docs_df(spark, sf_dir)))
         .withColumn(
             "idf_milli",
@@ -141,16 +185,31 @@ def _postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ngram_tfidf_pairs(
+    spark: SparkSession, sf_dir: str, relative: bool = False
+) -> DataFrame:
     """T77 — top-100 doc pairs by exact TF-IDF cosine over df-capped
     3-gram terms. The inverted-index pair join: postings self-join on
-    gram (≤ DF_CAP77 per list), BIGINT dot accumulate, one double
-    cosine per pair from exact integer operands."""
-    p = _postings(spark, sf_dir)
-    a = p.select(
+    gram (≤ cap per list), BIGINT dot accumulate, one double
+    cosine per pair from exact integer operands. ``relative`` selects
+    the corpus-relative cap twin (identical at the oracle SFs), whose
+    pair stage reads only each gram's top-PAIR_R77 impact-ordered
+    postings (norms stay exact over the full postings)."""
+    p = _postings(spark, sf_dir, relative)
+    pair_src = p
+    if relative:
+        w_rank = Window.partitionBy("gram").orderBy(
+            F.desc("w"), F.asc("doc_id")
+        )
+        pair_src = (
+            p.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= PAIR_R77)
+            .drop("rn")
+        )
+    a = pair_src.select(
         "gram", F.col("doc_id").alias("doc_a"), F.col("w").alias("wa")
     )
-    b = p.select(
+    b = pair_src.select(
         "gram", F.col("doc_id").alias("doc_b"), F.col("w").alias("wb")
     )
     dots = (
@@ -185,7 +244,9 @@ def ngram_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, relative: bool = False
+) -> DataFrame:
     """T77 — BM25 top-10 per query. Query terms are the distinct
     eligible grams of each query doc (doc_id % QUERY_MOD77 == 0); the
     candidate set is the gram-keyed join against the df-capped postings
@@ -194,7 +255,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in double from exact BIGINT operands in fixed operand
     order and quantized to milli-units BEFORE the per-(query, doc) sum,
     so the aggregate is an order-independent integer sum."""
-    p = _postings(spark, sf_dir)
+    p = _postings(spark, sf_dir, relative)
     dl = (
         _grams(spark, sf_dir)
         .groupBy("doc_id")
@@ -297,11 +358,28 @@ QUERIES = {
     "t77_ngram_tfidf_pairs": ngram_tfidf_pairs,
     "t77_bm25_topk": bm25_topk,
     "t77_gram_df_stats": gram_df_stats,
+    # corpus-relative df-cap twins (see DF_CAP_BASE_N77 note): identical
+    # results at the oracle SFs where the cap resolves to exactly 64;
+    # at the rehearsal multipliers they keep the measured workload
+    # non-vacuous while the absolute cap saturates the fixed vocabulary.
+    "t77_ngram_tfidf_pairs_relcap": lambda spark, sf_dir: ngram_tfidf_pairs(
+        spark, sf_dir, relative=True
+    ),
+    "t77_bm25_topk_relcap": lambda spark, sf_dir: bm25_topk(
+        spark, sf_dir, relative=True
+    ),
 }
 
 
 # Shared oracle substrate: identical tokenization, gram construction,
 # tf/df, df cap, and milli-nat idf quantization in DuckDB SQL.
+# {cap} is the df-cap predicate: the absolute literal for the base
+# entries, the corpus-relative GREATEST form for the _relcap twins.
+_CAP_ABS = f"dft.df <= {DF_CAP77}"
+_CAP_REL = (
+    f"dft.df <= GREATEST(64, ((SELECT n FROM nd) * {DF_CAP77}"
+    f" + {DF_CAP_BASE_N77 - 1}) // {DF_CAP_BASE_N77})"
+)
 _BASE = f"""
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
@@ -327,11 +405,11 @@ postings AS (
                                         / CAST(dft.df AS DOUBLE)), 0)
                       AS BIGINT) AS w
   FROM tf JOIN dft USING (gram)
-  WHERE dft.df <= {DF_CAP77}
+  WHERE {{cap}}
 )
 """
 
-ORACLE = {
+_T77_TEMPLATES = {
     "t77_ngram_tfidf_pairs": _BASE
     + f"""
 , dots AS (
@@ -427,3 +505,34 @@ GROUP BY 1
 ORDER BY df_band
 """,
 }
+
+# Resolve the {cap} placeholder: absolute literal for the base entries,
+# corpus-relative GREATEST form for the _relcap twins (identical value
+# — exactly 64 — at both oracle SFs, by integer arithmetic).
+ORACLE = {
+    name: tpl.replace("{cap}", _CAP_ABS) for name, tpl in _T77_TEMPLATES.items()
+}
+# The relcap pairs twin also mirrors the impact-ordered pair-stage
+# truncation (top-PAIR_R77 postings per gram by w DESC, doc_id) — a
+# no-op at the oracle SFs where the relative cap is exactly 64.
+ORACLE["t77_ngram_tfidf_pairs_relcap"] = (
+    _T77_TEMPLATES["t77_ngram_tfidf_pairs"]
+    .replace("{cap}", _CAP_REL)
+    .replace(
+        ", dots AS (",
+        f""", ppair AS (
+  SELECT doc_id, gram, w FROM (
+    SELECT postings.*, row_number() OVER (
+      PARTITION BY gram ORDER BY w DESC, doc_id) AS rn
+    FROM postings)
+  WHERE rn <= {PAIR_R77}
+), dots AS (""",
+    )
+    .replace(
+        "FROM postings a JOIN postings b USING (gram)",
+        "FROM ppair a JOIN ppair b USING (gram)",
+    )
+)
+ORACLE["t77_bm25_topk_relcap"] = _T77_TEMPLATES["t77_bm25_topk"].replace(
+    "{cap}", _CAP_REL
+)

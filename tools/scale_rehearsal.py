@@ -14,6 +14,11 @@ section at the end of SCALE.md — the rest of that file is the
 hand-written cross-cutting strategy doc and is left untouched.
 
 Usage: python tools/scale_rehearsal.py [m1 m2 ...]   (default 1 3 10)
+
+Subset runs: SPARK_GRAFT_REHEARSAL_ONLY=<comma names> measures just
+those queries; it REQUIRES SPARK_GRAFT_REHEARSAL_MARKER=<marker-id>
+naming a dedicated SCALE.md marker (<!-- marker-id -->) so a partial
+run can never clobber the full table's section.
 """
 
 from __future__ import annotations
@@ -66,7 +71,21 @@ REHEARSAL = [
     # rows); rounds 4-6 proved plausible isn't measured — rehearse it.
     "t77_ngram_tfidf_pairs",
     "t77_bm25_topk",
+    "t77_ngram_tfidf_pairs_relcap",
+    "t77_bm25_topk_relcap",
 ]
+
+
+def _active_rehearsal() -> list[str]:
+    only = [
+        s for s in os.environ.get("SPARK_GRAFT_REHEARSAL_ONLY", "").split(",")
+        if s
+    ]
+    if only:
+        unknown = [q for q in only if q not in REHEARSAL]
+        assert not unknown, f"not in REHEARSAL: {unknown}"
+        return only
+    return REHEARSAL
 
 
 def _leg(tag: str, out_path: str) -> None:
@@ -87,7 +106,7 @@ def _leg(tag: str, out_path: str) -> None:
     qs = entrymod.queries()
     sf_dir = f"/root/repo/fixtures/scale/m{tag}"
     out: dict[str, float] = {}
-    for q in REHEARSAL:
+    for q in _active_rehearsal():
         fn = qs[q]
         best = None
         for _ in range(2):  # second pass = warm
@@ -110,7 +129,14 @@ def main() -> None:
         _leg(argv[1], argv[2])
         return
     mults = [float(a) for a in argv] or [1.0, 3.0, 10.0]
-    times: dict[str, dict[float, float]] = {q: {} for q in REHEARSAL}
+    active = _active_rehearsal()
+    marker = os.environ.get("SPARK_GRAFT_REHEARSAL_MARKER", "scale-rehearsal")
+    if active != REHEARSAL:
+        assert marker != "scale-rehearsal", (
+            "subset runs must set SPARK_GRAFT_REHEARSAL_MARKER to a"
+            " dedicated section so they cannot clobber the full table"
+        )
+    times: dict[str, dict[float, float]] = {q: {} for q in active}
     for m in mults:
         tag = f"{m:g}"
         sf_dir = f"/root/repo/fixtures/scale/m{tag}"
@@ -128,8 +154,13 @@ def main() -> None:
         for q, t in leg.items():
             times[q][m] = t
 
+    title = (
+        "## Measured sf1 rehearsal (round 4)"
+        if marker == "scale-rehearsal"
+        else f"## Measured rehearsal subset: {marker}"
+    )
     lines = [
-        "## Measured sf1 rehearsal (round 4)",
+        title,
         "",
         "Wall-times of the dedup/ANN family on the consistent synthetic",
         "generator (tools/gen_scale_data.py; documents 5k/15k/50k,",
@@ -148,7 +179,7 @@ def main() -> None:
     from tools.rehearsal_stats import SLOPE_FLAG, fit_stats
 
     flagged = []
-    for q in REHEARSAL:
+    for q in active:
         alpha, max_slope = fit_stats(mults, [times[q][m] for m in mults])
         row = " | ".join(f"{times[q][m]:.2f}" for m in mults)
         mark = " ⚠" if max_slope > SLOPE_FLAG else ""
@@ -169,7 +200,7 @@ def main() -> None:
 
     splice_section(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md"),
-        "<!-- scale-rehearsal -->",
+        f"<!-- {marker} -->",
         "\n".join(lines),
     )
     print("updated SCALE.md rehearsal section")
