@@ -82,6 +82,12 @@ def _stage_metrics_reader(spark):
 
 
 def main() -> None:
+    # A measured run must compute everything from the parquet inputs:
+    # redirect the cross-session artifact cache to per-process scratch
+    # (built once, shared by the cold+warm passes of THIS invocation,
+    # never served from a previous run). Explicit env overrides allowed
+    # for layout experiments only.
+    os.environ.setdefault("SPARK_GRAFT_ARTIFACT_CACHE", "fresh")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod

@@ -30,6 +30,29 @@ CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bdm_cache"
 )
 
+# SPARK_GRAFT_ARTIFACT_CACHE selects where artifacts live:
+#   fresh (DEFAULT) — per-process scratch root, reaped at interpreter
+#     exit. Artifacts are built once and shared WITHIN one invocation
+#     (bench cold+warm passes, one sim sweep), but nothing a previous
+#     run persisted is ever served: every measured or oracle-checked
+#     run computes from the parquet inputs.
+#   persist — cross-session persistence under <repo>/.bdm_cache, the
+#     at-ingest artifact semantics for long-lived engine/REPL sessions
+#     (opt-in; never the default, so no benchmark or correctness run
+#     can be fed by a prior run's outputs by accident).
+_FRESH_ROOT: str | None = None
+
+
+def _root() -> str:
+    if os.environ.get("SPARK_GRAFT_ARTIFACT_CACHE", "fresh") == "persist":
+        return CACHE_ROOT
+    global _FRESH_ROOT
+    if _FRESH_ROOT is None:
+        from bigdatamanagement_spark.session import scratch_dir
+
+        _FRESH_ROOT = scratch_dir("bdm_cache_fresh_")
+    return _FRESH_ROOT
+
 
 def content_key(
     sf_dir: str, tables: tuple[str, ...], params: str
@@ -51,7 +74,7 @@ def content_key(
 
 
 def artifact_path(memo_name: str, key: str) -> str:
-    return os.path.join(CACHE_ROOT, memo_name, key)
+    return os.path.join(_root(), memo_name, key)
 
 
 def _publish_dir(tmp: str, final: str) -> None:

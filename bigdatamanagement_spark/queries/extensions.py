@@ -458,12 +458,11 @@ def _semdedup_cache_path(sf_dir: str) -> str | None:
         f"{os.path.abspath(emb)}|{st.st_size}|{int(st.st_mtime)}|"
         f"{SEMDEDUP_CELL_TARGET}".encode()
     ).hexdigest()[:16]
-    root = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".bdm_cache",
-        "semdedup_centroids",
-    )
-    return os.path.join(root, f"{key}.json")
+    from bigdatamanagement_spark import cache as _cache
+
+    # routed through cache.artifact_path so fresh mode (bench/sim)
+    # redirects this artifact with the rest of the .bdm_cache family
+    return _cache.artifact_path("semdedup_centroids", key) + ".json"
 
 
 def _semdedup_centroids(spark, sf_dir, e: DataFrame) -> list[list[float]]:

@@ -14,6 +14,24 @@ from bigdatamanagement_spark import cache
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _persist_mode(monkeypatch):
+    """These tests pin the opt-in cross-session (persist) semantics.
+
+    The DEFAULT mode is fresh — per-process scratch, so no bench or
+    oracle run is ever served by a previous run's artifacts; see
+    test_fresh_mode_never_touches_cache_root."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_CACHE", "persist")
+
+
+def test_fresh_mode_never_touches_cache_root(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_ARTIFACT_CACHE", raising=False)
+    p = cache.artifact_path("unit", "k123")
+    assert not p.startswith(cache.CACHE_ROOT)  # default = fresh scratch
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_CACHE", "persist")
+    assert cache.artifact_path("unit", "k123").startswith(cache.CACHE_ROOT)
+
+
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 

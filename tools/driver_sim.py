@@ -45,6 +45,9 @@ def run_sim(
     "cols_match": bool|None, "values_match": bool|None}.
     """
     os.chdir(_REPO_ROOT)  # queries resolve fixtures/ relative to root
+    # Oracle runs compute from the parquet inputs: no artifact persisted
+    # by a previous session may be served (cache built fresh per run).
+    os.environ.setdefault("SPARK_GRAFT_ARTIFACT_CACHE", "fresh")
     import duckdb
 
     import __spark_entry__ as e
