@@ -100,15 +100,31 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def _bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature of ``vec`` against the hyperplanes, as one int."""
-    out = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        dot = F.aggregate(
-            F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-        out = out + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return out
+    """Sign-bit signature of ``vec`` against the hyperplanes, as one int.
+
+    The plane matrix is ONE nested-array literal iterated with an
+    index-lambda transform, not per-plane expression subtrees: the old
+    unrolled form put n_planes × dim literal nodes in the tree, and
+    Catalyst analysis/optimization of those walls dominated several ANN
+    queries' wall-clock (plans/r07/ext_pq_ann_topk_before.txt is 68 KB
+    of literals). Same dot products, same fold order, same bit sum —
+    bit-identical buckets."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    bits = F.transform(
+        planes_lit,
+        lambda p, i: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            >= 0,
+            # F.shiftleft only takes a Python-int shift; the SQL
+            # function accepts column expressions (dedup.py idiom)
+            F.call_function("shiftleft", F.lit(1), i),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
 
 
 def lsh_table_buckets(
@@ -638,17 +654,26 @@ def nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Col
     """array<int> of the ``nprobe`` nearest centroid ids for ``vec``.
 
     Pure JVM expression: per-centroid squared L2 via zip_with/aggregate,
-    array_sort on (distance, cell) structs, slice. Ties break on cell id."""
-    cells = []
-    for i, cvec in enumerate(centroids):
-        lit = F.array(*[F.lit(x) for x in cvec])
-        d2 = F.aggregate(
-            F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        cells.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
-    nearest = F.slice(F.array_sort(F.array(*cells)), 1, nprobe)
+    array_sort on (distance, cell) structs, slice. Ties break on cell id.
+
+    The centroid matrix is ONE nested-array literal iterated with an
+    index-lambda transform (not n_cells unrolled subtrees of dim literal
+    nodes each — Catalyst analysis of those walls dominated the ANN
+    queries' wall-clock). Same per-centroid L2 fold, same struct sort:
+    bit-identical cells."""
+    cents_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cells = F.transform(
+        cents_lit,
+        lambda cvec, i: F.struct(
+            F.aggregate(
+                F.zip_with(vec, cvec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ).alias("d"),
+            i.alias("cell"),
+        ),
+    )
+    nearest = F.slice(F.array_sort(cells), 1, nprobe)
     return F.transform(nearest, lambda s: s["cell"])
 
 
@@ -799,20 +824,33 @@ def _pq_codes(vec: Column, books: list[list[list[float]]]) -> Column:
     corpus carries only the m small ints per vector."""
     m = len(books)
     dsub = len(books[0][0])
-    codes = []
-    for s, book in enumerate(books):
-        sub = F.slice(vec, s * dsub + 1, dsub)
-        cands = []
-        for ci, cvec in enumerate(book):
-            lit = F.array(*[F.lit(x) for x in cvec])
-            d2 = F.aggregate(
-                F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            cands.append(F.struct(d2.alias("d"), F.lit(ci).alias("c")))
-        codes.append(F.element_at(F.array_sort(F.array(*cands)), 1)["c"])
-    return F.array(*codes)
+    # one nested-array literal (m × ksub × dsub), index-lambda
+    # transforms — not m·ksub unrolled subtrees (literal-wall tree-size
+    # fix; same L2 folds, same struct-sort argmin, bit-identical codes)
+    books_lit = F.lit([[[float(x) for x in cw] for cw in bk] for bk in books])
+    return F.transform(
+        books_lit,
+        lambda book, s: F.element_at(
+            F.array_sort(
+                F.transform(
+                    book,
+                    lambda cvec, ci: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(vec, s * dsub + 1, dsub),
+                                cvec,
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ).alias("d"),
+                        ci.alias("c"),
+                    ),
+                )
+            ),
+            1,
+        )["c"],
+    )
 
 
 def pq_encode(
@@ -896,22 +934,30 @@ def pq_topk(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
     # ADC tables: per subspace, squared L2 from the query SUB-vector to
-    # each codeword — array<array<double>>(m × ksub), built per query row.
-    tables = []
-    for s, book in enumerate(codebooks):
-        sub = F.slice(F.col("qv"), s * dsub + 1, dsub)
-        ents = []
-        for cvec in book:
-            lit = F.array(*[F.lit(x) for x in cvec])
-            ents.append(
-                F.aggregate(
-                    F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
-        tables.append(F.array(*ents))
-    qt = q.select("query_id", "qv", F.array(*tables).alias("adc"))
+    # each codeword — array<array<double>>(m × ksub), built per query
+    # row from ONE nested-array codebook literal (the unrolled m·ksub
+    # aggregate-subtree form made the plan a 68 KB literal wall whose
+    # Catalyst analysis dominated the query; same folds, same order,
+    # bit-identical table values).
+    books_lit = F.lit(
+        [[[float(x) for x in cw] for cw in bk] for bk in codebooks]
+    )
+    adc = F.transform(
+        books_lit,
+        lambda book, s: F.transform(
+            book,
+            lambda cvec: F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("qv"), s * dsub + 1, dsub),
+                    cvec,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    qt = q.select("query_id", "qv", adc.alias("adc"))
 
     approx = (
         qt.crossJoin(coded)
