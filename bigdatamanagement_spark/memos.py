@@ -65,6 +65,12 @@ def _lexical_pair_graph(spark: SparkSession, sf_dir: str) -> None:
     _neardup_pairs(spark, sf_dir)
 
 
+def _simhash_pair_graph(spark: SparkSession, sf_dir: str) -> None:
+    from bigdatamanagement_spark.queries.extensions import _simhash_pair_graph
+
+    _simhash_pair_graph(spark, sf_dir)
+
+
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> None:
     from bigdatamanagement_spark.queries.pipeline import _cluster_labels
 
@@ -115,6 +121,7 @@ MEMO_BUILDERS: dict[str, Callable[[SparkSession, str], None]] = {
     "ivf_centroids": _ivf_centroids,
     "semdedup_centroids": _semdedup_centroids,
     "lexical_pair_graph": _lexical_pair_graph,
+    "simhash_pair_graph": _simhash_pair_graph,
     "cluster_labels": _cluster_labels,
     "repetition_metrics": _repetition,
     "winnow_fingerprints": _winnow_fingerprints,

@@ -201,11 +201,11 @@ def dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     token attrition every curation report leads with.
 
     Scale: exact stage is one md5-keyed aggregate; near stage reuses the
-    banded SimHash pair operator (never all-pairs) + star-contraction
-    components; oracle-checkable at sf0.1 directly because the SimHash
-    oracle is the near-linear banded mirror."""
+    banded SimHash pair GRAPH (the memoized multi-consumer ingest
+    artifact shared with ext_simhash_pairs — never all-pairs) +
+    star-contraction components; oracle-checkable at sf0.1 directly
+    because the SimHash oracle is the near-linear banded mirror."""
     from bigdatamanagement_spark.operators import cluster as C
-    from bigdatamanagement_spark.operators import dedup as D
 
     d = _docs(spark, sf_dir).select(
         "doc_id", "source", "text", F.expr(_TOKCNT).alias("tok")
@@ -222,7 +222,9 @@ def dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_keep.groupBy("source").agg(
         F.sum("tok").cast("long").alias("exact_tokens")
     )
-    pairs = D.simhash_pairs(d, "doc_id", "text").select("doc_a", "doc_b")
+    from bigdatamanagement_spark.queries.extensions import _simhash_pair_graph
+
+    pairs = _simhash_pair_graph(spark, sf_dir).select("doc_a", "doc_b")
     labels = C.assign_clusters(d, "doc_id", pairs, "doc_a", "doc_b")
     # assign_clusters preserves the doc columns (source, tok ride along)
     near = (

@@ -282,10 +282,37 @@ def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+_SIMHASH_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_pair_graph(spark, sf_dir) -> DataFrame:
+    """(doc_a, doc_b, hamming): the SimHash-60 near-dup pair graph over
+    the full corpus — a multi-consumer ingest artifact exactly like the
+    MinHash ``lexical_pair_graph`` memo (pipeline._neardup_pairs): both
+    ext_simhash_pairs and the t64 dedup-token-yield waterfall consume the
+    same pair set, and in production it is built once per corpus at
+    index time. Same memo discipline: in-session dict + content-keyed
+    parquet via cache.persistent_df (per-invocation scratch in fresh
+    mode, so bench/oracle runs always compute it from the inputs)."""
+    from bigdatamanagement_spark import cache
+
+    key = (session_key(spark), sf_dir)
+    if key not in _SIMHASH_MEMO:
+        _SIMHASH_MEMO[key] = cache.persistent_df(
+            spark,
+            "simhash_pair_graph",
+            sf_dir,
+            ("documents",),
+            "simhash bits=60 hamming<=8 v1",
+            lambda: D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text"),
+        )
+    return _SIMHASH_MEMO[key]
+
+
 def simhash_pairs(spark, sf_dir) -> DataFrame:
     """Portable SimHash-60 near-dup pairs (hamming ≤ 8, md5-slice feature
     hashes, 15-bit chunk blocking) — oracle-checked bit-for-bit."""
-    return D.simhash_pairs(_docs(spark, sf_dir), "doc_id", "text").orderBy("doc_a", "doc_b")
+    return _simhash_pair_graph(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # --- similarity search ----------------------------------------------------

@@ -81,6 +81,7 @@ def test_persistent_json_roundtrip(tmp_path, monkeypatch):
     "memo_name,call",
     [
         ("lexical_pair_graph", "pairs"),
+        ("simhash_pair_graph", "simhash"),
         ("repetition_metrics", "rep"),
         ("cluster_labels", "clusters"),
         ("nested_custorders", "custorders"),
@@ -95,8 +96,13 @@ def test_memo_reloads_identical(spark, memo_name, call):
     from bigdatamanagement_spark.queries import mongo
     from bigdatamanagement_spark.queries import pipeline as pl
 
+    from bigdatamanagement_spark.queries import extensions as ext
+
     fns = {
         "pairs": (lambda: pl._neardup_pairs(spark, SF), pl._PAIRS_MEMO),
+        "simhash": (
+            lambda: ext._simhash_pair_graph(spark, SF), ext._SIMHASH_MEMO,
+        ),
         "rep": (lambda: pl._repetition(spark, SF), pl._REP_MEMO),
         "clusters": (lambda: pl._cluster_labels(spark, SF), pl._CLUSTERS_MEMO),
         "custorders": (lambda: mongo.custorders(spark, SF), mongo._NEST_MEMO),

@@ -41,6 +41,33 @@ def test_minhash_lsh_recall_equals_bruteforce(spark, sf_dir):
     assert lsh == brute
 
 
+def test_simhash_fold_forms_identical(spark, sf_dir):
+    """The per-bit signature fold (simhash_from_hashes) and the per-hash
+    vote-array fold (_simhash_fold_per_hash, kept for inline-expression
+    callers) must produce bit-identical signatures on the real corpus —
+    the exact-integer equivalence the round-7 fold swap rests on."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.operators.dedup import (
+        _simhash_fold_per_hash,
+        portable_shingle_hashes,
+        simhash_from_hashes,
+    )
+
+    hashed = portable_shingle_hashes(
+        E._docs(spark, sf_dir), "doc_id", "text", 3
+    ).localCheckpoint()
+    mism = (
+        hashed.select(
+            simhash_from_hashes(F.col("sh"), 60).alias("a"),
+            _simhash_fold_per_hash(F.col("sh"), 60).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mism == 0
+
+
 def test_simhash_finds_near_identicals(spark, sf_dir):
     """SimHash(hamming≤8) recall vs exact-Jaccard near-dups ≥ 0.75
     (SimHash is noisy on short/small-vocab docs — approximate by design)."""
