@@ -107,6 +107,12 @@ def _nested_custorderitems(spark: SparkSession, sf_dir: str) -> None:
     custorderitems(spark, sf_dir)
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> None:
+    from bigdatamanagement_spark.queries.analytics import _bpe_merges_rows
+
+    _bpe_merges_rows(spark, sf_dir)
+
+
 def _t77_postings(spark: SparkSession, sf_dir: str) -> None:
     from bigdatamanagement_spark.queries.analytics59 import _postings
 
@@ -129,6 +135,7 @@ MEMO_BUILDERS: dict[str, Callable[[SparkSession, str], None]] = {
     "nested_custorders": _nested_custorders,
     "nested_custorderitems": _nested_custorderitems,
     "t77_postings": _t77_postings,
+    "bpe_merges": _bpe_merges,
 }
 
 

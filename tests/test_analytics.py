@@ -156,6 +156,36 @@ def test_ols_slope_sign_matches_pearson(spark, sf_dir):
             assert (slope >= -1) == (rs[t] > 0) or abs(slope) <= 1
 
 
+def test_bpe_merge_table_memo_equals_direct_train(spark):
+    """The memoized merge-table rows (ext_bpe_merge_table's model memo)
+    must equal the direct bpe_train plan row-for-row, types included —
+    the equivalence the round-7 train-once memo rests on."""
+    import pyspark.sql.functions as F
+
+    from bigdatamanagement_spark.operators.bpe import bpe_train
+    from bigdatamanagement_spark.queries.analytics import (
+        BPE_ROUNDS,
+        _documents,
+        bpe_merge_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = _documents(spark, sf)
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    direct = bpe_train(vocab, rounds=BPE_ROUNDS)
+    memo = bpe_merge_table(spark, sf)
+    assert memo.dtypes == direct.dtypes
+    assert [tuple(r) for r in memo.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+
 def test_bpe_planted_vocab_learns_expected_merges(spark):
     """'abab'×10 + 'ab'×5: round 1 merges (a,b) [cnt 25], round 2 merges
     (ab,ab) [cnt 10] — merged symbols must participate in later rounds,
