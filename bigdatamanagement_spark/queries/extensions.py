@@ -276,10 +276,13 @@ def ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
-    """MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard verified."""
-    return D.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", threshold=JACCARD_T
-    ).orderBy("doc_a", "doc_b")
+    """MinHash(64)+LSH(16×4) near-dup pairs, exact-Jaccard verified —
+    served from the lexical_pair_graph ingest artifact (the memo the
+    whole dedup pipeline family shares), which persists the operator's
+    full (doc_a, doc_b, jaccard) output."""
+    from bigdatamanagement_spark.queries.pipeline import _neardup_pairs
+
+    return _neardup_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 _SIMHASH_MEMO: dict[tuple[str, str], DataFrame] = {}

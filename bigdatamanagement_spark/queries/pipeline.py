@@ -76,16 +76,20 @@ def _neardup_pairs(
 ) -> DataFrame:
     key = (session_key(spark), sf_dir, sampled)
     if key not in _PAIRS_MEMO:
+        # Full operator output (doc_a, doc_b, jaccard): the verified
+        # jaccard column rides along so ext_minhash_lsh_pairs serves
+        # from this same artifact instead of re-running the signature +
+        # banding pipeline; pipeline consumers select the pair columns.
         _PAIRS_MEMO[key] = cache.persistent_df(
             spark,
             "lexical_pair_graph",
             sf_dir,
             ("documents",),
-            f"minhash_lsh J>={JACCARD_T} sampled={sampled} v1",
+            f"minhash_lsh J>={JACCARD_T} sampled={sampled} v2",
             lambda: D.minhash_lsh_pairs(
                 _docs(spark, sf_dir, sampled), "doc_id", "text",
                 threshold=JACCARD_T,
-            ).select("doc_a", "doc_b"),
+            ),
         )
     return _PAIRS_MEMO[key]
 
