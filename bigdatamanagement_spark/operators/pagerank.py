@@ -53,17 +53,28 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
     )
     outd = e.groupBy("src").agg(F.sum("w").alias("od"))
-    probs = e.join(outd, "src").select(
-        "src",
-        "dst",
-        F.floor(F.lit(float(MICRO)) * F.col("w") / F.col("od"))
-        .cast("long")
-        .alias("p"),
+    # Pin the probability table and vertex set ONCE: every iteration's
+    # lineage otherwise re-derives the caller's whole edge build (for the
+    # event-type graph: a user-keyed window over the corpus) per branch —
+    # 5 iterations × (probs + nodes) references made a 152-Exchange plan.
+    # Both are O(|E|)/O(|V|) — the same per-round materialization the
+    # star-contraction operator uses. Integers unchanged.
+    probs = (
+        e.join(outd, "src")
+        .select(
+            "src",
+            "dst",
+            F.floor(F.lit(float(MICRO)) * F.col("w") / F.col("od"))
+            .cast("long")
+            .alias("p"),
+        )
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # one tiny scalar job; N parameterizes the teleport term
     teleport = (MICRO * (BP - damping_bp)) // (BP * n)

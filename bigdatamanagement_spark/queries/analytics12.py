@@ -129,88 +129,55 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
-    loops = spark.createDataFrame(
-        [("conv", "conv", _MICRO), ("null", "null", _MICRO)],
-        "src string, dst string, p long",
-    )
-    base_edges = p.unionByName(loops)
-    variants = spark.createDataFrame(
-        [("base",)] + [(t,) for t in _TOUCHES], "variant string"
-    )
-    vedges = (
-        base_edges.crossJoin(F.broadcast(variants))
-        .filter(
-            (F.col("variant") == "base") | (F.col("src") != F.col("variant"))
-        )
-        .select(
-            "variant",
-            "src",
-            F.when(
-                (F.col("variant") != "base")
-                & (F.col("dst") == F.col("variant")),
-                F.lit("null"),
-            )
-            .otherwise(F.col("dst"))
-            .alias("dst"),
-            "p",
-        )
-        .groupBy("variant", "src", "dst")
-        .agg(F.sum("p").alias("p"))
-        .localCheckpoint()
-    )
-    v = variants.select(
-        "variant",
-        F.lit("start").alias("state"),
-        F.lit(_MICRO).cast("long").alias("mass"),
-    ).localCheckpoint()
+    # The transition matrix is PROVABLY bounded metadata — at most
+    # (|event types| + start/conv/null)^2 rows regardless of corpus
+    # size — so everything after the one journey aggregate runs on the
+    # driver (the measured-small discipline of cluster._driver_components):
+    # the former 8 eager/lazy Spark rounds over a <=35-row vector paid
+    # ~16 sequential tiny-shuffle stage waves (~2.5 s of pure scheduling)
+    # for microseconds of integer arithmetic. Same floored-integer ops in
+    # the same order; the DuckDB oracle (unrolled CTE rounds) is the
+    # cross-engine witness that the values are unchanged.
+    base_edges = [
+        (r["src"], r["dst"], r["p"]) for r in p.collect()
+    ] + [("conv", "conv", _MICRO), ("null", "null", _MICRO)]
+    variants = ["base"] + list(_TOUCHES)
+    vedges: dict[tuple[str, str, str], int] = {}
+    for variant in variants:
+        for src, dst, pm in base_edges:
+            if variant != "base" and src == variant:
+                continue
+            d = "null" if (variant != "base" and dst == variant) else dst
+            k = (variant, src, d)
+            vedges[k] = vedges.get(k, 0) + pm
+    v: dict[tuple[str, str], int] = {(vt, "start"): _MICRO for vt in variants}
     for _ in range(_MK_ROUNDS):
-        v = (
-            v.alias("v")
-            .join(
-                vedges.alias("e"),
-                (F.col("v.variant") == F.col("e.variant"))
-                & (F.col("v.state") == F.col("e.src")),
-            )
-            .select(
-                F.col("v.variant").alias("variant"),
-                F.col("e.dst").alias("state"),
-                F.expr("(mass * p) DIV 1000000").alias("mass"),
-            )
-            .groupBy("variant", "state")
-            .agg(F.sum("mass").alias("mass"))
-            .localCheckpoint()
-        )
-    conv = (
-        v.filter(F.col("state") == "conv")
-        .select("variant", F.col("mass").alias("conv_micro"))
-    )
-    base_c = conv.filter(F.col("variant") == "base").select(
-        F.col("conv_micro").alias("base_micro")
-    )
-    rem = (
-        conv.filter(F.col("variant") != "base")
-        .join(F.broadcast(base_c))
-        .select(
-            F.col("variant").alias("channel"),
-            "base_micro",
-            "conv_micro",
-            (F.col("base_micro") - F.col("conv_micro")).alias("removal_micro"),
-        )
-    )
-    tot = rem.agg(F.sum("removal_micro").alias("tot_removal"))
-    return (
-        rem.join(F.broadcast(tot))
-        .select(
-            "channel",
-            "base_micro",
-            "conv_micro",
-            "removal_micro",
-            F.expr(
-                "CAST(removal_micro AS DOUBLE) / CAST(tot_removal AS DOUBLE)"
-            ).alias("share"),
-        )
-        .orderBy("channel")
-    )
+        nxt: dict[tuple[str, str], int] = {}
+        for (variant, src, dst), pm in vedges.items():
+            mass = v.get((variant, src))
+            if mass is not None:
+                k = (variant, dst)
+                nxt[k] = nxt.get(k, 0) + (mass * pm) // _MICRO
+        v = nxt
+    conv = {vt: m for (vt, st), m in v.items() if st == "conv"}
+    rows = []
+    if "base" in conv:
+        base_micro = conv["base"]
+        rem = [
+            (vt, base_micro, conv[vt], base_micro - conv[vt])
+            for vt in conv
+            if vt != "base"
+        ]
+        tot = sum(r[3] for r in rem)
+        rows = [
+            (ch, bm, cm, rm, float(rm) / float(tot))
+            for ch, bm, cm, rm in rem
+        ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_micro long, conv_micro long,"
+        " removal_micro long, share double",
+    ).orderBy("channel")
 
 
 _ELASTICITY = (
