@@ -70,8 +70,13 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint()
     bidir = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    )
     deg = bidir.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # Degree-annotated adjacency pinned ONCE: deg was lazily re-derived
+    # (a full edge shuffle) inside every round's lineage; attaching it
+    # to the edge list up front leaves each round one mass join + one
+    # vertex-keyed sum. Integers unchanged.
+    outedges = bidir.join(deg, "a").localCheckpoint()
     src_row = deg.agg(
         F.min(
             F.struct((-F.col("deg")).alias("nd"), F.col("a").alias("v"))
@@ -83,7 +88,7 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     for _ in range(_PPR_ROUNDS):
         spread = (
-            bidir.join(deg, "a")
+            outedges
             .join(mass.withColumnRenamed("v", "a"), "a")
             .select(
                 F.col("b").alias("v"),

@@ -80,14 +80,29 @@ def _tabled_with_projs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tabled_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket table WITHOUT the vector payload, pinned once:
+    (vec_id, nrm, tbl, bucket, projs). Both queries branch over the
+    tabled projections 2-5 times (corpus side, single/multi probe
+    sides, candidate legs); un-pinned, every branch re-ran the
+    projection pipeline, and carrying vq (64 longs, 8x per vector)
+    through the checkpoint and the bucket join shipped ~46 MB per run.
+    Vectors re-attach per candidate AFTER the (query, neighbor) dedup
+    — heavy bytes move once, decisions ride on ids (guide §8)."""
+    return (
+        _tabled_with_projs(spark, sf_dir)
+        .drop("vq")
+        .localCheckpoint()
+    )
+
+
 def _query_probes(tab: DataFrame, multi: bool) -> DataFrame:
-    """(query_id, qv, nq, tbl, bucket): the probe set — base buckets,
-    plus (when ``multi``) the P_FLIPS lowest-|margin| bit flips per
+    """(query_id, nq, tbl, bucket): the probe set — base buckets, plus
+    (when ``multi``) the P_FLIPS lowest-|margin| bit flips per
     (query, table)."""
     q = tab.filter(F.col("vec_id") < TOPK_QUERY_IDS)
     base = q.select(
         F.col("vec_id").alias("query_id"),
-        F.col("vq").alias("qv"),
         F.col("nrm").alias("nq"),
         "tbl",
         "bucket",
@@ -96,7 +111,6 @@ def _query_probes(tab: DataFrame, multi: bool) -> DataFrame:
         return base
     jm = q.select(
         "vec_id",
-        "vq",
         "nrm",
         "tbl",
         "bucket",
@@ -108,7 +122,6 @@ def _query_probes(tab: DataFrame, multi: bool) -> DataFrame:
         .filter(F.col("rn") <= P_FLIPS)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("vq").alias("qv"),
             F.col("nrm").alias("nq"),
             "tbl",
             F.expr("bucket ^ shiftleft(CAST(1 AS BIGINT), j)").alias("bucket"),
@@ -117,29 +130,50 @@ def _query_probes(tab: DataFrame, multi: bool) -> DataFrame:
     return base.unionByName(flips)
 
 
-def _topk_from_probes(tab: DataFrame, probes: DataFrame) -> DataFrame:
+def _topk_from_probes(
+    spark: SparkSession, sf_dir: str, tab: DataFrame, probes: DataFrame
+) -> DataFrame:
     corpus = tab.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("vq").alias("cv"),
         F.col("nrm").alias("nc"),
         "tbl",
         "bucket",
     )
+    # ids-only candidate join + dedup; nq/nc are functionally dependent
+    # on the ids so the surviving row's values are identical either way
     cand = (
         probes.join(corpus, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "nq", "neighbor_id", "cv", "nc")
+        .select("query_id", "nq", "neighbor_id", "nc")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.expr(
-            "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
-        ).alias("dot"),
-        "nq",
-        "nc",
-    ).select("query_id", "neighbor_id", F.expr(_COS_MICRO).alias("cos_micro"))
+    vecs = (
+        _quantized(spark, sf_dir)
+        .filter(F.col("nrm") > 0)
+        .select("vec_id", "vq")
+    )
+    qv = F.broadcast(
+        vecs.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
+            F.col("vec_id").alias("query_id"), F.col("vq").alias("qv")
+        )
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vq").alias("cv")
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .select("query_id", "neighbor_id", F.expr(_COS_MICRO).alias("cos_micro"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_micro"), F.asc("neighbor_id")
     )
@@ -153,10 +187,10 @@ def _topk_from_probes(tab: DataFrame, probes: DataFrame) -> DataFrame:
 def multiprobe_lsh_topk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ext — multi-probe hyperplane-LSH top-10 with literal planes:
     base bucket + P = 2 lowest-margin bit flips per (query, table)."""
-    tab = _tabled_with_projs(spark, sf_dir)
-    return _topk_from_probes(tab, _query_probes(tab, multi=True)).orderBy(
-        "query_id", "rank"
-    )
+    tab = _tabled_slim(spark, sf_dir)
+    return _topk_from_probes(
+        spark, sf_dir, tab, _query_probes(tab, multi=True)
+    ).orderBy("query_id", "rank")
 
 
 def multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,7 +199,7 @@ def multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe. Multi-probe candidates are a superset by
     construction, so cand_multi >= cand_single and recall can only
     improve — the knob the technique sells."""
-    tab = _tabled_with_projs(spark, sf_dir)
+    tab = _tabled_slim(spark, sf_dir)
     corpus = tab.select(
         F.col("vec_id").alias("neighbor_id"), "tbl", "bucket"
     )
@@ -226,8 +260,12 @@ def multiprobe_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", (F.col("hits") * 1000).cast("long").alias(out)
         )
 
-    single10 = _topk_from_probes(tab, _query_probes(tab, multi=False))
-    multi10 = _topk_from_probes(tab, _query_probes(tab, multi=True))
+    single10 = _topk_from_probes(
+        spark, sf_dir, tab, _query_probes(tab, multi=False)
+    )
+    multi10 = _topk_from_probes(
+        spark, sf_dir, tab, _query_probes(tab, multi=True)
+    )
     qids = q.select("query_id")
     out = (
         qids.join(_cand_counts(False, "cand_single"), "query_id", "left")

@@ -172,22 +172,29 @@ def lsh_ann_topk_fixed(spark, sf_dir) -> DataFrame:
         " (a, x) -> a + x) > 0 THEN shiftleft(1L, j) ELSE 0L END),"
         " 0L, (a, x) -> a + x))"
     )
-    tabled = base.join(F.broadcast(_one_row_param_df(spark, "planes"))).select(
-        "vec_id",
-        "vq",
-        "nrm",
-        F.posexplode(F.expr(buckets)).alias("tbl", "bucket"),
+    # Bucket table pinned WITHOUT the vector payload: both the query and
+    # corpus branches otherwise re-ran the projection pipeline, and vq
+    # (64 longs, once per (vector, table)) rode the candidate join both
+    # sides — ~16 MB shuffled per run. Ids + norms go through the bucket
+    # join and the dedup; vectors re-attach per surviving candidate
+    # (guide §8: decide on lightweight proxies, move heavy bytes once).
+    tabled = (
+        base.join(F.broadcast(_one_row_param_df(spark, "planes")))
+        .select(
+            "vec_id",
+            "nrm",
+            F.posexplode(F.expr(buckets)).alias("tbl", "bucket"),
+        )
+        .localCheckpoint()
     )
     q = tabled.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
         F.col("vec_id").alias("query_id"),
-        F.col("vq").alias("qv"),
         F.col("nrm").alias("nq"),
         "tbl",
         "bucket",
     )
     c = tabled.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("vq").alias("cv"),
         F.col("nrm").alias("nc"),
         "tbl",
         "bucket",
@@ -195,19 +202,33 @@ def lsh_ann_topk_fixed(spark, sf_dir) -> DataFrame:
     cand = (
         q.join(c, ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "qv", "nq", "neighbor_id", "cv", "nc")
+        .select("query_id", "nq", "neighbor_id", "nc")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.expr(
-            "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
-        ).alias("dot"),
-        "nq",
-        "nc",
-    ).select(
-        "query_id", "neighbor_id", F.expr(_COS_MICRO).alias("cos_micro")
+    vecs = base.select("vec_id", "vq")
+    qv = F.broadcast(
+        vecs.filter(F.col("vec_id") < TOPK_QUERY_IDS).select(
+            F.col("vec_id").alias("query_id"), F.col("vq").alias("qv")
+        )
+    )
+    cv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("vq").alias("cv")
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+            ).alias("dot"),
+            "nq",
+            "nc",
+        )
+        .select(
+            "query_id", "neighbor_id", F.expr(_COS_MICRO).alias("cos_micro")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_micro"), F.asc("neighbor_id")
