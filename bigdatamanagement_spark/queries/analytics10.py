@@ -64,9 +64,13 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t19_basket_part_pairs_lift (the Apriori step: every frequent
     triple's pairs are frequent).
 
-    Scale: pairs explode inside each basket (bounded size), then
-    extend by one via an equi-join back to the order's parts with
-    c > b — never a 3-way cross; support filters before the top-k."""
+    Scale: triples expand INSIDE each basket row — baskets are
+    order-sized (bounded small), so Σ C(|basket|, 3) stays linear in
+    orders, and the former pair-stream ⋈ order-parts equi-join (the
+    pair stream re-shuffled by orderkey — 33 MB at sf0.1) disappears:
+    the only exchanges left are the basket aggregate and the
+    map-side-combined support count; support filters before the
+    top-k."""
     li = load_testdata(spark, sf_dir, tables=("lineitem",), register=False)[
         "lineitem"
     ]
@@ -74,19 +78,16 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = op.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    pairs = baskets.select(
-        "l_orderkey",
+    triples = baskets.select(
         F.explode(
             F.expr(
                 "flatten(transform(parts, (x, i) -> "
-                "transform(slice(parts, i + 2, size(parts)), "
-                "y -> struct(x AS a, y AS b))))"
+                "flatten(transform(slice(parts, i + 2, size(parts)), (y, j) -> "
+                "transform(slice(parts, i + j + 3, size(parts)), "
+                "z -> struct(x AS a, y AS b, z AS c))))))"
             )
-        ).alias("p"),
-    ).select("l_orderkey", "p.a", "p.b")
-    triples = pairs.join(
-        op.select("l_orderkey", F.col("l_partkey").alias("c")), "l_orderkey"
-    ).filter(F.col("c") > F.col("b"))
+        ).alias("p")
+    ).select("p.a", "p.b", "p.c")
     return (
         triples.groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).cast("long").alias("support"))

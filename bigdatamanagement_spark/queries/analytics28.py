@@ -87,6 +87,12 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def renorm(df: DataFrame, key: str, out: str) -> DataFrame:
+        # Pin the score table before referencing it twice (max agg +
+        # join): un-pinned, each half-step's input subtree — the edge
+        # join chain — re-executed once per reference, compounding 2x
+        # per half-step (the before-plan carries 70 Exchange nodes for
+        # a 3-half-step walk). Scores are O(|V|) rows.
+        df = df.localCheckpoint()
         mx = df.agg(F.max("s").alias("mx"))
         return df.join(F.broadcast(mx)).select(
             key, F.expr("(s * 1000000) DIV mx").alias(out)
