@@ -111,13 +111,19 @@ def candidate_pairs(
     fingerprints are non-discriminative and would otherwise fan a
     single bucket quadratically — the same cap discipline as the LSH
     band join)."""
+    # Pin the fingerprint table before its three references (df filter +
+    # both self-join sides): callers hand in a derived pipeline (e.g.
+    # t76's gram hashes behind a doc-keyed window) that would otherwise
+    # re-execute once per branch. The capped table pins too — the
+    # self-join reads it twice.
+    fps = fps.localCheckpoint()
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") <= df_cap)
         .select("fp")
     )
-    t = fps.join(keep, "fp")
+    t = fps.join(keep, "fp").localCheckpoint()
     a = t.alias("a")
     b = t.alias("b")
     return (

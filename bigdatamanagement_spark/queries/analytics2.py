@@ -1704,8 +1704,14 @@ def ngram_containment_pairs(
     d = _documents(spark, sf_dir)
     if sampled:
         d = d.filter(F.expr(SAMPLE_PRED))
-    s = portable_shingle_hashes(d, "doc_id", "text", 3).filter(
-        F.size("sh") >= _CONT_MIN_SH
+    # Pinned: the shingle-hash table feeds four branches (df counts,
+    # prefix + full occurrence sides, and both verify join-backs);
+    # un-pinned, each branch re-ran the md5 shingle pipeline (the
+    # optimizer fence correctly blocks subtree sharing).
+    s = (
+        portable_shingle_hashes(d, "doc_id", "text", 3)
+        .filter(F.size("sh") >= _CONT_MIN_SH)
+        .localCheckpoint()
     )
     tokf = (
         s.select(F.explode("sh").alias("hv"))
