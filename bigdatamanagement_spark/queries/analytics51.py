@@ -49,7 +49,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bigram_buckets(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, source, bucket): one row per bigram OCCURRENCE,
-    bucketed by a 32-bit portable md5-slice mod N_BUCKETS."""
+    bucketed by a 32-bit portable md5-slice mod N_BUCKETS. Pinned on
+    return: consumers branch 3-4 ways over it (raw/target/total counts
+    + the per-doc weight join), each branch otherwise re-running the
+    tokenize + window + md5 pipeline."""
     toked = docs.select(
         "doc_id",
         "lang",
@@ -69,6 +72,7 @@ def _bigram_buckets(docs: DataFrame) -> DataFrame:
             ).alias("bucket"),
         )
         .where(F.col("bucket").isNotNull())
+        .localCheckpoint()
     )
 
 
