@@ -71,6 +71,12 @@ def _simhash_pair_graph(spark: SparkSession, sf_dir: str) -> None:
     _simhash_pair_graph(spark, sf_dir)
 
 
+def _fuzzy_pair_graph(spark: SparkSession, sf_dir: str) -> None:
+    from bigdatamanagement_spark.queries.extensions import _fuzzy_pair_graph
+
+    _fuzzy_pair_graph(spark, sf_dir)
+
+
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> None:
     from bigdatamanagement_spark.queries.pipeline import _cluster_labels
 
@@ -128,6 +134,7 @@ MEMO_BUILDERS: dict[str, Callable[[SparkSession, str], None]] = {
     "semdedup_centroids": _semdedup_centroids,
     "lexical_pair_graph": _lexical_pair_graph,
     "simhash_pair_graph": _simhash_pair_graph,
+    "fuzzy_pair_graph": _fuzzy_pair_graph,
     "cluster_labels": _cluster_labels,
     "repetition_metrics": _repetition,
     "winnow_fingerprints": _winnow_fingerprints,

@@ -164,12 +164,12 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log n) star rounds; survivorship is ONE cluster-keyed aggregate
     plus a ≤|clusters|-row majority argmax."""
     from bigdatamanagement_spark.operators.cluster import assign_clusters
-    from bigdatamanagement_spark.operators.linkage import blocked_fuzzy_pairs
+    from bigdatamanagement_spark.queries.extensions import _fuzzy_pair_graph
 
     c = load_testdata(spark, sf_dir, tables=("customer",), register=False)[
         "customer"
     ]
-    pairs = blocked_fuzzy_pairs(c, "c_custkey", "c_name", "c_nationkey", 2)
+    pairs = _fuzzy_pair_graph(spark, sf_dir)
     clustered = assign_clusters(c, "c_custkey", pairs, "rec_a", "rec_b")
     cents = F.expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)")
     per_cluster = clustered.groupBy("cluster_rep").agg(

@@ -162,16 +162,45 @@ def bloom_semijoin_filter(spark, sf_dir) -> DataFrame:
     )
 
 
+_FUZZY_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _fuzzy_pair_graph(spark, sf_dir) -> DataFrame:
+    """(rec_a, rec_b, dist): the blocked-Levenshtein customer pair graph
+    — consumed by both ext_fuzzy_name_pairs and the t25 golden-record
+    merge (which eagerly materializes it inside star contraction), so it
+    follows the same per-(session, corpus) ingest-artifact memo as the
+    lexical/simhash pair graphs."""
+    from bigdatamanagement_spark import cache
+    from bigdatamanagement_spark.operators.linkage import blocked_fuzzy_pairs
+
+    key = (session_key(spark), sf_dir)
+    if key not in _FUZZY_MEMO:
+        _FUZZY_MEMO[key] = cache.persistent_df(
+            spark,
+            "fuzzy_pair_graph",
+            sf_dir,
+            ("customer",),
+            "levenshtein<=2 block=nation v1",
+            lambda: blocked_fuzzy_pairs(
+                load_testdata(
+                    spark, sf_dir, tables=("customer",), register=False
+                )["customer"],
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                max_dist=2,
+            ),
+        )
+    return _FUZZY_MEMO[key]
+
+
 def fuzzy_name_pairs(spark, sf_dir) -> DataFrame:
     """Record linkage over the customer table: within-nation customer
     pairs whose names are ≤ 2 edits apart (operators/linkage.py) —
-    blocked Levenshtein with threshold early-exit."""
-    from bigdatamanagement_spark.operators.linkage import blocked_fuzzy_pairs
-
-    cust = load_testdata(spark, sf_dir, tables=("customer",), register=False)["customer"]
-    return blocked_fuzzy_pairs(
-        cust, "c_custkey", "c_name", "c_nationkey", max_dist=2
-    ).orderBy("rec_a", "rec_b")
+    blocked Levenshtein with threshold early-exit, served from the
+    fuzzy_pair_graph ingest artifact."""
+    return _fuzzy_pair_graph(spark, sf_dir).orderBy("rec_a", "rec_b")
 
 
 def source_kl_divergence(spark, sf_dir) -> DataFrame:

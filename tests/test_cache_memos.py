@@ -82,6 +82,7 @@ def test_persistent_json_roundtrip(tmp_path, monkeypatch):
     [
         ("lexical_pair_graph", "pairs"),
         ("simhash_pair_graph", "simhash"),
+        ("fuzzy_pair_graph", "fuzzy"),
         ("repetition_metrics", "rep"),
         ("cluster_labels", "clusters"),
         ("nested_custorders", "custorders"),
@@ -102,6 +103,9 @@ def test_memo_reloads_identical(spark, memo_name, call):
         "pairs": (lambda: pl._neardup_pairs(spark, SF), pl._PAIRS_MEMO),
         "simhash": (
             lambda: ext._simhash_pair_graph(spark, SF), ext._SIMHASH_MEMO,
+        ),
+        "fuzzy": (
+            lambda: ext._fuzzy_pair_graph(spark, SF), ext._FUZZY_MEMO,
         ),
         "rep": (lambda: pl._repetition(spark, SF), pl._REP_MEMO),
         "clusters": (lambda: pl._cluster_labels(spark, SF), pl._CLUSTERS_MEMO),
