@@ -261,10 +261,14 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.array_distinct(F.split(F.lower(F.trim("text")), "\\s+")).alias("t")
     ).localCheckpoint()
+    # Pinned: referenced three times (top-k vocab collect + both df
+    # join-backs); un-pinned, each reference re-ran the explode +
+    # aggregate over every token occurrence. O(|vocab|) rows.
     df_counts = (
         toks.select("doc_id", F.explode("t").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint()
     )
     top = df_counts.orderBy(F.desc("df"), F.asc("token")).limit(PMI_VOCAB)
     vocab = [r["token"] for r in top.collect()]

@@ -71,12 +71,15 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = base.groupBy("l_partkey", "wk").agg(
         F.sum("q").alias("wq"), F.sum("rev").alias("wrev")
     )
+    # Pinned: referenced by both the running-share pass and the total-
+    # revenue branch — un-pinned, the lineitem scan + two aggregates
+    # re-executed once per reference. O(|parts|) rows.
     per_part = weekly.groupBy("l_partkey").agg(
         F.sum("wrev").cast("long").alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_weeks"),
         F.sum("wq").cast("long").alias("s"),
         F.sum(F.col("wq") * F.col("wq")).cast("long").alias("qq"),
-    )
+    ).localCheckpoint()
     from bigdatamanagement_spark.operators.rank import global_running_sum
 
     cum = global_running_sum(

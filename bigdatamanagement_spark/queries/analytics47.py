@@ -77,7 +77,10 @@ def _quality(
 ) -> DataFrame:
     """Per-query recall@k, MRR of the exact-best neighbor, and NDCG@k
     (gains = exact micro-cosines; log2 via one shared expression)."""
-    exact = _exact_topk(spark, sf_dir)
+    # Pinned: the exact top-k (a 32x|corpus| brute-force scan + window,
+    # reduced to <=320 rows) feeds both the hits join and the IDCG
+    # branch — un-pinned it re-ran once per reference.
+    exact = _exact_topk(spark, sf_dir).localCheckpoint()
     hits = approx.select(
         "query_id", "neighbor_id", F.col("rank").alias("a_rank")
     ).join(
